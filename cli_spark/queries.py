@@ -1,0 +1,881 @@
+"""Driver-contract query battery: every operator from SURVEY.md §2 as a
+(Spark DataFrame query, equivalent DuckDB oracle SQL) pair over the
+driver-provided tables (region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Design rules for oracle-exact parity (the driver hash-compares values):
+
+- **No nondeterministic float arithmetic.** Money-ish sums are computed
+  in DECIMAL (exact in both engines) and cast to double at the end;
+  ratios divide exact intermediates; cosine similarities are rounded to
+  4 decimals after a fixed-order fold.
+- **Shared hash function.** Where the reference uses dictionary /
+  MinHash hashing, both sides hash via ``md5`` (same hex in Spark and
+  DuckDB) reduced to a 60-bit int — Spark ``conv(substr(md5(x),1,15),16,10)``,
+  DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``.
+- **Stable orderings.** Every window ``ORDER BY`` carries a unique
+  tiebreaker column.
+- **Matching column names.** Every computed column is aliased
+  identically on both sides.
+
+Each entry cites the reference operator it re-expresses (SURVEY.md §2
+ids). Queries callable as ``fn(spark, sf_dir)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# 60-bit md5-derived integer hash, identical in Spark and DuckDB.
+def md5_int(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5_INT_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core (headline bench queries; exercise scan/filter/agg/join/
+# window/sort/top-k — the Catalyst-covered rows of SURVEY.md §4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 analog: scan→filter→hash-agg (partial+final, A3).",
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_revenue_topk",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, c.c_name
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analog: 3-way join (broadcast dim) + agg + top-k.",
+)
+def q02_revenue_topk(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q03_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 analog: star join through two broadcast dims.",
+)
+def q03_local_supplier_volume(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q04_top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_name, c_acctbal, rnk FROM (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rnk <= 3
+    ORDER BY n_name, rnk
+    """,
+    doc="Top-k per group via ranking window (§2.5).",
+)
+def q04_top_customers_per_nation(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_name", "c_acctbal", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("n_name", "rnk")
+    )
+
+
+@query(
+    "q05_order_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="GROUPING SETS rollup — the inspect detail/node/term granularities (A5).",
+)
+def q05_order_priority_cube(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q06_sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Gaps-and-islands sessionization = the reference's graph run-length "
+    "state machine W3 (JellyStreamWriterGraphs.scala:57-72) as lag+cumsum.",
+)
+def q06_sessionize_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → UTC seconds
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wc = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wc))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q07_hourly_event_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Tumbling time window aggregation (streaming W2 analog, batch form).",
+)
+def q07_hourly_event_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "q08_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT DISTINCT ON (o_custkey, o_orderdate) o_custkey, o_orderdate, o_orderkey
+        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey DESC
+    ) o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+    doc="As-of join (Spark lacks a native one): union + last_value window "
+    "composition — scales as one shuffle + one window, no UDF.",
+)
+def q08_asof_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    # Deduplicate the right side per (custkey, orderdate): keep max orderkey
+    # (mirrors DISTINCT ON ... ORDER BY o_orderkey DESC).
+    wdedup = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    o1 = (
+        o.withColumn("rn", F.row_number().over(wdedup))
+        .filter("rn = 1")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey"),
+        )
+    )
+    # Union trick: tag sides, sort by (user, ts, side), carry last order fwd.
+    left = ev.select(
+        "event_id", "user_id", "ts", F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("side"),
+    )
+    right = o1.select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts", "o_orderkey",
+        F.lit(0).alias("side"),
+    )
+    unioned = left.unionByName(right)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", F.desc_nulls_last("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.withColumn(
+        "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_orderkey")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG / reference-operator analogs over `documents` (the driver-table proxy
+# for the source-file corpus). Shared shape: tokens = whitespace-split text,
+# triples = (kg:doc/{id}, pred, obj) with the corpus obj_kind taxonomy.
+# ---------------------------------------------------------------------------
+
+# Token CTE reused by the DuckDB oracles (1-based pos in both engines).
+TOKENS_SQL = """
+    SELECT doc_id, lang, source, tok AS token, CAST(pos AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id, lang, source,
+             unnest(string_split_regex(text, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+      FROM documents
+    ) WHERE tok <> ''
+"""
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, token, pos) — S5-style tokenizer, columnar."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos0", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "lang", "source", "token", (F.col("pos0") + 1).alias("pos"))
+    )
+
+
+TRIPLES_SQL = f"""
+    WITH toks AS ({TOKENS_SQL})
+    SELECT 'kg:doc/' || doc_id AS subj, 'kg:hasToken' AS pred, token AS obj,
+           2 AS obj_kind
+    FROM (SELECT DISTINCT doc_id, token FROM toks)
+    UNION ALL
+    SELECT DISTINCT 'kg:doc/' || doc_id, 'kg:inLang', 'kg:lang/' || lang, 0
+    FROM documents
+    UNION ALL
+    SELECT DISTINCT 'kg:doc/' || doc_id, 'kg:fromSource', 'kg:src/' || source, 0
+    FROM documents
+"""
+
+
+def doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction analog of cli_spark.extract over the documents table:
+    token mentions → literal-object triples, metadata → IRI triples."""
+    toks = doc_tokens(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    tok_triples = toks.select(
+        F.format_string("kg:doc/%d", F.col("doc_id")).alias("subj"),
+        F.lit("kg:hasToken").alias("pred"),
+        F.col("token").alias("obj"),
+        F.lit(2).alias("obj_kind"),
+    ).distinct()
+    meta = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("kg:inLang").alias("pred"),
+                    F.concat(F.lit("kg:lang/"), F.col("lang")).alias("obj"),
+                ),
+                F.struct(
+                    F.lit("kg:fromSource").alias("pred"),
+                    F.concat(F.lit("kg:src/"), F.col("source")).alias("obj"),
+                ),
+            )
+        ).alias("t"),
+        F.format_string("kg:doc/%d", F.col("doc_id")).alias("subj"),
+    ).select("subj", "t.pred", "t.obj", F.lit(0).alias("obj_kind")).distinct()
+    return tok_triples.unionByName(meta)
+
+
+@query(
+    "q10_kg_doc_triples",
+    oracle=TRIPLES_SQL,
+    doc="Mention extraction → (subj,pred,obj,obj_kind) triples; UDTF-shaped "
+    "explode (SURVEY §2.10) done with posexplode, set semantics (U2).",
+)
+def q10_kg_doc_triples(spark, sf_dir):
+    return doc_triples(spark, sf_dir)
+
+
+# N-Quads rendering (F7): IRIs in <>, literals quoted with minimal escaping.
+_NQ_RENDER_SQL = f"""
+    WITH triples AS ({TRIPLES_SQL})
+    SELECT '<' || subj || '> <' || pred || '> ' ||
+           CASE WHEN obj_kind = 0 THEN '<' || obj || '>'
+                ELSE '"' || replace(replace(obj, '\\', '\\\\'), '"', '\\"') || '"'
+           END || ' .' AS line
+    FROM triples
+"""
+
+
+def _nq_line_col() -> "F.Column":
+    obj_rendered = F.when(
+        F.col("obj_kind") == 0, F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    ).otherwise(
+        F.concat(
+            F.lit('"'),
+            F.regexp_replace(
+                F.regexp_replace(F.col("obj"), F.lit(r"\\"), F.lit(r"\\\\")),
+                F.lit('"'),
+                F.lit('\\"'),
+            ),
+            F.lit('"'),
+        )
+    )
+    return F.concat(
+        F.lit("<"), F.col("subj"), F.lit("> <"), F.col("pred"), F.lit("> "),
+        obj_rendered, F.lit(" ."),
+    ).alias("line")
+
+
+@query(
+    "q11_nquads_render",
+    oracle=_NQ_RENDER_SQL,
+    doc="N-Triples term rendering (F7/S12): format_string/concat columnar "
+    "render with escaping — the StreamRDFWriter sink analog.",
+)
+def q11_nquads_render(spark, sf_dir):
+    return doc_triples(spark, sf_dir).select(_nq_line_col())
+
+
+@query(
+    "q12_nquads_roundtrip",
+    oracle=TRIPLES_SQL,
+    doc="S5/S6 parse ∘ F7 render = identity: render triples to N-Triples "
+    "lines, parse back with regexp_extract, unescape. Oracle is the "
+    "original triple set — a true round-trip gate (SURVEY §5 pillar 2).",
+)
+def q12_nquads_roundtrip(spark, sf_dir):
+    lines = doc_triples(spark, sf_dir).select(_nq_line_col())
+    parsed = lines.select(
+        F.regexp_extract(F.col("line"), r"^<([^>]*)> <([^>]*)> (.*) \.$", 1).alias("subj"),
+        F.regexp_extract(F.col("line"), r"^<([^>]*)> <([^>]*)> (.*) \.$", 2).alias("pred"),
+        F.regexp_extract(F.col("line"), r"^<([^>]*)> <([^>]*)> (.*) \.$", 3).alias("objterm"),
+    )
+    is_iri = F.col("objterm").startswith("<")
+    obj = F.when(
+        is_iri, F.expr("substring(objterm, 2, length(objterm) - 2)")
+    ).otherwise(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.expr("substring(objterm, 2, length(objterm) - 2)"),
+                F.lit(r'\\"'),
+                F.lit('"'),
+            ),
+            F.lit(r"\\\\"),
+            F.lit(r"\\"),
+        )
+    )
+    return parsed.select(
+        "subj",
+        "pred",
+        obj.alias("obj"),
+        F.when(is_iri, F.lit(0)).otherwise(F.lit(2)).alias("obj_kind"),
+    )
+
+
+FRAME_SIZE = 256
+
+_FRAMES_SQL = f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY subj, pred, obj, obj_kind) AS rn FROM triples
+    )
+    SELECT ((rn - 1) // {FRAME_SIZE}) AS frame_index,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN obj_kind = 2 THEN 1 ELSE 0 END) AS n_literals
+    FROM numbered GROUP BY 1
+"""
+
+
+def framed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: deterministic global order → row_number → tumbling count
+    window of FRAME_SIZE rows = Jelly frame assignment (RdfToJelly
+    rowsPerFrame=256, RdfToJelly.scala:53-56)."""
+    t = doc_triples(spark, sf_dir)
+    w = W.orderBy("subj", "pred", "obj", "obj_kind")
+    return t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "frame_index", F.floor((F.col("rn") - 1) / FRAME_SIZE).cast("long")
+    )
+
+
+@query(
+    "q13_frame_assign",
+    oracle=_FRAMES_SQL,
+    doc="Frame assignment + per-frame row-kind counts (W1/W2/A1/A2): the "
+    "`rdf inspect` per-frame metrics table.",
+)
+def q13_frame_assign(spark, sf_dir):
+    return framed_triples(spark, sf_dir).groupBy("frame_index").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("obj_kind") == 2, 1).otherwise(0)).alias("n_literals"),
+    )
+
+
+@query(
+    "q14_frame_slice",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY subj, pred, obj, obj_kind) AS rn FROM triples
+    )
+    SELECT subj, pred, obj, obj_kind,
+           ((rn - 1) // {FRAME_SIZE}) AS frame_index
+    FROM numbered
+    WHERE ((rn - 1) // {FRAME_SIZE}) BETWEEN 2 AND 5
+    """,
+    doc="--take-frames index-range slice (P1, IndexRange.scala:13-58) as a "
+    "pushed-down BETWEEN filter on frame_index.",
+)
+def q14_frame_slice(spark, sf_dir):
+    return framed_triples(spark, sf_dir).filter(
+        F.col("frame_index").between(2, 5)
+    ).select("subj", "pred", "obj", "obj_kind", "frame_index")
+
+
+DICT_MAX = 1024
+
+@query(
+    "q15_dict_encode",
+    oracle=f"""
+    WITH toks AS ({TOKENS_SQL}),
+    firsts AS (
+      SELECT token, MIN(doc_id * 1000000 + pos) AS first_pos
+      FROM toks GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, first_pos,
+             DENSE_RANK() OVER (ORDER BY first_pos, token) AS dict_id
+      FROM firsts
+    )
+    SELECT token, CASE WHEN dict_id <= {DICT_MAX} THEN dict_id END AS dict_id
+    FROM ranked
+    """,
+    doc="Bounded ordered lookup-table assignment (W5, Jelly name table with "
+    "maxNameTableSize): dense_rank over first-occurrence order, capped; "
+    "entries past the cap stay unencoded (NULL).",
+)
+def q15_dict_encode(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    firsts = toks.groupBy("token").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_pos")
+    )
+    w = W.orderBy("first_pos", "token")
+    ranked = firsts.withColumn("dict_id", F.dense_rank().over(w))
+    return ranked.select(
+        "token",
+        F.when(F.col("dict_id") <= DICT_MAX, F.col("dict_id")).alias("dict_id"),
+    )
+
+
+@query(
+    "q16_inspect_detail",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    terms AS (
+      SELECT 'subject' AS term_pos, 0 AS node_kind FROM triples
+      UNION ALL SELECT 'predicate', 0 FROM triples
+      UNION ALL SELECT 'object', obj_kind FROM triples
+    )
+    SELECT term_pos, node_kind, COUNT(*) AS n
+    FROM terms
+    GROUP BY GROUPING SETS ((term_pos, node_kind), (term_pos), (node_kind))
+    """,
+    doc="`rdf inspect --detail` term×kind matrix (A4) + the three report "
+    "granularities as GROUPING SETS (A5, MetricsPrinter.scala:201-255).",
+)
+def q16_inspect_detail(spark, sf_dir):
+    t = doc_triples(spark, sf_dir)
+    terms = (
+        t.select(F.lit("subject").alias("term_pos"), F.lit(0).alias("node_kind"))
+        .unionAll(t.select(F.lit("predicate"), F.lit(0)))
+        .unionAll(t.select(F.lit("object"), F.col("obj_kind")))
+    )
+    terms.createOrReplaceTempView("v_terms")
+    return spark.sql(
+        """
+        SELECT term_pos, node_kind, COUNT(*) AS n FROM v_terms
+        GROUP BY GROUPING SETS ((term_pos, node_kind), (term_pos), (node_kind))
+        """
+    )
+
+
+@query(
+    "q17_inspect_aggregate",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_SQL})
+    SELECT COUNT(*) AS triple_count,
+           COUNT(DISTINCT subj) AS distinct_subjects,
+           COUNT(DISTINCT pred) AS distinct_predicates,
+           COUNT(DISTINCT obj) AS distinct_objects,
+           SUM(CASE WHEN obj_kind = 2 THEN 1 ELSE 0 END) AS literal_count,
+           SUM(CASE WHEN obj_kind = 0 THEN 1 ELSE 0 END) AS iri_count,
+           SUM(LENGTH(subj) + LENGTH(pred) + LENGTH(obj)) AS serialized_size
+    FROM triples
+    """,
+    doc="Global aggregate across frames (A3: partial+final combine = "
+    "FrameInfo.+= merge) + SizeStatistic (A2: sum of serialized sizes).",
+)
+def q17_inspect_aggregate(spark, sf_dir):
+    t = doc_triples(spark, sf_dir)
+    return t.agg(
+        F.count(F.lit(1)).alias("triple_count"),
+        F.countDistinct("subj").alias("distinct_subjects"),
+        F.countDistinct("pred").alias("distinct_predicates"),
+        F.countDistinct("obj").alias("distinct_objects"),
+        F.sum(F.when(F.col("obj_kind") == 2, 1).otherwise(0)).alias("literal_count"),
+        F.sum(F.when(F.col("obj_kind") == 0, 1).otherwise(0)).alias("iri_count"),
+        F.sum(F.length("subj") + F.length("pred") + F.length("obj")).alias(
+            "serialized_size"
+        ),
+    )
+
+
+@query(
+    "q18_ordered_compare",
+    oracle=f"""
+    WITH toks AS ({TOKENS_SQL}),
+    a AS (SELECT token, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS idx
+          FROM toks WHERE doc_id % 2 = 0),
+    b AS (SELECT CASE WHEN LENGTH(token) < 3 THEN 'X' ELSE token END AS token,
+                 ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS idx
+          FROM toks WHERE doc_id % 2 = 0)
+    SELECT COUNT(*) AS n_positions,
+           SUM(CASE WHEN a.token = b.token THEN 1 ELSE 0 END) AS n_equal,
+           SUM(CASE WHEN a.token <> b.token THEN 1 ELSE 0 END) AS n_diff
+    FROM a JOIN b USING (idx)
+    """,
+    doc="Ordered positional compare (J1, OrderedRdfCompare.scala:10-75): "
+    "row_number both sides → zip join on idx → per-position equality.",
+)
+def q18_ordered_compare(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    w = W.orderBy("doc_id", "pos")
+    a = toks.select(F.col("token"), F.row_number().over(w).alias("idx"))
+    b = toks.select(
+        F.when(F.length("token") < 3, F.lit("X")).otherwise(F.col("token")).alias("tokenb"),
+        F.row_number().over(w).alias("idx"),
+    )
+    j = a.join(b, "idx")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        F.sum(F.when(F.col("token") == F.col("tokenb"), 1).otherwise(0)).alias("n_equal"),
+        F.sum(F.when(F.col("token") != F.col("tokenb"), 1).otherwise(0)).alias("n_diff"),
+    )
+
+
+@query(
+    "q19_containment",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    expected AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE obj_kind = 2),
+    actual   AS (SELECT DISTINCT subj, pred, obj FROM triples)
+    SELECT (SELECT COUNT(*) FROM expected) AS n_expected,
+           (SELECT COUNT(*) FROM expected e
+             WHERE NOT EXISTS (SELECT 1 FROM actual a
+                               WHERE a.subj=e.subj AND a.pred=e.pred AND a.obj=e.obj))
+           AS n_missing
+    """,
+    doc="Model containment (J3, RdfToJellySpec containsAll): left-anti join "
+    "count == 0 ⇒ expected ⊆ actual.",
+)
+def q19_containment(spark, sf_dir):
+    t = doc_triples(spark, sf_dir)
+    expected = t.filter(F.col("obj_kind") == 2).select("subj", "pred", "obj").distinct()
+    actual = t.select("subj", "pred", "obj").distinct()
+    missing = expected.join(actual, ["subj", "pred", "obj"], "left_anti")
+    return expected.agg(F.count(F.lit(1)).alias("n_expected")).crossJoin(
+        missing.agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+
+
+@query(
+    "q20_pr_score",
+    oracle=f"""
+    WITH toks AS ({TOKENS_SQL}),
+    expected AS (SELECT DISTINCT doc_id, token FROM toks),
+    actual   AS (SELECT DISTINCT doc_id, token FROM toks WHERE LENGTH(token) >= 3)
+    SELECT (SELECT COUNT(*) FROM expected) AS n_expected,
+           (SELECT COUNT(*) FROM actual) AS n_actual,
+           (SELECT COUNT(*) FROM expected e JOIN actual a USING (doc_id, token))
+             AS n_inter,
+           CAST((SELECT COUNT(*) FROM expected e JOIN actual a USING (doc_id, token)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM actual) AS precision_score,
+           CAST((SELECT COUNT(*) FROM expected e JOIN actual a USING (doc_id, token)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM expected) AS recall_score
+    """,
+    doc="P/R scorer (north rule ≥0.95 gate): |E∩A|/|A| and /|E| via inner "
+    "joins — generalizes J2's boolean isomorphism verdict.",
+)
+def q20_pr_score(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    expected = toks.select("doc_id", "token").distinct()
+    actual = expected.filter(F.length("token") >= 3)
+    n_e = expected.count()
+    n_a = actual.count()
+    n_i = expected.join(actual, ["doc_id", "token"]).count()
+    return spark.createDataFrame(
+        [(n_e, n_a, n_i, n_i / n_a, n_i / n_e)],
+        "n_expected long, n_actual long, n_inter long, precision_score double, recall_score double",
+    )
+
+
+@query(
+    "q21_transcode_remap",
+    oracle=f"""
+    WITH toks AS ({TOKENS_SQL}),
+    streams AS (
+      SELECT doc_id % 2 AS stream, token, MIN(doc_id * 1000000 + pos) AS first_pos
+      FROM toks GROUP BY 1, 2
+    ),
+    local_ids AS (
+      SELECT stream, token,
+             DENSE_RANK() OVER (PARTITION BY stream ORDER BY first_pos, token) AS old_id
+      FROM streams
+    ),
+    merged AS (
+      SELECT token, MIN(first_pos) AS merged_first FROM streams GROUP BY token
+    ),
+    new_ids AS (
+      SELECT token, DENSE_RANK() OVER (ORDER BY merged_first, token) AS new_id
+      FROM merged
+    )
+    SELECT l.stream, l.token, l.old_id, n.new_id
+    FROM local_ids l JOIN new_ids n USING (token)
+    """,
+    doc="Transcode dictionary remap (§2.11, RdfTranscode.scala:57-82): "
+    "per-stream local ids joined to one merged output dictionary — pure "
+    "integer remap, no term re-parsing.",
+)
+def q21_transcode_remap(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    streams = (
+        toks.withColumn("stream", F.col("doc_id") % 2)
+        .groupBy("stream", "token")
+        .agg(F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_pos"))
+    )
+    wl = W.partitionBy("stream").orderBy("first_pos", "token")
+    local_ids = streams.select(
+        "stream", "token", F.dense_rank().over(wl).alias("old_id")
+    )
+    merged = streams.groupBy("token").agg(F.min("first_pos").alias("merged_first"))
+    wn = W.orderBy("merged_first", "token")
+    new_ids = merged.select("token", F.dense_rank().over(wn).alias("new_id"))
+    return local_ids.join(new_ids, "token").select("stream", "token", "old_id", "new_id")
+
+
+@query(
+    "q22_union_streams",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS global_pos
+    FROM u
+    """,
+    doc="Stream concatenation (U1, RdfTranscodeSpec merge-100-streams): "
+    "unionByName + global re-numbering.",
+)
+def q22_union_streams(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    b = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    u = a.unionByName(b)
+    return u.select("doc_id", F.row_number().over(W.orderBy("doc_id")).alias("global_pos"))
+
+
+@query(
+    "q23_lineage_sha",
+    oracle="""
+    SELECT doc_id, sha256(text) AS content_sha, LENGTH(text) AS n_bytes
+    FROM documents
+    """,
+    doc="Lineage invariant (F8/J5, BASELINE.json input_hint): per-row "
+    "sha256(content) — the cross-stage equality anchor.",
+)
+def q23_lineage_sha(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+@query(
+    "q24_graph_runs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type <> LAG(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                  OR LAG(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, run_id, event_type, COUNT(*) AS run_length
+    FROM runs GROUP BY user_id, run_id, event_type
+    """,
+    doc="Graph-boundary run-length detection (W3/S16, JellyStreamWriter"
+    "Graphs.scala:57-72): lag → boundary flag → cumulative sum = run id.",
+)
+def q24_graph_runs(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    flagged = ev.withColumn("boundary", boundary)
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    runs = flagged.withColumn("run_id", F.sum("boundary").over(wc))
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_length")
+    )
