@@ -1,0 +1,120 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): triples extracted+linked per second on
+the synthetic source-code corpus. Also times the operator battery's
+headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR       parquet dir for the query battery (default sf0.1)
+  SPARK_GRAFT_CPUS         local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_FILES  synthetic corpus size for the KG pipeline (default 20000)
+
+Usage: python bench.py            # one JSON line on stdout
+       python bench.py --scaling  # also run the two-parallelism scaling probe
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_topk",
+    "q03_local_supplier_volume",
+    "q06_sessionize_events",
+    "q08_asof_join",
+    "q10_kg_doc_triples",
+    "q13_frame_assign",
+    "q15_dict_encode",
+    "q21_transcode_remap",
+    "q24_graph_runs",
+]
+
+
+def _noop_write(df) -> None:
+    """Materialize fully without collect: noop datasource sink."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_pipeline(spark, n_files: int) -> tuple[int, float]:
+    """The KG-construction pipeline (extract → link → canonicalize) on the
+    synthetic corpus; returns (triples_out, seconds)."""
+    from cli_spark.corpus import generate_repos
+    from cli_spark.pipeline import run_kg_pipeline
+
+    repos = generate_repos(spark, n_files)
+    t0 = time.time()
+    n_triples = run_kg_pipeline(spark, repos)
+    return n_triples, time.time() - t0
+
+
+def bench(master: str | None = None, quiet: bool = True) -> dict:
+    from cli_spark import queries as Q
+    from cli_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+    spark = get_spark("bench", master=master or f"local[{cpus}]")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        spec = Q.REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        _noop_write(spec.fn(spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    n_triples, pipe_sec = run_pipeline(spark, n_files)
+    tps = n_triples / pipe_sec if pipe_sec > 0 else 0.0
+    total = round(sum(per_query.values()) + pipe_sec, 3)
+    result = {
+        "metric": "triples_extracted_linked_per_sec",
+        "value": round(tps, 1),
+        "unit": "triples/sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "pipeline": {
+            "n_files": n_files,
+            "n_triples": n_triples,
+            "seconds": round(pipe_sec, 3),
+        },
+        "total_seconds": total,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+def scaling_probe() -> dict:
+    """North-rule scaling evidence: same job at local[8] vs local[32]."""
+    out = {}
+    for n in (8, 32):
+        from cli_spark.session import get_spark
+
+        spark = get_spark(f"bench_scale_{n}", master=f"local[{n}]",
+                          shuffle_partitions=n)
+        n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+        n_triples, sec = run_pipeline(spark, n_files)
+        out[f"local[{n}]"] = {
+            "n_triples": n_triples,
+            "seconds": round(sec, 3),
+            "triples_per_sec": round(n_triples / sec, 1),
+        }
+        spark.stop()
+    eff = (out["local[32]"]["triples_per_sec"] / out["local[8]"]["triples_per_sec"]) / 4.0
+    out["scaling_efficiency_8_to_32"] = round(eff, 3)
+    return out
+
+
+if __name__ == "__main__":
+    res = bench()
+    if "--scaling" in sys.argv:
+        res["scaling"] = scaling_probe()
+    print(json.dumps(res))

@@ -137,16 +137,36 @@ def _content_col() -> Column:
             F.col("imports"), lambda m: F.format_string("const %s = require('%s')", m, m)
         ),
     )
-    filler_token = F.when(F.col("is_clone"), F.lit("clonefiller")).otherwise(F.lit("filler"))
+    # Filler lines carry pseudo-random words from a 4096-word vocabulary
+    # (arithmetic in (orig, k)), so distinct files share few shingles —
+    # realistic near-dup statistics. Clones change ONLY the last filler
+    # line, staying a true near-duplicate (high Jaccard) the MinHash-LSH
+    # stage must recover.
     n_filler = (F.pmod(orig * 17, F.lit(40)) + 10).cast("int")
-    filler = F.concat_ws(
-        "\n",
-        F.transform(
-            F.sequence(F.lit(1), n_filler),
-            lambda k: F.format_string(
-                "# %s line %d of file %d", filler_token, k.cast("int"), orig.cast("int")
+
+    def filler_line(k: Column) -> Column:
+        # xxhash64 for real avalanche mixing — linear-congruential words
+        # collide in whole lines across files (same AP step mod vocab).
+        words = [
+            F.format_string(
+                "w%d",
+                F.pmod(
+                    F.xxhash64(F.format_string("%d_%d_%d", orig.cast("int"), k.cast("int"), F.lit(j))),
+                    F.lit(4096),
+                ).cast("int"),
+            )
+            for j in range(5)
+        ]
+        return F.format_string(
+            "# %s %s %s %s %s %s",
+            F.when(F.col("is_clone") & (k == n_filler), F.lit("clonefiller")).otherwise(
+                F.lit("note")
             ),
-        ),
+            *words,
+        )
+
+    filler = F.concat_ws(
+        "\n", F.transform(F.sequence(F.lit(1), n_filler), filler_line)
     )
     py = F.format_string(
         '"""module %s (file %d)"""\n%s\n\n\ndef %s(x):\n    return %s(x) + 1\n\n\nclass %s:\n    pass\n\n%s\n',

@@ -1,0 +1,114 @@
+"""The five-stage KG-construction pipeline (SURVEY.md §7):
+
+    extract → link → canonicalize → materialize → validate
+
+Each stage is a pure DataFrame job; with a ``workdir`` every stage
+checkpoints its output + manifest and the pipeline resumes mid-stage
+(skip-complete semantics, :mod:`cli_spark.manifest`). Without a
+workdir it runs fully pipelined in memory (bench path).
+
+Cluster notes: stage boundaries are also the shuffle boundaries —
+extraction shuffles once (dedup), linking twice (signature agg +
+banding join), canonicalization iterates on the (small) label table,
+materialization is a bucketed write clustered by subject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canonicalize import canonical_map, rewrite_triples
+from .extract import extract_triples
+from .linking import link_modules_cross_lang, link_near_dup_files
+from .manifest import run_stage
+
+N_BUCKETS = 64
+
+
+def lineage_violations(repos: DataFrame, triples: DataFrame) -> int:
+    """Per-row sha256(content) equality vs the source table (J5 — the
+    BASELINE.json input_hint invariant). Returns # of provenance rows in
+    the triple output whose source content hash changed / vanished."""
+    src = repos.select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("sha_now"), "content_sha"
+    )
+    prov = triples.select(
+        F.col("src_repo").alias("repo"),
+        F.col("src_path").alias("path"),
+        F.col("src_commit").alias("commit"),
+    ).distinct()
+    joined = prov.join(src, ["repo", "path", "commit"], "left")
+    return joined.filter(
+        F.col("sha_now").isNull() | (F.col("sha_now") != F.col("content_sha"))
+    ).count()
+
+
+def materialize_triples(triples: DataFrame, out_path: str, n_buckets: int = N_BUCKETS):
+    """Partitioned triple-table write (S17): bucket by subject hash,
+    cluster within partitions by (subj, pred) — the Iceberg
+    `partitionedBy(bucket(N, subj))` layout expressed as a parquet
+    partition column (no Iceberg jars in this image; the writeTo call
+    is a one-line swap when the catalog exists)."""
+    (
+        triples.withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("subj", "pred", "obj")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    repos: DataFrame,
+    workdir: str | None = None,
+    link_threshold: float = 0.7,
+    engine: str = "sql",
+    check_lineage: bool = True,
+) -> int:
+    """extract → link → canonicalize; returns total triples produced
+    (canonical triples + sameAs edges), the north-rule throughput unit."""
+    triples = run_stage(
+        spark,
+        workdir,
+        "10_extract",
+        lambda: extract_triples(repos, engine=engine),
+        lineage_cols=["subj", "pred", "obj"],
+    )
+    if workdir is None:
+        # no parquet checkpoint to re-read — persist across the 3 uses
+        triples = triples.persist()
+
+    def _link() -> DataFrame:
+        near_dup = link_near_dup_files(repos, threshold=link_threshold)
+        cross_lang = link_modules_cross_lang(triples)
+        return near_dup.unionByName(cross_lang)
+
+    same_as = run_stage(spark, workdir, "20_link", _link, lineage_cols=["subj", "obj"])
+    if workdir is None:
+        same_as = same_as.persist()
+
+    def _canon() -> DataFrame:
+        mapping = canonical_map(same_as.select("subj", "pred", "obj"))
+        return rewrite_triples(triples, mapping)
+
+    canon = run_stage(
+        spark, workdir, "30_canonicalize", _canon, lineage_cols=["subj", "pred", "obj"]
+    )
+
+    if check_lineage:
+        assert lineage_violations(repos, canon) == 0, "lineage invariant violated"
+
+    same_as_triples = same_as.select(
+        "subj", "pred", "obj", "obj_kind",
+        F.lit(None).cast("string").alias("src_repo"),
+        F.lit(None).cast("string").alias("src_path"),
+        F.lit(None).cast("string").alias("src_commit"),
+        F.lit(None).cast("string").alias("graph"),
+    )
+    final = canon.unionByName(same_as_triples)
+    if workdir is not None:
+        materialize_triples(final, f"{workdir}/40_materialize/data")
+    return final.count()

@@ -1,0 +1,68 @@
+"""Entity-linking stage: MinHash-LSH must recover every planted clone
+pair (recall) with no cross-file false positives (precision) — the
+P/R ≥ 0.95 gate of the north rule, here exact."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark.corpus import generate_repos
+from cli_spark.linking import (
+    link_modules_cross_lang,
+    link_near_dup_files,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+N = 100
+
+
+@pytest.fixture(scope="module")
+def repos(spark):
+    return generate_repos(spark, N).cache()
+
+
+def _fid(iri: str) -> int:
+    return int(re.search(r"file(\d+)\.", iri).group(1))
+
+
+def test_clone_recall_and_precision(spark, repos):
+    got = link_near_dup_files(repos).select("subj", "obj").collect()
+    pairs = [(_fid(r.subj), _fid(r.obj)) for r in got]
+    clone_origs = {min(a, b) for a, b in pairs if abs(a - b) == N}
+    assert clone_origs == set(range(0, N, 10))  # 100% recall on planted clones
+    # precision: every linked pair shares the same originating file index
+    # (clone pairs or commit-version pairs) — no cross-file links
+    false_pos = [(a, b) for a, b in pairs if a % N != b % N]
+    assert false_pos == []
+
+
+def test_signatures_deterministic(spark, repos):
+    a = minhash_signatures(repos)
+    b = minhash_signatures(repos)
+    assert a.exceptAll(b).count() == 0
+
+
+def test_candidates_are_superset_of_scored(spark, repos):
+    sigs = minhash_signatures(repos).cache()
+    cands = lsh_candidate_pairs(sigs)
+    linked = link_near_dup_files(repos).select(
+        F.col("subj").alias("left_iri"), F.col("obj").alias("right_iri")
+    )
+    assert linked.join(cands, ["left_iri", "right_iri"], "left_anti").count() == 0
+
+
+def test_cross_lang_symbol_linking(spark, repos):
+    from cli_spark.extract import extract_triples
+
+    triples = extract_triples(repos)
+    links = link_modules_cross_lang(triples)
+    rows = links.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # same local name, different language scope
+        assert r.subj.split("/")[-1] == r.obj.split("/")[-1]
+        assert r.subj.split("/")[1] != r.obj.split("/")[1]
