@@ -1,0 +1,241 @@
+"""Deduplication operators over a generic (id, text) corpus.
+
+All variants are pure DataFrame compositions (JVM hashing via xxhash64,
+no Python in the hot path):
+
+- :func:`exact_dedup`        hash-groupBy survivor selection
+- :func:`minhash_lsh_pairs`  shingle → minhash → band → bucket-join
+- :func:`simhash`            64-bit sign-aggregated fingerprint + near-dup by
+                             Hamming distance (bucketed by 16-bit chunks)
+- :func:`ngram_jaccard`      exact n-gram Jaccard verification of candidate pairs
+
+Scale notes mirror cli_spark.linking: one shuffle per aggregation,
+banding join is equi-join with hot-bucket capping, verification joins
+candidates (small) back to shingle sets (pushdown-friendly semi-join
+before the explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+MERSENNE31 = (1 << 31) - 1
+NUM_PERM = 32
+BAND_ROWS = 4
+MAX_BUCKET = 50
+
+
+def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    params, state = [], seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE31 - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token, pos) — whitespace tokenizer, 1-based positions."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos0", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("id", "token", (F.col("pos0") + 1).alias("pos"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, h) distinct word n-gram hashes on the full [0, 2^31-1) domain."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    size = F.size(words)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE31)).alias("h"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, survivor_id, n_copies): hash-groupBy on content digest; the
+    survivor is the min id per group. One shuffle on the digest."""
+    digest = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    w = W.partitionBy("content_md5")
+    return digest.select(
+        "id",
+        F.min("id").over(w).alias("survivor_id"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(id, sig array<long>) — K min-aggregates over one shingle shuffle."""
+    sh = shingles(df, id_col, text_col)
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = NUM_PERM,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(left_id, right_id, score): near-duplicate pairs by estimated
+    Jaccard ≥ threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm).persist()
+    n_bands = num_perm // band_rows
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * band_rows + 1, band_rows))
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    wb = W.partitionBy("band_id", "band_hash").orderBy("id")
+    capped = bands.withColumn("rk", F.row_number().over(wb)).filter(
+        F.col("rk") <= MAX_BUCKET
+    )
+    cands = (
+        capped.alias("l")
+        .join(capped.alias("r"), ["band_id", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .distinct()
+    )
+    ls = sigs.select(F.col("id").alias("left_id"), F.col("sig").alias("lsig"))
+    rs = sigs.select(F.col("id").alias("right_id"), F.col("sig").alias("rsig"))
+    scored = (
+        cands.join(ls, "left_id")
+        .join(rs, "right_id")
+        .withColumn(
+            "score",
+            F.size(F.filter(F.zip_with("lsig", "rsig", lambda a, b: a == b), lambda x: x))
+            / F.lit(num_perm),
+        )
+    )
+    return scored.filter(F.col("score") >= threshold).select(
+        "left_id", "right_id", "score"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash): sign-aggregated token-hash fingerprint. One shuffle,
+    `bits` conditional sums (all codegen'd)."""
+    toks = tokens(df, id_col, text_col).select("id", "token").distinct()
+    h = F.xxhash64("token")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    # assemble: bit j set iff sum_j > 0. Sum as signed arithmetic to stay
+    # ANSI-safe (bit 63 would overflow a positive accumulate).
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        shifted = F.shiftleft(term, j)
+        fp = shifted if fp is None else fp.bitwiseOR(shifted)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4 × 16-bit
+    chunks; any pair within distance 3 agrees on ≥1 chunk → equi-join
+    per chunk, then exact popcount filter. No O(n²) compare.
+    """
+    fps = simhash(df, id_col, text_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    l = chunks.select(
+        F.col("id").alias("left_id"), F.col("simhash").alias("lfp"), "chunk_id", "chunk_val"
+    )
+    r = chunks.select(
+        F.col("id").alias("right_id"), F.col("simhash").alias("rfp"), "chunk_id", "chunk_val"
+    )
+    cands = (
+        l.join(r, ["chunk_id", "chunk_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "lfp", "rfp")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("lfp").bitwiseXOR(F.col("rfp")))
+    return cands.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("left_id", "right_id", "hamming")
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (left_id, right_id) pairs:
+    semi-join prunes the shingle table to candidate ids before the
+    intersection join (keeps the wide explosion candidate-bounded)."""
+    ids = pairs.select(F.col("left_id").alias("id")).unionByName(
+        pairs.select(F.col("right_id").alias("id"))
+    ).distinct()
+    sh = shingles(df, id_col, text_col, n).join(ids, "id", "left_semi").persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("left_id"), "h"), "left_id")
+        .join(sh.select(F.col("id").alias("right_id"), "h"), ["right_id", "h"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["left_id", "right_id"], "left")
+        .join(sizes.select(F.col("id").alias("left_id"), F.col("n_sh").alias("n_left")), "left_id")
+        .join(sizes.select(F.col("id").alias("right_id"), F.col("n_sh").alias("n_right")), "right_id")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_left") + F.col("n_right") - F.col("n_inter")),
+        )
+    )
+    return out.select("left_id", "right_id", "n_inter", "jaccard")

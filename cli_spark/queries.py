@@ -879,3 +879,455 @@ def q24_graph_runs(spark, sf_dir):
     return runs.groupBy("user_id", "run_id", "event_type").agg(
         F.count(F.lit(1)).alias("run_length")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (dedup / similarity / text analysis / multimodal)
+# — the large-scale pipeline ops beyond the reference's RDF surface.
+# Oracle-parity variants use shared md5-derived hashing (engine-grade
+# xxhash64 variants live in cli_spark.ops.*).
+# ---------------------------------------------------------------------------
+
+P31 = (1 << 31) - 1
+N_MINHASH = 8
+MINHASH_PARAMS = [
+    (962579125, 1889126816),
+    (1366716349, 1573929625),
+    (1236264148, 1919247517),
+    (300237148, 1424182207),
+    (1974581482, 1102097286),
+    (410309878, 982940697),
+    (477094559, 511985204),
+    (1553528366, 1035525961),
+]
+
+# Word 3-gram shingles via LEAD (docs with <3 tokens drop) — identical
+# semantics in both engines; h on the full Mersenne-31 domain.
+SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           (('0x' || substr(md5(g), 1, 15))::BIGINT % {P31}) AS h
+    FROM (
+      SELECT doc_id,
+             token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS g
+      FROM ({{toks}}) toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE g IS NOT NULL
+""".replace("{toks}", TOKENS_SQL)
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): md5-hashed word 3-grams (oracle-parity flavor)."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("token"), F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+        ).alias("g"),
+        (F.lead("token", 2).over(w)).alias("_t2"),
+    ).filter(F.col("_t2").isNotNull())
+    return grams.select(
+        "doc_id", F.pmod(md5_int(F.col("g")), F.lit(P31)).alias("h")
+    ).distinct()
+
+
+def minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(P31))).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+MINHASH_SQL = (
+    f"WITH sh AS ({SHINGLES_SQL}) SELECT doc_id, "
+    + ", ".join(
+        f"MIN((h * {a} + {b}) % {P31}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    + " FROM sh GROUP BY doc_id"
+)
+
+
+@query(
+    "q30_minhash_signatures",
+    oracle=MINHASH_SQL,
+    doc="MinHash signatures (dedup sketch, north-star J4): shingle → "
+    "K universal-hash min-aggregates, one shuffle.",
+)
+def q30_minhash_signatures(spark, sf_dir):
+    return minhash_sig_df(spark, sf_dir)
+
+
+_BAND_EXPRS = [
+    (b, f"s{2*b} || ',' || s{2*b+1}") for b in range(4)
+]
+LSH_PAIRS_SQL = (
+    f"WITH sig AS ({MINHASH_SQL}), bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {expr} AS band_val FROM sig"
+        for b, expr in _BAND_EXPRS
+    )
+    + """)
+    SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+    FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.band_val = r.band_val
+    WHERE l.doc_id < r.doc_id
+    """
+)
+
+
+@query(
+    "q31_lsh_candidate_pairs",
+    oracle=LSH_PAIRS_SQL,
+    doc="LSH banding (4 bands × 2 rows): band-bucket equi-self-join → "
+    "candidate near-dup pairs (J4 banding step).",
+)
+def q31_lsh_candidate_pairs(spark, sf_dir):
+    sig = minhash_sig_df(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.concat_ws(",", F.col(f"s{2*b}"), F.col(f"s{2*b+1}")).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    l = bands.select(F.col("doc_id").alias("left_id"), "band_id", "band_val")
+    r = bands.select(F.col("doc_id").alias("right_id"), "band_id", "band_val")
+    return (
+        l.join(r, ["band_id", "band_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+@query(
+    "q32_dedup_exact",
+    oracle="""
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS survivor_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+    FROM documents
+    """,
+    doc="Exact dedup: hash-groupBy survivor selection (one shuffle).",
+)
+def q32_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text"))
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("survivor_id"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+
+
+SIMHASH_BITS = 16
+_SIMHASH_TOKH = f"(('0x' || substr(md5(token), 1, 15))::BIGINT % {P31})"
+SIMHASH_SQL = (
+    f"""WITH toks AS ({TOKENS_SQL}),
+    dt AS (SELECT DISTINCT doc_id, token FROM toks),
+    th AS (SELECT doc_id, {_SIMHASH_TOKH} AS h FROM dt)
+    SELECT doc_id, ("""
+    + " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    + ") AS simhash FROM th GROUP BY doc_id"
+)
+
+
+@query(
+    "q33_simhash",
+    oracle=SIMHASH_SQL,
+    doc="SimHash fingerprint: per-bit sign aggregation of token hashes "
+    "(16-bit oracle flavor; 64-bit engine flavor in ops.dedup.simhash).",
+)
+def q33_simhash(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "token").distinct()
+    h = F.pmod(md5_int(F.col("token")), F.lit(P31))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@query(
+    "q34_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    cands AS ({LSH_PAIRS_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.left_id, c.right_id, COUNT(*) AS n_inter
+      FROM cands c JOIN sh a ON a.doc_id = c.left_id
+                   JOIN sh b ON b.doc_id = c.right_id AND b.h = a.h
+      GROUP BY c.left_id, c.right_id
+    )
+    SELECT c.left_id, c.right_id,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (sl.n_sh + sr.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+    FROM cands c
+      LEFT JOIN inter i ON i.left_id = c.left_id AND i.right_id = c.right_id
+      JOIN sizes sl ON sl.doc_id = c.left_id
+      JOIN sizes sr ON sr.doc_id = c.right_id
+    """,
+    doc="Exact n-gram Jaccard verification of LSH candidates: semi-join "
+    "pruned shingle intersection (candidate-bounded explosion).",
+)
+def q34_ngram_jaccard(spark, sf_dir):
+    sh = doc_shingles(spark, sf_dir).persist()
+    cands = q31_lsh_candidate_pairs(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("left_id"), "h"), "left_id")
+        .join(sh.select(F.col("doc_id").alias("right_id"), "h"), ["right_id", "h"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        cands.join(inter, ["left_id", "right_id"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("left_id"), F.col("n_sh").alias("nl")),
+            "left_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("right_id"), F.col("n_sh").alias("nr")),
+            "right_id",
+        )
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .select(
+            "left_id",
+            "right_id",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("nl") + F.col("nr") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q35_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query set × "
+    "corpus scan, fixed-order double fold (bit-identical to the oracle); "
+    "LSH/IVF scale paths in ops.simsearch.",
+)
+def q35_cosine_topk(spark, sf_dir):
+    from cli_spark.ops.simsearch import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+_STOP_EN = "'the','of','and','to','in','is','that','for','with','on'"
+_STOP_ES = "'el','la','de','que','y','en','los','del','se','las'"
+_STOP_FR = "'le','la','de','et','les','des','en','un','du','une'"
+
+
+@query(
+    "q36_language_id",
+    oracle=f"""
+    SELECT doc_id AS id,
+           len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS en_hits,
+           len(list_filter(toks, t -> t IN ({_STOP_ES}))) AS es_hits,
+           len(list_filter(toks, t -> t IN ({_STOP_FR}))) AS fr_hits,
+           len(toks) AS n_tokens,
+           CASE
+             WHEN len(list_filter(toks, t -> t IN ({_STOP_EN}))) >= len(list_filter(toks, t -> t IN ({_STOP_ES})))
+              AND len(list_filter(toks, t -> t IN ({_STOP_EN}))) >= len(list_filter(toks, t -> t IN ({_STOP_FR}))) THEN 'en'
+             WHEN len(list_filter(toks, t -> t IN ({_STOP_ES}))) > len(list_filter(toks, t -> t IN ({_STOP_EN})))
+              AND len(list_filter(toks, t -> t IN ({_STOP_ES}))) >= len(list_filter(toks, t -> t IN ({_STOP_FR}))) THEN 'es'
+             ELSE 'fr'
+           END AS guessed_lang
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+    """,
+    doc="Language-ID heuristic: per-language stopword hit counts, argmax "
+    "with lexicographic tie-break (ops.textstats.language_scores).",
+)
+def q36_language_id(spark, sf_dir):
+    from cli_spark.ops.textstats import language_scores
+
+    d = load(spark, sf_dir, "documents")
+    return language_scores(d, "doc_id", "text")
+
+
+@query(
+    "q37_quality_scores",
+    oracle="""
+    SELECT doc_id AS id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(ltoks, t -> t IN ('the','of','and','to','in','is','that','for','with','on',
+                                                  'el','la','de','que','y','en','los','del','se','las',
+                                                  'le','et','les','des','un','du','une'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltoks
+      FROM documents
+    )
+    """,
+    doc="Quality scoring: length/punct/stopword/case ratios from exact "
+    "integer intermediates (ops.textstats.quality_scores).",
+)
+def q37_quality_scores(spark, sf_dir):
+    from cli_spark.ops.textstats import quality_scores
+
+    d = load(spark, sf_dir, "documents")
+    return quality_scores(d, "doc_id", "text")
+
+
+@query(
+    "q38_token_counts",
+    oracle="""
+    SELECT doc_id AS id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish lexer regex "
+    "(ops.textstats.token_counts).",
+)
+def q38_token_counts(spark, sf_dir):
+    from cli_spark.ops.textstats import token_counts
+
+    d = load(spark, sf_dir, "documents")
+    return token_counts(d, "doc_id", "text")
+
+
+@query(
+    "q39_doc_fingerprint",
+    oracle=f"""
+    WITH toks AS ({TOKENS_SQL})
+    SELECT doc_id AS id,
+           CAST(SUM(('0x' || substr(md5(token || '@' || pos), 1, 8))::BIGINT) % {P31} AS BIGINT)
+             AS fingerprint
+    FROM toks GROUP BY doc_id
+    """,
+    doc="Document fingerprint: position-salted 32-bit hash sum mod 2^31-1 "
+    "— order-sensitive digest (ops.textstats.fingerprint).",
+)
+def q39_doc_fingerprint(spark, sf_dir):
+    from cli_spark.ops.textstats import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return fingerprint(d, "doc_id", "text")
+
+
+@query(
+    "q40_binary_metadata",
+    oracle="""
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           upper(hex(encode(substr(text, 1, 3)))) AS magic
+    FROM documents
+    """,
+    doc="Multimodal binary plumbing: opaque blob column → typed metadata "
+    "(byte length, sha256, magic sniff) — all columnar even on binary "
+    "(ops.multimodal.attach_metadata).",
+)
+def q40_binary_metadata(spark, sf_dir):
+    from cli_spark.ops.multimodal import attach_metadata, binarize
+
+    d = load(spark, sf_dir, "documents")
+    return attach_metadata(binarize(d, "doc_id", "text"))
+
+
+@query(
+    "q41_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (A1 per-frame row-type counts shape: groupBy + pivot on "
+    "kind = the 9-counter FrameInfo table).",
+)
+def q41_event_type_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    cols = ["click", "error", "purchase", "signup", "view"]
+    return out.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in cols]
+    )
+
+
+@query(
+    "q42_semi_anti_join",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN has_line THEN 1 END) AS n_with_lines,
+           COUNT(CASE WHEN NOT has_line THEN 1 END) AS n_without_lines
+    FROM (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS has_line
+      FROM orders o
+    ) GROUP BY o_orderstatus
+    """,
+    doc="Semi/anti join (J3 containment machinery as EXISTS / NOT EXISTS).",
+)
+def q42_semi_anti_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    with_l = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_with_lines"))
+    )
+    without_l = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_without_lines"))
+    )
+    return (
+        o.select("o_orderstatus")
+        .distinct()
+        .join(with_l, "o_orderstatus", "left")
+        .join(without_l, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_with_lines", F.lit(0)).alias("n_with_lines"),
+            F.coalesce("n_without_lines", F.lit(0)).alias("n_without_lines"),
+        )
+    )

@@ -1,0 +1,148 @@
+"""Training-data operators: dedup family, similarity search, text
+stats, multimodal plumbing — correctness on constructed fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark.ops import dedup as D
+from cli_spark.ops import multimodal as MM
+from cli_spark.ops import simsearch as S
+from cli_spark.ops import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy", 1)),  # near dup of 0
+        (3, "completely different text about spark shuffles and joins " * 18),
+        (4, "el rapido zorro marron salta sobre el perro perezoso de la casa " * 15),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.id: (r.survivor_id, r.n_copies) for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[2] == (2, 1)
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = {(r.left_id, r.right_id) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dup certainly found
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert not any(3 in p or 4 in p for p in pairs)  # distinct docs unlinked
+
+
+def test_simhash_near_pairs(spark, docs):
+    fps = {r.id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]  # same token set ⇒ identical fingerprint
+    near = {(r.left_id, r.right_id): r.hamming for r in
+            D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=6).collect()}
+    assert (0, 1) in near and near[(0, 1)] == 0
+    assert (0, 3) not in near and (0, 4) not in near
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "left_id long, right_id long"
+    )
+    j = {(r.left_id, r.right_id): r.jaccard for r in
+         D.ngram_jaccard(docs, pairs, "doc_id", "text").collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] < 0.05
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) / 8.0 * math.pi  # 8 direction clusters in 2D-ish space
+        v = [math.cos(angle), math.sin(angle)] + [((i * j) % 7 - 3) / 10.0 for j in range(6)]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = S.cosine_topk(vectors.filter("vec_id < 3"), vectors, k=3)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert -1.0001 <= r.cosine <= 1.0001
+    per_q = {q: [r for r in rows if r.query_id == q] for q in (0, 1, 2)}
+    for q, rs in per_q.items():
+        assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == [1, 2, 3]
+        sims = [r.cosine for r in sorted(rs, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    exact = S.cosine_topk(vectors.filter("vec_id < 5"), vectors, k=3)
+    approx = S.lsh_topk(vectors.filter("vec_id < 5"), vectors, k=3, bits=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # multi-probe LSH on clustered data
+
+
+def test_ivf_topk_runs(spark, vectors):
+    out = S.ivf_topk(vectors.filter("vec_id < 3"), vectors, k=3, n_cells=4, n_probe=2)
+    assert out.count() > 0
+
+
+def test_token_counts(spark, docs):
+    out = {r.id: r for r in T.token_counts(docs, "doc_id", "text").collect()}
+    assert out[5].n_ws_tokens == 2
+    assert out[5].n_bpe_tokens == 2
+    assert out[5].n_chars == len("short text")
+
+
+def test_language_scores(spark, docs):
+    out = {r.id: r for r in T.language_scores(docs, "doc_id", "text").collect()}
+    assert out[0].guessed_lang == "en" and out[0].en_hits > 0
+    assert out[4].guessed_lang == "es" and out[4].es_hits > 0
+
+
+def test_quality_scores(spark, docs):
+    out = {r.id: r for r in T.quality_scores(docs, "doc_id", "text").collect()}
+    assert out[5].n_tokens == 2
+    assert out[5].avg_token_len == 4.5  # "short"(5) "text"(4)
+    assert 0 <= out[0].stopword_ratio <= 1
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r.id: r.fingerprint for r in T.fingerprint(df, "doc_id", "text").collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]  # same multiset, different order
+
+
+def test_multimodal_plumbing(spark, docs):
+    blobs = MM.binarize(docs, "doc_id", "text").cache()
+    meta = {r.id: r for r in MM.attach_metadata(blobs).collect()}
+    assert meta[5].n_bytes == len("short text")
+    assert len(meta[5].sha256) == 64
+    feats = {r.id: r.features for r in MM.decode_features(blobs).collect()}
+    assert all(len(v) == MM.FEATURE_DIM for v in feats.values())
+    assert feats[0] == feats[1]  # deterministic stub: same bytes, same features
+    frames = MM.sample_frames(blobs, n_frames=4).collect()
+    assert len(frames) == 6 * 4
+    resized = MM.resize_images(blobs, 32, 32).collect()
+    assert all(r.width == 32 for r in resized)
+
+
+def test_multimodal_stub_gate(spark, docs):
+    blobs = MM.binarize(docs, "doc_id", "text")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        MM.decode_features(blobs, decode_stub=False).collect()
