@@ -1,0 +1,259 @@
+"""RDF comparison battery — the distributed re-expression of
+``rdf validate`` (SURVEY.md §2.3, §3.3). Unlike the reference, which
+materializes every frame in memory (RdfValidate.scala:101, documented
+OOM), every comparison here is a join.
+
+- :func:`ordered_compare`     J1: positional equality with blank-node
+  bijection (OrderedRdfCompare.scala:10-75)
+- :func:`unordered_compare`   J2: per-graph isomorphism via iterative
+  hash-refinement canonical bnode labeling (UnorderedRdfCompare.scala:10-34)
+- :func:`containment`         J3: expected ⊆ actual via left-anti join
+- :func:`precision_recall`    north-rule P/R scorer over canonicalized triples
+- :func:`validate_stream`     P5/P8/P10 structural checks over a frames/rows table
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+BNODE_PREFIX = "_:"
+REFINE_ROUNDS = 5
+
+
+@dataclass
+class CompareResult:
+    equal: bool
+    detail: str
+
+
+def _is_bnode(col):
+    return col.startswith(BNODE_PREFIX)
+
+
+def ordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
+    """Positional compare with bnode bijection (J1). Inputs must carry a
+    deterministic order column ``idx`` (or be small enough for a window).
+
+    Mirrors the reference's one-directional functional check
+    (OrderedRdfCompare.scala:38-44): each expected bnode label maps to
+    exactly one actual label.
+    """
+    def with_idx(df):
+        if "idx" in df.columns:
+            return df
+        return df.withColumn(
+            "idx", F.row_number().over(W.orderBy(F.lit(1)))  # stream order as given
+        )
+
+    e, a = with_idx(expected).alias("e"), with_idx(actual).alias("a")
+    ne, na = e.count(), a.count()
+    if ne != na:
+        return CompareResult(False, f"size mismatch: expected {ne} != actual {na}")
+    j = e.join(a, "idx")
+    # non-bnode terms: exact positional equality
+    for c in ("subj", "pred", "obj"):
+        both_not_bnode = ~_is_bnode(F.col(f"e.{c}")) & ~_is_bnode(F.col(f"a.{c}"))
+        kind_mismatch = _is_bnode(F.col(f"e.{c}")) != _is_bnode(F.col(f"a.{c}"))
+        bad = j.filter(
+            kind_mismatch | (both_not_bnode & (F.col(f"e.{c}") != F.col(f"a.{c}")))
+        ).count()
+        if bad:
+            return CompareResult(False, f"{bad} positions differ in {c}")
+    # bnode bijection (functional e→a): every expected label pairs with
+    # exactly one actual label across all positions
+    pairs = None
+    for c in ("subj", "pred", "obj"):
+        p = j.filter(_is_bnode(F.col(f"e.{c}"))).select(
+            F.col(f"e.{c}").alias("e_label"), F.col(f"a.{c}").alias("a_label")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    if pairs is None:
+        return CompareResult(True, "equal (no bnodes)")
+    violations = (
+        pairs.distinct()
+        .groupBy("e_label")
+        .agg(F.countDistinct("a_label").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if violations:
+        return CompareResult(False, f"{violations} bnode labels map to multiple targets")
+    return CompareResult(True, "equal")
+
+
+def canonical_bnode_labels(triples: DataFrame, rounds: int = REFINE_ROUNDS) -> DataFrame:
+    """Canonical bnode labeling by iterative hash refinement (color
+    refinement over the bnode incidence structure) — SURVEY.md §7 hard
+    part 1. Correct for graphs without automorphic bnode clusters; the
+    refinement hash folds each bnode's multiset of (pred, direction,
+    neighbor-signature) per round.
+
+    Returns (graph, label, canon) for every bnode label per graph.
+    """
+    g = triples.withColumn("graph", F.coalesce(F.col("graph"), F.lit("")))
+    # edges incident to bnodes, both directions
+    occ = None
+    for c, d in (("subj", "s"), ("obj", "o")):
+        other = "obj" if c == "subj" else "subj"
+        e = g.filter(_is_bnode(F.col(c))).select(
+            "graph",
+            F.col(c).alias("label"),
+            F.lit(d).alias("dir"),
+            F.col("pred"),
+            F.col(other).alias("neighbor"),
+        )
+        occ = e if occ is None else occ.unionByName(e)
+    occ = occ.persist()
+    # initial signature: degree-ish — hash of sorted incident (dir, pred,
+    # non-bnode neighbor) multiset; bnode neighbors start as "?"
+    sig = occ.select(
+        "graph",
+        "label",
+        F.when(_is_bnode(F.col("neighbor")), F.lit("?")).otherwise(F.col("neighbor")).alias(
+            "nsig"
+        ),
+        "dir",
+        "pred",
+    )
+    labels = (
+        sig.groupBy("graph", "label")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(
+            F.concat_ws(":", "dir", "pred", "nsig"))))).alias("h"))
+    )
+    for _ in range(rounds):
+        nb = occ.join(
+            labels.select("graph", F.col("label").alias("neighbor"), F.col("h").alias("nh")),
+            ["graph", "neighbor"],
+            "left",
+        ).select(
+            "graph",
+            "label",
+            "dir",
+            "pred",
+            F.coalesce(F.col("nh"), F.col("neighbor")).alias("nsig"),
+        )
+        labels = nb.groupBy("graph", "label").agg(
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.concat_ws(":", "dir", "pred", "nsig")))
+                )
+            ).alias("h")
+        ).localCheckpoint()
+    return labels.select("graph", "label", F.concat(F.lit("_:c"), F.col("h")).alias("canon"))
+
+
+def canonicalize_bnodes(triples: DataFrame) -> DataFrame:
+    """Rewrite bnode labels to canonical refinement hashes; IRIs and
+    literals pass through. Output: (graph, subj, pred, obj, obj_kind?)."""
+    has_kind = "obj_kind" in triples.columns
+    g = triples.withColumn("graph", F.coalesce(F.col("graph"), F.lit("")))
+    labels = canonical_bnode_labels(triples)
+    out = (
+        g.join(
+            labels.select("graph", F.col("label").alias("subj"), F.col("canon").alias("sc")),
+            ["graph", "subj"],
+            "left",
+        )
+        .join(
+            labels.select("graph", F.col("label").alias("obj"), F.col("canon").alias("oc")),
+            ["graph", "obj"],
+            "left",
+        )
+        .select(
+            "graph",
+            F.coalesce("sc", "subj").alias("subj"),
+            "pred",
+            F.coalesce("oc", "obj").alias("obj"),
+            *(["obj_kind"] if has_kind else []),
+        )
+    )
+    return out
+
+
+def unordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
+    """Per-graph isomorphism check (J2): graph sets equal, each graph's
+    canonicalized triple multiset equal (exceptAll both ways)."""
+    e = canonicalize_bnodes(expected)
+    a = canonicalize_bnodes(actual)
+    ge = e.select("graph").distinct()
+    ga = a.select("graph").distinct()
+    missing_g = ge.exceptAll(ga).count() + ga.exceptAll(ge).count()
+    if missing_g:
+        return CompareResult(False, f"graph sets differ ({missing_g} unmatched)")
+    diff = e.exceptAll(a).count() + a.exceptAll(e).count()
+    if diff:
+        return CompareResult(False, f"{diff} canonicalized triples unmatched")
+    return CompareResult(True, "isomorphic")
+
+
+def containment(expected: DataFrame, actual: DataFrame, keys=("subj", "pred", "obj")) -> int:
+    """J3: # expected triples missing from actual (0 ⇒ contained)."""
+    return expected.select(*keys).distinct().join(
+        actual.select(*keys).distinct(), list(keys), "left_anti"
+    ).count()
+
+
+def precision_recall(
+    expected: DataFrame, actual: DataFrame, keys=("subj", "pred", "obj")
+) -> dict:
+    """North-rule scorer: P = |E∩A|/|A|, R = |E∩A|/|E|."""
+    e = expected.select(*keys).distinct().persist()
+    a = actual.select(*keys).distinct().persist()
+    ne, na = e.count(), a.count()
+    ni = e.join(a, list(keys)).count()
+    return {
+        "n_expected": ne,
+        "n_actual": na,
+        "n_inter": ni,
+        "precision": ni / na if na else 0.0,
+        "recall": ni / ne if ne else 0.0,
+    }
+
+
+def validate_stream(rows: DataFrame) -> list[str]:
+    """Structural validation of a decoded rows table (P5/P10 analogs):
+    returns a list of violation strings (empty ⇒ valid).
+
+    - every segment's first row is an options row (RdfValidate.scala:118-121)
+    - name ids within a segment are unique (explicit-id contract)
+    - triple refs resolve inside their segment (no dangling ids)
+    """
+    from .jelly import KIND_NAME, KIND_OPTIONS, KIND_TRIPLE
+
+    problems: list[str] = []
+    w = W.partitionBy("seg").orderBy("frame_index", "row_pos")
+    first_rows = (
+        rows.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .filter(F.col("row_kind") != KIND_OPTIONS)
+        .count()
+    )
+    if first_rows:
+        problems.append(f"{first_rows} segment(s) do not start with an options row")
+    dup_ids = (
+        rows.filter(F.col("row_kind") == KIND_NAME)
+        .groupBy("seg", "name_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if dup_ids:
+        problems.append(f"{dup_ids} duplicate name ids within a segment")
+    d = rows.filter(F.col("row_kind") == KIND_NAME).select(
+        "seg", F.col("name_id").alias("ref")
+    )
+    trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
+    dangling = 0
+    for c in ("s_id", "p_id", "o_id"):
+        dangling += (
+            trips.select("seg", F.col(c).alias("ref"))
+            .join(d, ["seg", "ref"], "left_anti")
+            .count()
+        )
+    if dangling:
+        problems.append(f"{dangling} dangling dictionary references")
+    return problems

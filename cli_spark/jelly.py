@@ -1,0 +1,456 @@
+"""Jelly-style delimited stream frames over Spark (SURVEY.md §2.1 S9/S15,
+§3.1-3.2).
+
+The reference serializes RDF statement streams as length-delimited
+protobuf ``RdfStreamFrame`` messages: an options header row, dictionary
+entry rows (name table), and statement rows referencing dictionary ids
+(/root/reference/src/main/scala/eu/neverblink/jelly/cli/command/rdf/
+RdfToJelly.scala:130-199; row taxonomy per MetricsPrinter.scala:69-82).
+
+This module re-expresses that as Spark jobs with a hand-rolled varint
+wire format (the protobuf wire spec is public; no protobuf runtime in
+this image):
+
+- encode: triples → deterministic global order (W1) → bounded
+  dictionary via first-occurrence dense_rank (W5) → frame assignment
+  ``floor((rn-1)/rows_per_frame)`` (W2) → per-frame ``applyInPandas``
+  varint encoder → frames table ``(frame_index, n_rows, frame_bytes)``.
+- decode: frames table → ``mapInPandas`` varint decoder → row table →
+  dictionary join → triples. Dictionary entries carry EXPLICIT ids
+  (legal in Jelly, where implicit ids are prev+1), which makes decode
+  order-free: any subset of frames can be decoded after one pass that
+  collects entry rows — the two-scan replacement for the reference's
+  sequential decoder state (P2, RdfFromJelly.scala:166-177).
+
+Wire format (field numbers follow the reference's row-kind order):
+  frame   := (row_tag=0x0A, len, row)*                [repeated field 1]
+  row     := kind-tagged message:
+      kind 1 OPTIONS : ver varint, physical_type varint, max_name varint
+      kind 2 TRIPLE  : s_id, p_id, o_id varints, o_kind varint
+      kind 4 NAME    : id varint, len, utf8 bytes
+  file    := (varint frame_len, frame_bytes)* if delimited
+             | frame_bytes                    if non-delimited
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+ROWS_PER_FRAME = 256  # reference default, RdfToJelly.scala:53-56
+MAX_NAME_TABLE = 4096  # BIG-ish default; min 8 per reference tests
+PHYSICAL_TRIPLES = 1
+VERSION = 1
+
+KIND_OPTIONS = 1
+KIND_TRIPLE = 2
+KIND_NAME = 4
+
+FRAME_SCHEMA = "seg long, frame_index long, n_rows int, frame_bytes binary"
+ROW_SCHEMA = (
+    "seg long, frame_index long, row_pos int, row_kind int, "
+    "s_id long, p_id long, o_id long, o_kind int, name_id long, name string"
+)
+
+
+# ---------------------------------------------------------------------------
+# varint primitives (protobuf wire spec — public)
+# ---------------------------------------------------------------------------
+
+
+def _write_varint(buf: io.BytesIO, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def encode_rows_to_frame(rows: list[tuple]) -> bytes:
+    """rows: (row_kind, s_id, p_id, o_id, o_kind, name_id, name)."""
+    buf = io.BytesIO()
+    for kind, s_id, p_id, o_id, o_kind, name_id, name in rows:
+        body = io.BytesIO()
+        _write_varint(body, kind)
+        if kind == KIND_OPTIONS:
+            _write_varint(body, VERSION)
+            _write_varint(body, PHYSICAL_TRIPLES)
+            _write_varint(body, MAX_NAME_TABLE)
+        elif kind == KIND_TRIPLE:
+            _write_varint(body, s_id)
+            _write_varint(body, p_id)
+            _write_varint(body, o_id)
+            _write_varint(body, o_kind)
+        elif kind == KIND_NAME:
+            raw = name.encode("utf-8")
+            _write_varint(body, name_id)
+            _write_varint(body, len(raw))
+            body.write(raw)
+        else:
+            raise ValueError(f"unknown row kind {kind}")
+        payload = body.getvalue()
+        buf.write(b"\x0a")  # field 1, wire type 2 (length-delimited)
+        _write_varint(buf, len(payload))
+        buf.write(payload)
+    return buf.getvalue()
+
+
+def decode_frame(data: bytes) -> list[tuple]:
+    rows, pos = [], 0
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        if tag != 0x0A:
+            raise ValueError(f"unexpected tag {tag:#x} at {pos - 1}")
+        length, pos = _read_varint(data, pos)
+        end = pos + length
+        kind, pos = _read_varint(data, pos)
+        if kind == KIND_OPTIONS:
+            ver, pos = _read_varint(data, pos)
+            phys, pos = _read_varint(data, pos)
+            max_name, pos = _read_varint(data, pos)
+            rows.append((KIND_OPTIONS, ver, phys, max_name, None, None, None))
+        elif kind == KIND_TRIPLE:
+            s_id, pos = _read_varint(data, pos)
+            p_id, pos = _read_varint(data, pos)
+            o_id, pos = _read_varint(data, pos)
+            o_kind, pos = _read_varint(data, pos)
+            rows.append((KIND_TRIPLE, s_id, p_id, o_id, o_kind, None, None))
+        elif kind == KIND_NAME:
+            name_id, pos = _read_varint(data, pos)
+            nlen, pos = _read_varint(data, pos)
+            name = data[pos : pos + nlen].decode("utf-8")
+            pos += nlen
+            rows.append((KIND_NAME, None, None, None, None, name_id, name))
+        else:
+            raise ValueError(f"unknown row kind {kind}")
+        if pos != end:
+            raise ValueError("row length mismatch")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# encode: triples DataFrame → frames DataFrame
+# ---------------------------------------------------------------------------
+
+
+def build_dictionary(ordered: DataFrame, max_size: int = MAX_NAME_TABLE) -> DataFrame:
+    """(seg, term, term_id, first_rn): bounded name table per stream
+    segment — dense_rank over first use WITHIN the segment (W5).
+
+    Bounded-table semantics at scale: a truly evicting LRU dictionary is
+    sequential encoder state. Instead the stream is cut into SEGMENTS of
+    ``seg_rows`` statements; each segment is an independent Jelly
+    sub-stream with its own dictionary (options row + entries), which is
+    legal input per the reference's transcode contract — concatenated
+    streams are accepted (U1, RdfTranscodeSpec.scala:53). Segment sizing
+    guarantees ≤ 3·seg_rows distinct terms ≤ max_size, so no id ever
+    needs eviction inside a segment, and every segment decodes
+    independently (embarrassingly parallel at 100 TB).
+    """
+    terms = (
+        ordered.select(
+            "seg", F.col("rn"), F.explode(F.array("subj", "pred", "obj")).alias("term")
+        )
+        .groupBy("seg", "term")
+        .agg(F.min("rn").alias("first_rn"))
+    )
+    w = W.partitionBy("seg").orderBy("first_rn", "term")
+    ranked = terms.withColumn("term_id", F.dense_rank().over(w))
+    return ranked.select("seg", "term", "term_id", "first_rn")
+
+
+def encode_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    rows_per_frame: int = ROWS_PER_FRAME,
+    max_name_table: int = MAX_NAME_TABLE,
+) -> DataFrame:
+    """triples(subj, pred, obj, obj_kind) → frames(seg, frame_index,
+    n_rows, frame_bytes).
+
+    Layout per the reference's stream contract: each segment's first
+    frame starts with an options row (P10, RdfValidate.scala:118-121);
+    each dictionary entry row lands in the frame of its first use,
+    before the statement that uses it (sort_key ordering inside the
+    grouped encoder). Global row order comes from the partition-offset
+    rank (cli_spark.order), not a single-task window.
+    """
+    seg_rows = max(rows_per_frame, (max_name_table // 3) // rows_per_frame * rows_per_frame)
+    from .order import global_row_number
+
+    ordered = global_row_number(
+        triples.select("subj", "pred", "obj", "obj_kind").dropDuplicates(),
+        ["subj", "pred", "obj", "obj_kind"],
+    ).withColumn("seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long"))
+    dictionary = build_dictionary(ordered, max_name_table).persist()
+    frame_of = lambda rn: F.floor((rn - 1) / rows_per_frame).cast("long")  # noqa: E731
+
+    d = dictionary
+    trip_rows = (
+        ordered.join(
+            d.select("seg", F.col("term").alias("subj"), F.col("term_id").alias("s_id")),
+            ["seg", "subj"],
+        )
+        .join(
+            d.select("seg", F.col("term").alias("pred"), F.col("term_id").alias("p_id")),
+            ["seg", "pred"],
+        )
+        .join(
+            d.select("seg", F.col("term").alias("obj"), F.col("term_id").alias("o_id")),
+            ["seg", "obj"],
+        )
+        .select(
+            "seg",
+            frame_of(F.col("rn")).alias("frame_index"),
+            F.col("rn").alias("sort_key"),
+            F.lit(KIND_TRIPLE).alias("row_kind"),
+            "s_id",
+            "p_id",
+            "o_id",
+            F.col("obj_kind").alias("o_kind"),
+            F.lit(None).cast("long").alias("name_id"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    name_rows = dictionary.select(
+        "seg",
+        frame_of(F.col("first_rn")).alias("frame_index"),
+        F.col("first_rn").alias("sort_key"),
+        F.lit(KIND_NAME).alias("row_kind"),
+        F.lit(None).cast("long").alias("s_id"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("o_id"),
+        F.lit(None).cast("int").alias("o_kind"),
+        F.col("term_id").alias("name_id"),
+        F.col("term").alias("name"),
+    )
+    # one options row at the head of each segment's first frame
+    options_rows = (
+        ordered.select("seg", (F.col("seg") * seg_rows).alias("seg_first_rn"))
+        .groupBy("seg")
+        .agg(F.min("seg_first_rn").alias("first"))
+        .select(
+            "seg",
+            frame_of(F.col("first") + 1).alias("frame_index"),
+            F.lit(0).cast("long").alias("sort_key"),
+            F.lit(KIND_OPTIONS).alias("row_kind"),
+            F.lit(None).cast("long").alias("s_id"),
+            F.lit(None).cast("long").alias("p_id"),
+            F.lit(None).cast("long").alias("o_id"),
+            F.lit(None).cast("int").alias("o_kind"),
+            F.lit(None).cast("long").alias("name_id"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    all_rows = options_rows.unionByName(name_rows).unionByName(trip_rows)
+
+    def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        # options first (sort_key 0); NAME (kind 4) before the TRIPLE
+        # (kind 2) that first uses it at equal sort_key → kind descending
+        pdf = pdf.sort_values(["sort_key", "row_kind"], ascending=[True, False])
+        rows = [
+            (
+                int(r.row_kind),
+                None if pd.isna(r.s_id) else int(r.s_id),
+                None if pd.isna(r.p_id) else int(r.p_id),
+                None if pd.isna(r.o_id) else int(r.o_id),
+                None if pd.isna(r.o_kind) else int(r.o_kind),
+                None if pd.isna(r.name_id) else int(r.name_id),
+                r.name,
+            )
+            for r in pdf.itertuples()
+        ]
+        frame = encode_rows_to_frame(rows)
+        return pd.DataFrame(
+            {
+                "seg": [int(pdf.seg.iloc[0])],
+                "frame_index": [int(pdf.frame_index.iloc[0])],
+                "n_rows": [len(rows)],
+                "frame_bytes": [frame],
+            }
+        )
+
+    # seg_rows is a multiple of rows_per_frame ⇒ each frame belongs to
+    # exactly one segment; grouping carries both for the output schema.
+    return all_rows.groupBy("seg", "frame_index").applyInPandas(encode_group, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# file I/O: delimited byte stream ⇄ frames table
+# ---------------------------------------------------------------------------
+
+
+def write_jelly_file(frames: DataFrame, path: str, delimited: bool = True) -> None:
+    """Concatenate frames (ordered) into one delimited binary file.
+    Driver-side assembly — a .jelly artifact is a single bounded file;
+    the cluster-scale representation stays the frames table."""
+    rows = frames.orderBy("seg", "frame_index").select("frame_bytes").collect()
+    with open(path, "wb") as fh:
+        for r in rows:
+            if delimited:
+                buf = io.BytesIO()
+                _write_varint(buf, len(r.frame_bytes))
+                fh.write(buf.getvalue())
+            fh.write(r.frame_bytes)
+
+
+def probe_delimited(path: str) -> bool:
+    """Delimiting autodetect (S9, JellyUtil.scala:24-40): a delimited
+    file starts with a varint length followed by the 0x0A row tag; a
+    non-delimited one starts directly with 0x0A."""
+    with open(path, "rb") as fh:
+        head = fh.read(10)
+    if not head:
+        raise ValueError("empty stream")
+    if head[0] == 0x0A:
+        return False
+    return True
+
+
+def read_jelly_file(spark: SparkSession, path: str) -> DataFrame:
+    """Binary file → frames table via binaryFile scan + frame splitting
+    (each file row explodes into its frames; files are independent tasks,
+    matching 'concatenated streams are valid input' U1)."""
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["content"])
+                if not data:
+                    continue
+                if data[0] == 0x0A:  # non-delimited: exactly one frame
+                    out.append((-1, 0, -1, data))
+                    continue
+                pos, idx = 0, 0
+                while pos < len(data):
+                    length, pos = _read_varint(data, pos)
+                    out.append((-1, idx, -1, data[pos : pos + length]))
+                    pos += length
+                    idx += 1
+            yield pd.DataFrame(
+                out, columns=["seg", "frame_index", "n_rows", "frame_bytes"]
+            )
+
+    # seg = -1: segment boundaries are recovered from options rows after
+    # decode (assign_segments) — a file has no out-of-band segment info.
+    return raw.mapInPandas(split, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# decode: frames table → rows table → triples
+# ---------------------------------------------------------------------------
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """frames → row table (frame_index, row_pos, row_kind, ...) via
+    Arrow-batched decoder."""
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                for pos, row in enumerate(decode_frame(bytes(r["frame_bytes"]))):
+                    kind = row[0]
+                    base = (r["seg"], r["frame_index"], pos, kind)
+                    if kind == KIND_OPTIONS:
+                        out.append(base + (None, None, None, None, None, None))
+                    elif kind == KIND_TRIPLE:
+                        out.append(base + (row[1], row[2], row[3], row[4], None, None))
+                    else:
+                        out.append(base + (None, None, None, None, row[5], row[6]))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "seg", "frame_index", "row_pos", "row_kind", "s_id", "p_id",
+                    "o_id", "o_kind", "name_id", "name",
+                ],
+            )
+
+    return frames.mapInPandas(dec, ROW_SCHEMA)
+
+
+def assign_segments(rows: DataFrame) -> DataFrame:
+    """Recover segment ids for file-read streams (seg = -1): each options
+    row starts a new segment — cumulative count over stream order. A
+    single-task window, acceptable because .jelly FILE import is the
+    bounded-artifact path (the cluster representation keeps seg)."""
+    w = W.orderBy("frame_index", "row_pos").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return rows.withColumn(
+        "seg",
+        (F.sum(F.when(F.col("row_kind") == KIND_OPTIONS, 1).otherwise(0)).over(w) - 1).cast(
+            "long"
+        ),
+    )
+
+
+def decode_triples(
+    rows: DataFrame, take_frames: tuple[int, int] | None = None
+) -> DataFrame:
+    """rows table → triples. Two-pass distributed decode (§3.2): pass 1
+    materializes each segment's dictionary, pass 2 joins statement refs
+    on (seg, id) — frame slicing (P1/P2 --take-frames) filters pass 2
+    only, so skipped frames still contribute dictionary state exactly
+    like the reference's state-preserving skip (RdfFromJelly.scala:166-177)."""
+    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
+        rows = assign_segments(rows)
+    dictionary = (
+        rows.filter(F.col("row_kind") == KIND_NAME)
+        .select("seg", F.col("name_id").alias("term_id"), F.col("name").alias("term"))
+        .dropDuplicates(["seg", "term_id"])
+    )
+    trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
+    if take_frames is not None:
+        lo, hi = take_frames
+        trips = trips.filter(F.col("frame_index").between(lo, hi))
+    d = dictionary
+    return (
+        trips.join(
+            d.select("seg", F.col("term_id").alias("s_id"), F.col("term").alias("subj")),
+            ["seg", "s_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("p_id"), F.col("term").alias("pred")),
+            ["seg", "p_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
+            ["seg", "o_id"],
+        )
+        .select("subj", "pred", "obj", F.col("o_kind").alias("obj_kind"), "frame_index")
+    )
+
+
+def roundtrip(spark: SparkSession, triples: DataFrame, **kw) -> DataFrame:
+    """encode → decode, for equivalence gates (SURVEY §5 pillar 2)."""
+    return decode_triples(decode_frames(encode_triples(spark, triples, **kw)))

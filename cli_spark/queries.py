@@ -1331,3 +1331,77 @@ def q42_semi_anti_join(spark, sf_dir):
             F.coalesce("n_without_lines", F.lit(0)).alias("n_without_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Jelly codec queries: the binary encode→decode pipeline checked against a
+# pure-SQL oracle (frame/segment arithmetic is deterministic given the
+# canonical triple order).
+# ---------------------------------------------------------------------------
+
+JELLY_SEG_ROWS = 1280  # default: (4096 // 3) // 256 * 256
+
+
+@query(
+    "q50_jelly_roundtrip",
+    oracle=TRIPLES_SQL,
+    doc="Jelly frames round-trip (S15→S9, to-jelly ∘ from-jelly = id): "
+    "triples → varint frames (applyInPandas) → decode (mapInPandas) → "
+    "dictionary joins; oracle is the original triple set.",
+)
+def q50_jelly_roundtrip(spark, sf_dir):
+    from cli_spark.jelly import roundtrip
+
+    t = doc_triples(spark, sf_dir)
+    return roundtrip(spark, t).select("subj", "pred", "obj", "obj_kind")
+
+
+@query(
+    "q51_jelly_frame_metrics",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY subj, pred, obj, obj_kind) AS rn
+      FROM (SELECT DISTINCT subj, pred, obj, obj_kind FROM triples)
+    ),
+    terms AS (
+      SELECT ((rn - 1) // {JELLY_SEG_ROWS}) AS seg, unnest([subj, pred, obj]) AS term, rn
+      FROM numbered
+    ),
+    firsts AS (SELECT seg, term, MIN(rn) AS first_rn FROM terms GROUP BY seg, term),
+    name_rows AS (
+      SELECT seg, ((first_rn - 1) // 256) AS frame_index, COUNT(*) AS name_count
+      FROM firsts GROUP BY 1, 2
+    ),
+    trip_rows AS (
+      SELECT ((rn - 1) // {JELLY_SEG_ROWS}) AS seg, ((rn - 1) // 256) AS frame_index,
+             COUNT(*) AS triple_count
+      FROM numbered GROUP BY 1, 2
+    ),
+    opt_rows AS (
+      SELECT DISTINCT ((rn - 1) // {JELLY_SEG_ROWS}) AS seg,
+             (((rn - 1) // {JELLY_SEG_ROWS}) * {JELLY_SEG_ROWS} // 256) AS frame_index,
+             1 AS option_count
+      FROM numbered
+    )
+    SELECT t.seg, t.frame_index,
+           COALESCE(o.option_count, 0) AS option_count,
+           COALESCE(n.name_count, 0) AS name_count,
+           t.triple_count,
+           COALESCE(o.option_count, 0) + COALESCE(n.name_count, 0) + t.triple_count AS row_count
+    FROM trip_rows t
+      LEFT JOIN name_rows n ON n.seg = t.seg AND n.frame_index = t.frame_index
+      LEFT JOIN opt_rows o ON o.seg = t.seg AND o.frame_index = t.frame_index
+    """,
+    doc="`rdf inspect` per-frame counters (A1) computed from the REAL "
+    "binary frames (encode → decode → count) and checked against pure "
+    "frame arithmetic in SQL — validates frame assignment (W1/W2), "
+    "per-segment dictionaries (W5), and options placement (P10) at once.",
+)
+def q51_jelly_frame_metrics(spark, sf_dir):
+    from cli_spark.inspect_metrics import per_frame_metrics
+    from cli_spark.jelly import decode_frames, encode_triples
+
+    t = doc_triples(spark, sf_dir)
+    frames = encode_triples(spark, t)
+    return per_frame_metrics(decode_frames(frames))

@@ -1,0 +1,186 @@
+"""Structured Streaming re-expression of the reference's stream-order
+semantics (SURVEY.md §2.9): frames are micro-batches, graph runs are
+sessions, decoder dictionary state is keyed streaming state.
+
+- :func:`read_event_stream`     bounded parquet dir as a stream (tests drive
+  it with the memory sink + processAllAvailable)
+- :func:`windowed_event_counts` tumbling event-time window + watermark (W2
+  analog with real event time instead of row count)
+- :func:`session_counts`        session windows (the graph-run/sessionization
+  shape, W3)
+- :func:`stateful_graph_runs`   applyInPandasWithState port of the reference's
+  GRAPHS-encoding state machine (JellyStreamWriterGraphs.scala:57-72):
+  per-key run-length tracking with explicit state — emits one row per
+  completed run boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", StringType()),  # overridden by parquet schema on read
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Stream the events table: schema from a batch peek (streaming reads
+    require an explicit schema), one file per micro-batch. A single-file
+    path is streamed via its parent dir + glob (the source requires a
+    directory basePath)."""
+    import os
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time aggregation with late-data watermark."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user — the streaming form of q06 sessionize."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+RUN_STATE_SCHEMA = StructType(
+    [
+        StructField("current_type", StringType()),
+        StructField("run_length", IntegerType()),
+        StructField("run_id", IntegerType()),
+    ]
+)
+RUN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("run_id", IntegerType()),
+        StructField("event_type", StringType()),
+        StructField("run_length", IntegerType()),
+    ]
+)
+
+
+def stateful_graph_runs(events: DataFrame, flush_timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: per-user run-length encoding of
+    consecutive equal event_types — the reference's handleGraph state
+    machine (emit GraphEnd/GraphStart on change) as keyed streaming
+    state. Emits completed runs; the open run stays in state across
+    micro-batches.
+
+    ``flush_timeout_ms`` arms a ProcessingTimeTimeout that flushes open
+    runs after idle time — for long-lived production streams. Leave it
+    None for bounded drives: timeout re-arming keeps scheduling
+    state-cleanup micro-batches, so ``processAllAvailable`` never
+    settles (observed: an endless "No new data but cleaning up state"
+    loop on Spark 4.1).
+    """
+
+    def fn(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                cur_type, run_len, run_id = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(user_id, run_id, cur_type, run_len)],
+                    columns=["user_id", "run_id", "event_type", "run_length"],
+                )
+            return
+        cur_type, run_len, run_id = (None, 0, 0)
+        if state.exists:
+            cur_type, run_len, run_id = state.get
+        out = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et in pdf["event_type"]:
+                if et == cur_type:
+                    run_len += 1
+                else:
+                    if cur_type is not None:
+                        out.append((user_id, run_id, cur_type, run_len))
+                        run_id += 1
+                    cur_type, run_len = et, 1
+        state.update((cur_type, run_len, run_id))
+        if flush_timeout_ms:
+            state.setTimeoutDuration(flush_timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "run_id", "event_type", "run_length"]
+            )
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RUN_OUTPUT_SCHEMA,
+            stateStructType=RUN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="ProcessingTimeTimeout" if flush_timeout_ms else "NoTimeout",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded stream to completion synchronously (test harness):
+    memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

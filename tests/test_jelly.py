@@ -1,0 +1,127 @@
+"""Jelly frame codec: round-trip equivalence (the reference-corpus gate,
+SURVEY.md §5 pillar 2), segments/bounded dictionaries, file delimiting,
+state-preserving frame slicing, validation, inspect metrics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark import jelly as J
+from cli_spark.compare import validate_stream
+from cli_spark.inspect_metrics import aggregate_metrics, per_frame_metrics, render_yaml
+
+KEY = ["subj", "pred", "obj", "obj_kind"]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    from cli_spark.corpus import generate_repos
+    from cli_spark.extract import extract_triples
+
+    repos = generate_repos(spark, 40)
+    return extract_triples(repos).select(*KEY).distinct().cache()
+
+
+def _assert_equal_sets(a, b):
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_roundtrip_default(spark, triples):
+    back = J.roundtrip(spark, triples).select(*KEY).distinct()
+    _assert_equal_sets(triples, back)
+
+
+def test_roundtrip_small_dictionary_segments(spark, triples):
+    frames = J.encode_triples(spark, triples, rows_per_frame=32, max_name_table=96)
+    assert frames.select("seg").distinct().count() > 1  # forced segmentation
+    back = J.decode_triples(J.decode_frames(frames)).select(*KEY).distinct()
+    _assert_equal_sets(triples, back)
+    # bounded-dictionary invariant: ids within a segment never exceed max
+    rows = J.decode_frames(frames)
+    max_id = rows.filter(F.col("row_kind") == J.KIND_NAME).agg(
+        F.max("name_id")
+    ).collect()[0][0]
+    assert max_id <= 96
+
+
+def test_file_write_read_probe(spark, triples, tmp_path):
+    frames = J.encode_triples(spark, triples, rows_per_frame=64)
+    p = str(tmp_path / "stream.jelly")
+    J.write_jelly_file(frames, p)
+    assert J.probe_delimited(p) is True
+    back = J.decode_triples(J.decode_frames(J.read_jelly_file(spark, p))).select(
+        *KEY
+    ).distinct()
+    _assert_equal_sets(triples, back)
+
+
+def test_nondelimited_single_frame(spark, tmp_path):
+    small = spark.createDataFrame(
+        [("kg:a", "kg:p", "kg:b", 0), ("kg:a", "kg:p", "kg:c", 0)],
+        "subj string, pred string, obj string, obj_kind int",
+    )
+    frames = J.encode_triples(spark, small)
+    p = str(tmp_path / "single.jelly")
+    J.write_jelly_file(frames, p, delimited=False)
+    assert J.probe_delimited(p) is False
+    back = J.decode_triples(J.decode_frames(J.read_jelly_file(spark, p)))
+    assert back.count() == 2
+
+
+def test_take_frames_state_preserved(spark, triples):
+    frames = J.encode_triples(spark, triples, rows_per_frame=32)
+    sliced = J.decode_triples(J.decode_frames(frames), take_frames=(2, 4))
+    got_frames = {r.frame_index for r in sliced.select("frame_index").distinct().collect()}
+    assert got_frames <= {2, 3, 4} and got_frames
+    # every sliced triple fully resolved (dictionary state from earlier
+    # frames was available — the P2 semantics)
+    assert sliced.filter(
+        F.col("subj").isNull() | F.col("pred").isNull() | F.col("obj").isNull()
+    ).count() == 0
+    assert sliced.count() == 3 * 32
+
+
+def test_validate_stream_ok_and_violations(spark, triples):
+    frames = J.encode_triples(spark, triples, rows_per_frame=64)
+    rows = J.decode_frames(frames).cache()
+    assert validate_stream(rows) == []
+    # drop all options rows → violation reported
+    no_opts = rows.filter(F.col("row_kind") != J.KIND_OPTIONS)
+    problems = validate_stream(no_opts)
+    assert any("options" in p for p in problems)
+    # dangling refs: drop name entries
+    no_names = rows.filter(F.col("row_kind") != J.KIND_NAME)
+    problems = validate_stream(no_names)
+    assert any("dangling" in p for p in problems)
+
+
+def test_inspect_metrics(spark, triples):
+    n = triples.count()
+    frames = J.encode_triples(spark, triples, rows_per_frame=64)
+    rows = J.decode_frames(frames).cache()
+    agg = aggregate_metrics(rows)
+    assert agg["triple_count"] == n
+    assert agg["frame_count"] == frames.count()
+    assert agg["option_count"] >= 1
+    pf = per_frame_metrics(rows)
+    assert pf.agg(F.sum("triple_count")).collect()[0][0] == n
+    sz = aggregate_metrics(rows, use_size=True)
+    assert sz["triple_count"] == 16 * n  # SizeStatistic: 16 bytes/triple
+    yaml_text = render_yaml({"frames": agg, "note": 'has "quotes"'})
+    assert "triple_count:" in yaml_text and '\\"' in yaml_text
+
+
+def test_varint_edge_values():
+    import io
+
+    from cli_spark.jelly import _read_varint, _write_varint
+
+    for v in (0, 1, 127, 128, 300, 2**31 - 1, 2**60):
+        buf = io.BytesIO()
+        _write_varint(buf, v)
+        out, pos = _read_varint(buf.getvalue(), 0)
+        assert out == v and pos == len(buf.getvalue())

@@ -1,0 +1,80 @@
+"""Structured Streaming operators driven to completion with the memory
+sink (bounded input ⇒ deterministic results; batch equivalents are the
+cross-check, mirroring frames-as-micro-batches §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark import streaming as S
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    return S.read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+
+
+def test_windowed_counts_match_batch(spark, event_stream):
+    S.run_to_memory_sink(
+        S.windowed_event_counts(event_stream), "win_counts", output_mode="append"
+    )
+    got = spark.sql("SELECT * FROM win_counts")
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    # watermark may hold back the trailing window(s); everything emitted
+    # must match the batch result exactly, and coverage must be substantial
+    extra = got.exceptAll(batch).count()
+    assert extra == 0
+    assert got.count() >= batch.count() * 0.8
+
+
+def test_session_counts_runs(spark, event_stream):
+    S.run_to_memory_sink(S.session_counts(event_stream), "sess_counts")
+    got = spark.sql("SELECT * FROM sess_counts")
+    assert got.count() >= 0  # emitted sessions (watermark-bounded)
+    assert set(got.columns) == {"session_start", "user_id", "n_events"}
+
+
+def test_stateful_graph_runs(spark, event_stream):
+    S.run_to_memory_sink(S.stateful_graph_runs(event_stream), "runs")
+    got = spark.sql("SELECT * FROM runs")
+    rows = got.collect()
+    assert len(rows) > 0
+    # cross-check against the batch gaps-and-islands computation (q24):
+    # completed streamed runs must be a subset with identical lengths
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    runs_batch = (
+        batch.withColumn("b", boundary)
+        .withColumn(
+            "rid", F.sum("b").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)) - 1
+        )
+        .groupBy("user_id", "rid", "event_type")
+        .agg(F.count(F.lit(1)).alias("run_length"))
+    )
+    got_k = got.select("user_id", F.col("run_id").cast("long").alias("rid"),
+                       "event_type", F.col("run_length").cast("long").alias("run_length"))
+    bad = got_k.join(
+        runs_batch.select("user_id", "rid", "event_type",
+                          F.col("run_length").cast("long").alias("run_length")),
+        ["user_id", "rid", "event_type", "run_length"],
+        "left_anti",
+    ).count()
+    assert bad == 0
