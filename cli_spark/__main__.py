@@ -1,0 +1,238 @@
+"""Command-line surface — parity with the reference CLI's five commands
+(/root/reference/src/main/scala/eu/neverblink/jelly/cli/App.scala:24-31),
+re-expressed as Spark jobs:
+
+    python -m cli_spark rdf to-jelly   IN.nq  --to out.jelly [--rows-per-frame N]
+    python -m cli_spark rdf from-jelly IN.jelly --to out_dir [--take-frames A..B]
+                                       [--merge-graphs] [--single-file]
+    python -m cli_spark rdf inspect    IN.jelly [--per-frame] [--size]
+    python -m cli_spark rdf validate   IN.jelly [--compare-to-rdf-file F.nq]
+                                       [--compare-ordered] [--delimited true|false|either]
+    python -m cli_spark rdf transcode  IN1.jelly [IN2.jelly ...] --to out.jelly
+    python -m cli_spark pipeline       --n-files N [--workdir DIR] [--engine sql|pandas]
+    python -m cli_spark version
+
+Exit code 1 on any validation/critical error (ErrorHandler.scala:8-18).
+Runs under spark-submit --py-files just as well: the entry point only
+builds a session if the caller didn't.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+
+
+def _parse_range(spec: str) -> tuple[int, int]:
+    """Rust-style index ranges: '3', '..3', '3..', '1..5', '1..=5'
+    (IndexRange.scala:13-58). Returns inclusive (lo, hi)."""
+    big = 1 << 62
+    if ".." not in spec:
+        i = int(spec)
+        return i, i
+    lo_s, _, hi_s = spec.partition("..")
+    inclusive = hi_s.startswith("=")
+    if inclusive:
+        hi_s = hi_s[1:]
+    lo = int(lo_s) if lo_s else 0
+    if hi_s:
+        hi = int(hi_s) if inclusive else int(hi_s) - 1
+    else:
+        hi = big
+    if hi < lo:
+        raise ValueError(f"empty frame range: {spec!r}")
+    return lo, hi
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cli_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("version")
+
+    rdf = sub.add_parser("rdf").add_subparsers(dest="rdf_cmd", required=True)
+
+    tj = rdf.add_parser("to-jelly")
+    tj.add_argument("input")
+    tj.add_argument("--to", required=True)
+    tj.add_argument("--rows-per-frame", type=int, default=256)
+    tj.add_argument("--max-name-table", type=int, default=4096)
+    tj.add_argument("--non-delimited", action="store_true")
+
+    fj = rdf.add_parser("from-jelly")
+    fj.add_argument("input")
+    fj.add_argument("--to", required=True)
+    fj.add_argument("--take-frames", default=None)
+    fj.add_argument("--merge-graphs", action="store_true")
+    fj.add_argument("--single-file", action="store_true")
+
+    ins = rdf.add_parser("inspect")
+    ins.add_argument("input")
+    ins.add_argument("--per-frame", action="store_true")
+    ins.add_argument("--size", action="store_true", help="serialized-size statistic")
+
+    va = rdf.add_parser("validate")
+    va.add_argument("input")
+    va.add_argument("--compare-to-rdf-file", default=None)
+    va.add_argument("--compare-ordered", action="store_true")
+    va.add_argument("--delimited", choices=["true", "false", "either"], default="either")
+
+    tc = rdf.add_parser("transcode")
+    tc.add_argument("inputs", nargs="+")
+    tc.add_argument("--to", required=True)
+    tc.add_argument("--rows-per-frame", type=int, default=256)
+    tc.add_argument("--max-name-table", type=int, default=4096)
+
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--n-files", type=int, default=1000)
+    pl.add_argument("--workdir", default=None)
+    pl.add_argument("--engine", choices=["sql", "pandas"], default="sql")
+    pl.add_argument("--link-threshold", type=float, default=0.7)
+
+    args = p.parse_args(argv)
+    if args.cmd == "version":
+        print(f"cli_spark {__version__}")
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    from .session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark("cli_spark_cli")
+    try:
+        return _dispatch(spark, args)
+    except (ValueError, AssertionError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    finally:
+        if existing is None:
+            spark.stop()
+
+
+def _dispatch(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    if args.cmd == "pipeline":
+        from .corpus import generate_repos
+        from .pipeline import run_kg_pipeline
+
+        repos = generate_repos(spark, args.n_files)
+        n = run_kg_pipeline(
+            spark,
+            repos,
+            workdir=args.workdir,
+            engine=args.engine,
+            link_threshold=args.link_threshold,
+        )
+        print(f"triples: {n}")
+        return 0
+
+    from . import jelly as J
+    from .nquads import read_nquads, render_lines, write_nquads
+
+    if args.rdf_cmd == "to-jelly":
+        triples = read_nquads(spark, args.input).select(
+            "subj", "pred", "obj", "obj_kind"
+        )
+        frames = J.encode_triples(
+            spark,
+            triples,
+            rows_per_frame=args.rows_per_frame,
+            max_name_table=args.max_name_table,
+        )
+        J.write_jelly_file(frames, args.to, delimited=not args.non_delimited)
+        return 0
+
+    if args.rdf_cmd == "from-jelly":
+        frames = J.read_jelly_file(spark, args.input)
+        take = _parse_range(args.take_frames) if args.take_frames else None
+        triples = J.decode_triples(J.decode_frames(frames), take_frames=take)
+        if args.merge_graphs and "graph" in triples.columns:
+            triples = triples.drop("graph")
+        write_nquads(triples, args.to, single_file=args.single_file)
+        return 0
+
+    if args.rdf_cmd == "inspect":
+        from .inspect_metrics import aggregate_metrics, per_frame_metrics, render_yaml
+
+        rows = J.decode_frames(J.read_jelly_file(spark, args.input))
+        if args.per_frame:
+            pf = per_frame_metrics(rows, use_size=args.size).orderBy(
+                "seg", "frame_index"
+            )
+            out = {
+                "frames": [
+                    {k: int(v) for k, v in r.asDict().items()} for r in pf.collect()
+                ]
+            }
+        else:
+            out = {"stream": aggregate_metrics(rows, use_size=args.size)}
+        print(render_yaml(out), end="")
+        return 0
+
+    if args.rdf_cmd == "validate":
+        from .compare import ordered_compare, unordered_compare, validate_stream
+
+        delimited = J.probe_delimited(args.input)
+        if args.delimited != "either" and str(delimited).lower() != args.delimited:
+            print(
+                f"error: expected delimited={args.delimited}, stream is {delimited}",
+                file=sys.stderr,
+            )
+            return 1
+        rows = J.decode_frames(J.read_jelly_file(spark, args.input)).cache()
+        problems = validate_stream(rows)
+        if problems:
+            for pr in problems:
+                print(f"error: {pr}", file=sys.stderr)
+            return 1
+        if args.compare_to_rdf_file:
+            expected = read_nquads(spark, args.compare_to_rdf_file)
+            actual = J.decode_triples(rows)
+            if args.compare_ordered:
+                from .order import global_row_number
+
+                e = global_row_number(expected, ["subj", "pred", "obj"], "idx")
+                a = global_row_number(
+                    actual.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "idx"
+                )
+                res = ordered_compare(e, a)
+            else:
+                e = expected.select(
+                    "subj", "pred", "obj", F.col("graph").cast("string").alias("graph")
+                )
+                a = actual.select("subj", "pred", "obj").withColumn(
+                    "graph", F.lit(None).cast("string")
+                )
+                res = unordered_compare(e, a)
+            if not res.equal:
+                print(f"error: {res.detail}", file=sys.stderr)
+                return 1
+        print("valid")
+        return 0
+
+    if args.rdf_cmd == "transcode":
+        # U1/§2.11: frames from all inputs form one concatenated stream;
+        # decode refs, re-encode against one merged output dictionary.
+        triples = None
+        for path in args.inputs:
+            t = J.decode_triples(J.decode_frames(J.read_jelly_file(spark, path)))
+            t = t.select("subj", "pred", "obj", "obj_kind")
+            triples = t if triples is None else triples.unionByName(t)
+        frames = J.encode_triples(
+            spark,
+            triples,
+            rows_per_frame=args.rows_per_frame,
+            max_name_table=args.max_name_table,
+        )
+        J.write_jelly_file(frames, args.to)
+        return 0
+
+    raise ValueError(f"unknown command {args.rdf_cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -222,8 +222,10 @@ def validate_stream(rows: DataFrame) -> list[str]:
     - name ids within a segment are unique (explicit-id contract)
     - triple refs resolve inside their segment (no dangling ids)
     """
-    from .jelly import KIND_NAME, KIND_OPTIONS, KIND_TRIPLE
+    from .jelly import KIND_NAME, KIND_OPTIONS, KIND_TRIPLE, assign_segments
 
+    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
+        rows = assign_segments(rows)  # file-read streams carry seg = -1
     problems: list[str] = []
     w = W.partitionBy("seg").orderBy("frame_index", "row_pos")
     first_rows = (

@@ -1,0 +1,180 @@
+"""Columnar N-Triples / N-Quads text I/O (SURVEY.md §2.1 S5/S6/S12, F7).
+
+The reference parses these formats with generalized-RDF tokenizers
+(cli/util/jena/riot/LangNTriplesGeneralized.scala:11-30,
+LangNQuadsGeneralized.scala:12-51) and renders via Jena stream writers.
+Here both directions are pure column expressions — the parse is one
+``regexp_extract_all`` (term tokenizer) + classification, the render is
+one ``concat``; whole-stage codegen keeps it JVM-side end to end.
+
+Term model (kinds per NodeDetailInfo, MetricsPrinter.scala:128-134):
+  kind 0 IRI      <...>
+  kind 1 bnode    _:label
+  kind 2 literal  "lex"(^^<dt> | @lang)?
+Generalized RDF (literal subjects, bnode predicates, literal graph
+names — the reference's generalized.nq fixture) parses fine: every term
+position carries (kind, value, datatype, lang).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# one term: IRI | bnode | literal with optional datatype/langtag
+TERM_RX = r'(<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'
+
+KIND_IRI = 0
+KIND_BNODE = 1
+KIND_LITERAL = 2
+
+TRIPLE_COLS = [
+    "subj", "subj_kind", "pred", "pred_kind",
+    "obj", "obj_kind", "obj_datatype", "obj_lang",
+    "graph", "graph_kind",
+]
+
+
+def _unescape(c: Column) -> Column:
+    for esc, raw in ((r"\\t", "\t"), (r"\\r", "\r"), (r"\\n", "\n"), (r'\\"', '"')):
+        c = F.regexp_replace(c, F.lit(esc), F.lit(raw))
+    # Java replacement strings treat '\' specially: two backslashes in
+    # the replacement emit one literal backslash.
+    return F.regexp_replace(c, F.lit(r"\\\\"), F.lit("\\\\"))
+
+
+def _escape(c: Column) -> Column:
+    c = F.regexp_replace(c, F.lit(r"\\"), F.lit(r"\\\\"))
+    for raw, esc in (('"', r'\\"'), ("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t")):
+        c = F.regexp_replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def _classify(term: Column, prefix: str):
+    """term string → (kind, value, datatype, lang) columns."""
+    is_iri = term.startswith("<")
+    is_bnode = term.startswith("_:")
+    kind = (
+        F.when(is_iri, F.lit(KIND_IRI))
+        .when(is_bnode, F.lit(KIND_BNODE))
+        .otherwise(F.lit(KIND_LITERAL))
+    )
+    lex = F.regexp_extract(term, r'^"((?:[^"\\]|\\.)*)"', 1)
+    datatype = F.regexp_extract(term, r"\^\^<([^>]*)>$", 1)
+    lang = F.regexp_extract(term, r"@([A-Za-z0-9-]+)$", 1)
+    value = (
+        F.when(is_iri, F.expr(f"substring({prefix}_raw, 2, length({prefix}_raw) - 2)"))
+        .when(is_bnode, term.substr(F.lit(3), F.length(term)))
+        .otherwise(_unescape(lex))
+    )
+    return (
+        kind.alias(f"{prefix}_kind"),
+        value.alias(prefix),
+        F.when(~is_iri & ~is_bnode & (datatype != ""), datatype)
+        .otherwise(F.lit(None))
+        .alias(f"{prefix}_datatype"),
+        F.when(~is_iri & ~is_bnode & (lang != ""), lang)
+        .otherwise(F.lit(None))
+        .alias(f"{prefix}_lang"),
+    )
+
+
+def parse_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """N-Triples/N-Quads lines → term-model triples. Lines that are blank
+    or comments are dropped; 3 terms ⇒ default graph (null), 4 ⇒ quad."""
+    terms = F.regexp_extract_all(F.col(text_col), F.lit(TERM_RX), F.lit(1))
+    rows = (
+        lines.filter(~F.col(text_col).rlike(r"^\s*(#.*)?$"))
+        .select(terms.alias("t"))
+        .filter(F.size("t").isin(3, 4))
+        .select(
+            F.element_at("t", 1).alias("s_raw"),
+            F.element_at("t", 2).alias("p_raw"),
+            F.element_at("t", 3).alias("o_raw"),
+            F.when(F.size("t") == 4, F.element_at("t", 4)).alias("g_raw"),
+        )
+    )
+    sk, sv, _, _ = _classify(F.col("s_raw"), "s")
+    pk, pv, _, _ = _classify(F.col("p_raw"), "p")
+    ok, ov, odt, olang = _classify(F.col("o_raw"), "o")
+    gk, gv, _, _ = _classify(F.col("g_raw"), "g")
+    return rows.select(
+        sv.alias("subj"), sk.alias("subj_kind"),
+        pv.alias("pred"), pk.alias("pred_kind"),
+        ov.alias("obj"), ok.alias("obj_kind"),
+        odt.alias("obj_datatype"), olang.alias("obj_lang"),
+        F.when(F.col("g_raw").isNotNull(), gv).alias("graph"),
+        F.when(F.col("g_raw").isNotNull(), gk).alias("graph_kind"),
+    )
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    return parse_lines(spark.read.text(path))
+
+
+def _render_term(value: Column, kind: Column, datatype: Column, lang: Column) -> Column:
+    lit_suffix = (
+        F.when(datatype.isNotNull(), F.concat(F.lit("^^<"), datatype, F.lit(">")))
+        .when(lang.isNotNull(), F.concat(F.lit("@"), lang))
+        .otherwise(F.lit(""))
+    )
+    return (
+        F.when(kind == KIND_IRI, F.concat(F.lit("<"), value, F.lit(">")))
+        .when(kind == KIND_BNODE, F.concat(F.lit("_:"), value))
+        .otherwise(F.concat(F.lit('"'), _escape(value), F.lit('"'), lit_suffix))
+    )
+
+
+def render_lines(triples: DataFrame) -> DataFrame:
+    """Term-model triples → one N-Quads line per row (column `line`).
+    Works for the flat extraction schema too: missing *_kind columns
+    default to IRI (bnode-prefixed values excepted), missing datatype/
+    lang to plain literals."""
+    cols = set(triples.columns)
+
+    def col_or(name: str, default: Column) -> Column:
+        return F.col(name) if name in cols else default
+
+    infer = lambda vcol: F.when(  # noqa: E731
+        F.col(vcol).startswith("_:"), F.lit(KIND_BNODE)
+    ).otherwise(F.lit(KIND_IRI))
+    s = _render_term(
+        F.col("subj"), col_or("subj_kind", infer("subj")), F.lit(None), F.lit(None)
+    )
+    p = _render_term(
+        F.col("pred"), col_or("pred_kind", F.lit(KIND_IRI)), F.lit(None), F.lit(None)
+    )
+    o = _render_term(
+        F.col("obj"),
+        col_or("obj_kind", infer("obj")),
+        col_or("obj_datatype", F.lit(None).cast("string")),
+        col_or("obj_lang", F.lit(None).cast("string")),
+    )
+    g = (
+        F.when(
+            col_or("graph", F.lit(None).cast("string")).isNotNull(),
+            F.concat(
+                F.lit(" "),
+                _render_term(
+                    F.col("graph") if "graph" in cols else F.lit(""),
+                    col_or("graph_kind", infer("graph") if "graph" in cols else F.lit(KIND_IRI)),
+                    F.lit(None),
+                    F.lit(None),
+                ),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    return triples.select(
+        F.concat(s, F.lit(" "), p, F.lit(" "), o, g, F.lit(" .")).alias("line")
+    )
+
+
+def write_nquads(triples: DataFrame, path: str, single_file: bool = False) -> None:
+    """Render + text sink. ``single_file=True`` mirrors the reference's
+    one-output-stream CLI shape (coalesce(1) — the documented memory
+    hazard of batch writers, StreamRdfBatchWriter.scala:13-16); default
+    is a parallel multi-part write."""
+    out = render_lines(triples)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)

@@ -1,0 +1,68 @@
+"""CLI command parity (App.scala:24-31): to-jelly / from-jelly /
+inspect / validate / transcode / version through the argv entry point."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cli_spark.__main__ import _parse_range, main
+
+
+def test_parse_range_grammar():
+    big = 1 << 62
+    assert _parse_range("3") == (3, 3)
+    assert _parse_range("..3") == (0, 2)
+    assert _parse_range("3..") == (3, big)
+    assert _parse_range("1..5") == (1, 4)
+    assert _parse_range("1..=5") == (1, 5)
+    with pytest.raises(ValueError):
+        _parse_range("5..=1")
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    assert "cli_spark" in capsys.readouterr().out
+
+
+@pytest.fixture(scope="module")
+def nq_file(spark, tmp_path_factory):
+    from cli_spark.nquads import write_nquads
+    from cli_spark.queries import doc_triples
+
+    d = tmp_path_factory.mktemp("cli")
+    t = doc_triples(spark, os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001").limit(500)
+    write_nquads(t, str(d / "in_nq"), single_file=True)
+    part = next(p for p in os.listdir(d / "in_nq") if p.startswith("part-"))
+    return str(d / "in_nq" / part)
+
+
+def test_cli_end_to_end(spark, nq_file, tmp_path):
+    """to-jelly → validate (vs source) → from-jelly → line-set equality.
+    main() opens its own session via getOrCreate — shares the fixture's."""
+    jelly = str(tmp_path / "s.jelly")
+    assert main(["rdf", "to-jelly", nq_file, "--to", jelly, "--rows-per-frame", "64"]) == 0
+    assert os.path.getsize(jelly) > 0
+    assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", nq_file]) == 0
+    out_dir = str(tmp_path / "back")
+    assert main(["rdf", "from-jelly", jelly, "--to", out_dir, "--single-file"]) == 0
+    part = next(p for p in os.listdir(out_dir) if p.startswith("part-"))
+    with open(nq_file) as fh:
+        orig = set(fh.read().splitlines())
+    with open(os.path.join(out_dir, part)) as fh:
+        back = set(fh.read().splitlines())
+    assert orig == back
+
+
+def test_cli_validate_detects_mismatch(spark, nq_file, tmp_path):
+    jelly = str(tmp_path / "s.jelly")
+    main(["rdf", "to-jelly", nq_file, "--to", jelly])
+    short = str(tmp_path / "short.nq")
+    with open(nq_file) as fh:
+        lines = fh.read().splitlines()
+    with open(short, "w") as fh:
+        fh.write("\n".join(lines[:-5]) + "\n")
+    assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", short]) == 1
+    assert main(["rdf", "validate", jelly, "--delimited", "false"]) == 1
+    assert main(["rdf", "validate", jelly, "--delimited", "true"]) == 0

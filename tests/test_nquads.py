@@ -1,0 +1,82 @@
+"""N-Quads/N-Triples columnar parse + render: full term model, escapes,
+datatypes/langtags, generalized RDF, round-trip identity (S5/S6/S12/F7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark.nquads import parse_lines, render_lines
+
+LINES = [
+    '<http://a.com/s> <http://a.com/p> <http://a.com/o> .',
+    '<http://a.com/s> <http://a.com/p> "plain lit" .',
+    '<http://a.com/s> <http://a.com/p> "42"^^<http://www.w3.org/2001/XMLSchema#int> .',
+    '<http://a.com/s> <http://a.com/p> "hei"@nb .',
+    '_:b1 <http://a.com/p> _:b2 .',
+    '<http://a.com/s> <http://a.com/p> "esc \\"q\\" \\\\ tab\\there" .',
+    '<http://a.com/s> <http://a.com/p> <http://a.com/o> <http://a.com/g> .',
+    '# comment line',
+    '',
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    df = spark.createDataFrame([(l,) for l in LINES], "value string")
+    return parse_lines(df).cache()
+
+
+def test_parse_counts_and_kinds(spark, parsed):
+    rows = parsed.collect()
+    assert len(rows) == 7  # comment + blank dropped
+    kinds = {(r.subj_kind, r.pred_kind, r.obj_kind) for r in rows}
+    assert (0, 0, 0) in kinds and (0, 0, 2) in kinds and (1, 0, 1) in kinds
+
+
+def test_parse_literal_annotations(spark, parsed):
+    rows = {r.obj: r for r in parsed.filter(F.col("obj_kind") == 2).collect()}
+    assert rows["42"].obj_datatype == "http://www.w3.org/2001/XMLSchema#int"
+    assert rows["hei"].obj_lang == "nb"
+    assert rows["plain lit"].obj_datatype is None and rows["plain lit"].obj_lang is None
+    assert 'esc "q" \\ tab\there' in rows
+
+
+def test_parse_quad_graph(spark, parsed):
+    quads = parsed.filter(F.col("graph").isNotNull()).collect()
+    assert len(quads) == 1 and quads[0].graph == "http://a.com/g"
+
+
+def test_bnodes(spark, parsed):
+    b = parsed.filter(F.col("subj_kind") == 1).collect()[0]
+    assert b.subj == "b1" and b.obj == "b2"
+
+
+def test_roundtrip_identity(spark, parsed):
+    lines2 = render_lines(parsed)
+    reparsed = parse_lines(lines2.withColumnRenamed("line", "value"))
+    assert parsed.exceptAll(reparsed).count() == 0
+    assert reparsed.exceptAll(parsed).count() == 0
+
+
+def test_generalized_rdf(spark):
+    # literal subject, bnode predicate, literal graph — the reference's
+    # generalized.nq shapes (StatementUtils.isGeneralized)
+    glines = [
+        '"lit subject" <http://a.com/p> <http://a.com/o> .',
+        '<http://a.com/s> _:bpred <http://a.com/o> .',
+        '<http://a.com/s> <http://a.com/p> <http://a.com/o> "lit graph" .',
+    ]
+    df = parse_lines(spark.createDataFrame([(l,) for l in glines], "value string"))
+    rows = df.collect()
+    assert rows[0].subj_kind == 2  # literal subject parsed, not rejected
+    kinds = {(r.subj_kind, r.pred_kind) for r in rows}
+    assert (0, 1) in kinds  # bnode predicate
+    assert any(r.graph_kind == 2 for r in rows if r.graph is not None)
+    # generalized predicate (P6): flags exactly these rows
+    gen = df.filter(
+        (~F.col("subj_kind").isin(0, 1))
+        | (F.col("pred_kind") != 0)
+        | (F.col("graph").isNotNull() & ~F.col("graph_kind").isin(0, 1))
+    )
+    assert gen.count() == 3
