@@ -1405,3 +1405,499 @@ def q51_jelly_frame_metrics(spark, sf_dir):
     t = doc_triples(spark, sf_dir)
     frames = encode_triples(spark, t)
     return per_frame_metrics(decode_frames(frames))
+
+
+# ---------------------------------------------------------------------------
+# Coverage extension: remaining SURVEY §2 rows (S10, P5-P7, W4, F1) plus
+# the deeper relational/analytic surface a 100 TB training-data pipeline
+# needs (multi-way broadcast joins, rollup, ranking windows, range join,
+# salted skew aggregation, JSON/date scalar batteries, embedding near-dup
+# and IVF ANN with exact oracles).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 analog: 4-way star join (fact × 3 broadcast dims), "
+    "string filter pushed to the dim scan, exact-decimal profit agg. "
+    "At scale: part/supplier/nation broadcast; lineitem never shuffles "
+    "before the partial agg.",
+)
+def q09_product_profit(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# S10: jelly-text chunking — lines accumulate into a frame until a line
+# starting the frame-close marker; boundary line belongs to the chunk it
+# closes (RdfToJelly.scala:261-291). Boundary proxy: the kg:inLang line.
+_CHUNKS_SQL = f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    lines AS (
+      SELECT subj, pred, obj, obj_kind,
+             CASE WHEN pred = 'kg:inLang' THEN 1 ELSE 0 END AS boundary,
+             ROW_NUMBER() OVER (ORDER BY subj, pred, obj, obj_kind) AS rn
+      FROM triples
+    ),
+    chunked AS (
+      SELECT boundary,
+             SUM(boundary) OVER (ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - boundary AS chunk_id
+      FROM lines
+    )
+    SELECT chunk_id, COUNT(*) AS n_lines, SUM(boundary) AS n_boundaries
+    FROM chunked GROUP BY chunk_id
+"""
+
+
+@query(
+    "q25_jellytext_chunks",
+    oracle=_CHUNKS_SQL,
+    doc="Jelly-text frame chunking (S10, RdfToJelly.scala:261-291): "
+    "cumulative-sum window over an ordered boundary flag assigns each "
+    "line to its enclosing frame — gaps-and-islands with the boundary "
+    "line closing its own chunk.",
+)
+def q25_jellytext_chunks(spark, sf_dir):
+    t = doc_triples(spark, sf_dir)
+    boundary = F.when(F.col("pred") == "kg:inLang", 1).otherwise(0)
+    w = W.orderBy("subj", "pred", "obj", "obj_kind")
+    lines = t.withColumn("boundary", boundary).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    wc = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    chunked = lines.withColumn(
+        "chunk_id", F.sum("boundary").over(wc) - F.col("boundary")
+    )
+    return chunked.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("boundary").alias("n_boundaries"),
+    )
+
+
+@query(
+    "q26_statement_flags",
+    oracle="""
+    SELECT event_id,
+           event_id % 5 AS s_kind,
+           user_id % 3 AS p_kind,
+           event_id % 4 AS o_kind,
+           (event_id // 7) % 5 AS g_kind,
+           (event_id % 5 NOT IN (0, 1, 3))
+             OR (user_id % 3 <> 0)
+             OR ((event_id // 7) % 5 NOT IN (0, 1, 4)) AS is_generalized,
+           (event_id % 5 = 3) OR (event_id % 4 = 3)
+             OR ((event_id // 7) % 5 = 3) AS is_rdf_star
+    FROM events
+    """,
+    doc="Generalized-RDF predicate (P6, StatementUtils.scala:14-21) and "
+    "RDF-star predicate (P7, :23-25) as pure boolean column exprs over "
+    "term-kind bytes (0=iri,1=bnode,2=literal,3=quoted,4=default-graph); "
+    "the flag-conformance filter of `rdf validate` (P8).",
+)
+def q26_statement_flags(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    s_kind = F.col("event_id") % 5
+    p_kind = F.col("user_id") % 3
+    o_kind = F.col("event_id") % 4
+    g_kind = F.floor(F.col("event_id") / 7) % 5
+    return ev.select(
+        "event_id",
+        s_kind.alias("s_kind"),
+        p_kind.alias("p_kind"),
+        o_kind.alias("o_kind"),
+        g_kind.alias("g_kind"),
+        (
+            ~s_kind.isin(0, 1, 3) | (p_kind != 0) | ~g_kind.isin(0, 1, 4)
+        ).alias("is_generalized"),
+        ((s_kind == 3) | (o_kind == 3) | (g_kind == 3)).alias("is_rdf_star"),
+    )
+
+
+@query(
+    "q27_empty_frame_skip",
+    oracle=f"""
+    WITH counts AS ({_FRAMES_SQL}),
+    full_range AS (
+      SELECT UNNEST(generate_series(0, (SELECT MAX(frame_index) + 3 FROM counts))) AS frame_index
+    ),
+    padded AS (
+      SELECT f.frame_index, COALESCE(c.n_rows, 0) AS n_rows
+      FROM full_range f LEFT JOIN counts c ON c.frame_index = f.frame_index
+    )
+    SELECT frame_index, n_rows,
+           frame_index = (SELECT MIN(frame_index) FROM padded WHERE n_rows > 0) AS is_first
+    FROM padded WHERE n_rows > 0
+    """,
+    doc="Empty-frame skip (P5, RdfValidate.scala:217-226) + header peek "
+    "(W4): pad the frame axis with synthetic empty frames, drop them "
+    "with a size filter, and mark the first surviving frame (the one "
+    "whose options row stage-2 validation reads).",
+)
+def q27_empty_frame_skip(spark, sf_dir):
+    counts = q13_frame_assign(spark, sf_dir).select("frame_index", "n_rows")
+    max_f = counts.agg(F.max("frame_index")).first()[0]  # W4 driver-side peek
+    full = spark.range(0, int(max_f) + 4).select(F.col("id").alias("frame_index"))
+    padded = full.join(counts, "frame_index", "left").select(
+        "frame_index", F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows")
+    )
+    nonempty = padded.filter(F.col("n_rows") > 0)
+    first_f = nonempty.agg(F.min("frame_index")).first()[0]
+    return nonempty.withColumn("is_first", F.col("frame_index") == F.lit(first_f))
+
+
+_IRIS_SQL = f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    iris AS (
+      SELECT DISTINCT iri FROM (
+        SELECT subj AS iri FROM triples
+        UNION ALL SELECT pred FROM triples
+        UNION ALL SELECT obj FROM triples WHERE obj_kind = 0
+      )
+    )
+"""
+
+
+@query(
+    "q43_prefix_split",
+    oracle=_IRIS_SQL
+    + """
+    SELECT iri,
+           regexp_extract(iri, '^(.*[/#])', 1) AS prefix,
+           regexp_replace(iri, '^(.*[/#])', '') AS local_name,
+           DENSE_RANK() OVER (ORDER BY regexp_extract(iri, '^(.*[/#])', 1)) AS prefix_id
+    FROM iris
+    """,
+    doc="IRI prefix-splitting for the Jelly prefix lookup table (F1, "
+    "RdfJellySerializationOptions.scala:33-35): greedy split at the last "
+    "/ or #, dense_rank dictionary id per distinct prefix.",
+)
+def q43_prefix_split(spark, sf_dir):
+    t = doc_triples(spark, sf_dir)
+    iris = (
+        t.select(F.col("subj").alias("iri"))
+        .unionAll(t.select("pred"))
+        .unionAll(t.filter(F.col("obj_kind") == 0).select("obj"))
+        .distinct()
+    )
+    prefix = F.regexp_extract(F.col("iri"), r"^(.*[/#])", 1)
+    return iris.select(
+        "iri",
+        prefix.alias("prefix"),
+        F.regexp_replace(F.col("iri"), r"^(.*[/#])", "").alias("local_name"),
+        F.dense_rank().over(W.orderBy(prefix)).alias("prefix_id"),
+    )
+
+
+@query(
+    "q44_embedding_neardup",
+    oracle="""
+    SELECT l.vec_id AS left_id, r.vec_id AS right_id, l.label,
+           list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cosine
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id < r.vec_id
+    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.8
+    """,
+    doc="Embedding-cosine near-duplicate pairs: label-blocked self-join "
+    "(the blocking key bounds the pair space, the 100 TB analog is an "
+    "LSH/IVF bucket), fixed-order double fold, threshold filter.",
+)
+def q44_embedding_neardup(spark, sf_dir):
+    from cli_spark.ops.simsearch import _dot, with_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    l = with_norm(
+        emb.select(F.col("vec_id").alias("left_id"), "label", F.col("embedding").alias("lv")),
+        "lv",
+    ).withColumnRenamed("_norm", "lnorm")
+    r = with_norm(
+        emb.select(F.col("vec_id").alias("right_id"), F.col("label").alias("rlabel"),
+                   F.col("embedding").alias("rv")),
+        "rv",
+    ).withColumnRenamed("_norm", "rnorm")
+    return (
+        l.join(r, (F.col("label") == F.col("rlabel")) & (F.col("left_id") < F.col("right_id")))
+        .withColumn("cosine", _dot(F.col("lv"), F.col("rv")) / (F.col("lnorm") * F.col("rnorm")))
+        .filter(F.col("cosine") >= 0.8)
+        .select("left_id", "right_id", "label", "cosine")
+    )
+
+
+_IVF_SQL = """
+    WITH centroids AS (
+      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    assign AS (
+      SELECT e.vec_id, c.cell_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                        c.cell_id) AS rnk
+      FROM embeddings e CROSS JOIN centroids c
+    )
+    SELECT vec_id, cell_id, cosine FROM assign WHERE rnk = 1
+"""
+
+
+@query(
+    "q45_ivf_assign",
+    oracle=_IVF_SQL,
+    doc="IVF index build: assign every vector to its nearest centroid "
+    "(deterministic centroid set, broadcast cross-score, argmax via "
+    "ranking window). The probe step re-ranks only inside the cell "
+    "(ops.simsearch.ivf_topk) — the corpus-scan-free ANN scale path.",
+)
+def q45_ivf_assign(spark, sf_dir):
+    from cli_spark.ops.simsearch import _dot, with_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+    )
+    e = with_norm(emb.select("vec_id", F.col("embedding").alias("ev")), "ev").withColumnRenamed("_norm", "enorm")
+    c = with_norm(cents, "cv").withColumnRenamed("_norm", "cnorm")
+    # Clamp like DuckDB's list_cosine_similarity: the self-pair's
+    # sqrt(n)*sqrt(n) can exceed the dot by 1 ulp → cosine 1+ε.
+    raw = _dot(F.col("ev"), F.col("cv")) / (F.col("enorm") * F.col("cnorm"))
+    scored = e.crossJoin(F.broadcast(c)).withColumn(
+        "cosine", F.least(F.lit(1.0), F.greatest(F.lit(-1.0), raw))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "cell_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell_id", "cosine")
+    )
+
+
+@query(
+    "q46_rank_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, rnk, drnk, qtile, prank FROM (
+      SELECT o_orderkey, o_orderpriority,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS qtile,
+             PERCENT_RANK() OVER w AS prank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rnk <= 10
+    """,
+    doc="Ranking-window battery (rank/dense_rank/ntile/percent_rank) with "
+    "deterministic tiebreak — the §2.6 top-k surface beyond row_number.",
+)
+def q46_rank_windows(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("qtile"),
+            F.percent_rank().over(w).alias("prank"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@query(
+    "q47_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CASE WHEN n_name IS NULL AND r_name IS NULL THEN 2
+                WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Hierarchical rollup (region → nation → grand total) over a "
+    "broadcast snowflake join; the A5 grouping-sets machinery on the "
+    "relational side. Partial aggregation keeps the fact-table shuffle "
+    "at |groups|, not |rows|.",
+)
+def q47_rollup_revenue(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rolled = joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        F.when(F.col("n_name").isNull() & F.col("r_name").isNull(), 2)
+        .when(F.col("n_name").isNull(), 1)
+        .otherwise(0)
+        .alias("lvl"),
+        "revenue",
+        "n_orders",
+    )
+
+
+@query(
+    "q48_range_join",
+    oracle="""
+    SELECT l.event_id,
+           COUNT(r.event_id) AS n_prior_10m,
+           COALESCE(CAST(SUM(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS prior_value
+    FROM events l
+      LEFT JOIN events r
+        ON r.user_id = l.user_id
+       AND r.ts >= l.ts - INTERVAL 10 MINUTE
+       AND r.ts < l.ts
+    GROUP BY l.event_id
+    """,
+    doc="Time-range self-join: events within a trailing 10-minute window "
+    "per user. Equi-key (user_id) carries the shuffle; the range predicate "
+    "filters inside the partition — at scale this is a bucketed/sorted "
+    "merge join, never a cross product.",
+)
+def q48_range_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    l = ev.select(F.col("event_id"), F.col("user_id"), F.col("ts"))
+    r = ev.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    joined = l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("r_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("r_event_id").alias("n_prior_10m"),
+        F.coalesce(
+            F.sum(F.col("r_value").cast("decimal(18,6)")).cast("double"), F.lit(0.0)
+        ).alias("prior_value"),
+    )
+
+
+@query(
+    "q49_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-salted two-stage aggregation: groupBy(key, salt) partial → "
+    "groupBy(key) final, provably equal to the plain groupBy (the oracle). "
+    "The mega-repo skew treatment from the north rule (J4/A7): a hot key "
+    "fans out over 16 salts before the final 5-row combine.",
+)
+def q49_salted_agg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "q52_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           length(props) AS props_len
+    FROM events
+    """,
+    doc="Semi-structured extraction (F9 family): JSON path → typed column, "
+    "fully JVM-side (get_json_object), no Python in the row path.",
+)
+def q52_json_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_bucket"),
+        F.length("props").alias("props_len"),
+    )
+
+
+@query(
+    "q53_date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_y2k
+    FROM orders
+    """,
+    doc="Date/time scalar battery (F9 family): extract/trunc/diff as "
+    "codegen-friendly column exprs.",
+)
+def q53_date_battery(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_y2k"),
+    )
