@@ -58,17 +58,19 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
         lookup = labels.select(
             F.col("node").alias("cand"), F.col("label").alias("cand_label")
         )
+        # Checkpoint BEFORE the convergence count: counting first would
+        # execute the round's joins once for the count and again for the
+        # checkpoint — doubling every round's work. After the (eager)
+        # checkpoint the count is a scan of local blocks.
         new_labels = stepped.join(lookup, "cand", "left").select(
             "node",
             F.least(F.col("cand"), F.coalesce(F.col("cand_label"), F.col("cand"))).alias(
                 "new_label"
             ),
             "label",
-        )
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select(
-            "node", F.col("new_label").alias("label")
         ).localCheckpoint()
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

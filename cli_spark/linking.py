@@ -59,49 +59,130 @@ def _perm_params(n: int = NUM_PERM) -> list[tuple[int, int]]:
     return params
 
 
-def file_shingles(repos: DataFrame) -> DataFrame:
-    """(file_iri, shingle_hash) distinct — word SHINGLE_WORDS-grams hashed
-    to 32 bits (xxhash64 & 0xFFFFFFFF keeps products within int64)."""
+def shingle_hash_arrays(repos: DataFrame) -> DataFrame:
+    """(file_iri, hs: array<long>) — per-row shingle-hash arrays.
+
+    xxhash64 over the word triple directly (no intermediate concat
+    string), reduced onto the Mersenne domain. ``words`` is materialized
+    as a real column FIRST: referencing the split expression inside the
+    transform lambda would re-evaluate the split per array element
+    (Catalyst does not CSE through higher-order functions) — quadratic
+    in document length.
+    """
     file_iri = F.format_string(
         "kg:file/%s/%s@%s", F.col("repo"), F.col("path"), F.col("commit")
     )
-    words = F.filter(F.split(F.col("content"), r"\s+"), lambda w: w != "")
+    tokenized = repos.select(
+        file_iri.alias("file_iri"),
+        F.filter(F.split(F.col("content"), r"\s+"), lambda w: w != "").alias("words"),
+    )
+    words = F.col("words")
     n = F.size(words)
-    shingles = F.when(
+    hashes = F.when(
         n >= SHINGLE_WORDS,
         F.transform(
             F.sequence(F.lit(0), n - SHINGLE_WORDS),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
+            lambda i: F.pmod(
+                F.xxhash64(
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+                F.lit(MERSENNE),
             ),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    ).otherwise(F.array(F.pmod(F.xxhash64(F.concat_ws(" ", words)), F.lit(MERSENNE))))
+    return tokenized.select("file_iri", hashes.alias("hs"))
+
+
+def file_shingles(repos: DataFrame) -> DataFrame:
+    """(file_iri, shingle_hash) distinct — exploded view of
+    :func:`shingle_hash_arrays` for Jaccard-style set ops. The minhash
+    path never uses this (MIN needs neither explode nor distinct)."""
     return (
-        repos.select(file_iri.alias("file_iri"), F.explode(shingles).alias("shingle"))
-        .select(
-            "file_iri",
-            F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE)).alias("h"),
+        shingle_hash_arrays(repos)
+        .select("file_iri", F.explode(F.array_distinct(F.col("hs"))).alias("h"))
+    )
+
+
+def _sig_expr(num_perm: int):
+    """Pure-JVM fallback: K x array_min(transform(...)) — correct but
+    interpreted per element (HOFs don't codegen), ~12x slower than the
+    Arrow path in steady state."""
+
+    def perm_min(a: int, b: int):
+        # factory keeps the lambda unary: F.transform passes (elem, idx)
+        # to multi-arg callables, which would bind the index to `a`.
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE)),
+            )
         )
-        .distinct()
-    )
+
+    return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm)])
 
 
-def minhash_signatures(repos: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(file_iri, sig: array<long>) — one shuffle, K min-aggregates."""
-    sh = file_shingles(repos)
+def _sig_udf(num_perm: int):
+    """Arrow-vectorized signature kernel: per batch, flatten the hash
+    arrays once, apply each permutation's linear map to the flat vector,
+    and segment-min with ``np.minimum.reduceat``. uint64 keeps a*h+b
+    (< 2^62) exact; every row has >=1 shingle hash so reduceat segments
+    are never empty."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
     params = _perm_params(num_perm)
-    # h < 2^31 and a < 2^31 ⇒ a*h + b < 2^63: no int64 overflow before pmod.
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE))).alias(f"s{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sigs = sh.groupBy("file_iri").agg(*aggs)
-    return sigs.select(
-        "file_iri", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
-    )
+    A = np.array([a for a, _ in params], dtype=np.uint64)
+    B = np.array([b for _, b in params], dtype=np.uint64)
+    P = np.uint64(MERSENNE)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(hs):
+        import numpy as np
+        import pandas as pd
+
+        k = len(hs)
+        if k == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=k)
+        offs = np.zeros(k, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        flat = np.concatenate([np.asarray(a, dtype=np.uint64) for a in hs])
+        mins = np.empty((num_perm, k), dtype=np.int64)
+        for j in range(num_perm):
+            m = ((A[j] * flat + B[j]) % P).astype(np.int64)
+            mins[j] = np.minimum.reduceat(m, offs)
+        return pd.Series(list(mins.T))
+
+    return sig_udf
+
+
+def minhash_signatures(
+    repos: DataFrame, num_perm: int = NUM_PERM, engine: str = "arrow"
+) -> DataFrame:
+    """(file_iri, sig: array<long>) — **zero-shuffle** narrow map.
+
+    MinHash is a per-document reduction, so instead of exploding
+    (file, shingle) pairs and groupBy-min-aggregating them (a 10M-row
+    shuffle at 20k files; unbounded at 100 TB), the whole signature is
+    computed row-local: shingle hashes as a per-row array
+    (:func:`shingle_hash_arrays`), then the K permutation-mins in one
+    Arrow batch kernel (``engine="arrow"``, default — the north-star's
+    "vectorized pandas/Arrow UDFs" path) or as pure JVM array exprs
+    (``engine="expr"``). Duplicate shingles are harmless under MIN, so
+    no ``distinct()`` shuffle either. Both engines are bit-identical:
+    uint64 arithmetic is exact for a*h+b < 2^62.
+
+    Replaces the reference's sequential per-stream dictionary/encoder
+    state (RdfToJelly.scala:130-199) shape with stateless per-row
+    sketches — no shuffle, no skew, no cross-partition state.
+    """
+    base = shingle_hash_arrays(repos)
+    if engine == "arrow":
+        return base.select("file_iri", _sig_udf(num_perm)(F.col("hs")).alias("sig"))
+    return base.select("file_iri", _sig_expr(num_perm).alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
@@ -162,11 +243,13 @@ def score_pairs(
     )
 
 
-def link_near_dup_files(repos: DataFrame, threshold: float = 0.7) -> DataFrame:
+def link_near_dup_files(
+    repos: DataFrame, threshold: float = 0.7, engine: str = "arrow"
+) -> DataFrame:
     """sameAs triples between near-duplicate files (FIXTURES.md clones)."""
     # Signatures feed both the banding join and the scoring join —
-    # persist so the shingle explosion runs once (spills to disk at scale).
-    sigs = minhash_signatures(repos).persist()
+    # persist so the signature kernel runs once (spills to disk at scale).
+    sigs = minhash_signatures(repos, engine=engine).persist()
     pairs = score_pairs(lsh_candidate_pairs(sigs), sigs, threshold)
     return pairs.select(
         F.col("left_iri").alias("subj"),

@@ -70,6 +70,10 @@ def run_kg_pipeline(
 ) -> int:
     """extract → link → canonicalize; returns total triples produced
     (canonical triples + sameAs edges), the north-rule throughput unit."""
+    # The source table feeds extract, both linkers, and the lineage
+    # check — persist it once (the cluster analog is the Iceberg scan's
+    # data locality; recomputing a synthetic generator 3× is pure waste).
+    repos = repos.persist()
     triples = run_stage(
         spark,
         workdir,

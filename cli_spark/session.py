@@ -57,3 +57,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warmup_python_workers(spark: SparkSession, partitions: int | None = None) -> None:
+    """Spawn + warm the per-core Python UDF workers (numpy/pandas import,
+    Arrow codepaths) with a trivial vectorized UDF job.
+
+    On a long-lived cluster the daemon workers are reused across jobs, so
+    the ~0.4 s/core spawn cost amortizes to nothing; in a cold local
+    benchmark it would otherwise land inside the first measured stage.
+    The analog of the reference's JVM-warmup note (README.md:138-142:
+    JIT JAR beats AOT binary on bulk jobs — warm engines win).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inference rejects
+    @F.pandas_udf("long")
+    def _noop(v):
+        import numpy as np  # exercised so executors pre-import it
+
+        return pd.Series(np.asarray(v, dtype=np.int64))
+
+    n = partitions or spark.sparkContext.defaultParallelism
+    spark.range(n * 4, numPartitions=n).select(_noop("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
