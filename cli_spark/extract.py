@@ -19,9 +19,9 @@ Two interchangeable engines, identical output:
   walks; the regex set here is the stand-in for that logic.
 
 Output schema (FIXTURES.md §2): subj, pred, obj, obj_kind, graph,
-src_repo, src_path, src_commit. Triples are set-semantics (dedup),
-matching Jena's DatasetGraph-is-a-set behavior
-(StreamRdfBatchWriter.scala:18-19).
+src_repo, src_path, src_commit. Triples are set-semantics, matching
+Jena's DatasetGraph-is-a-set behavior (StreamRdfBatchWriter.scala:18-19)
+— enforced row-locally (see extract_triples), not with a global shuffle.
 """
 
 from __future__ import annotations
@@ -98,7 +98,9 @@ def _mentions_sql(repos: DataFrame) -> DataFrame:
     per_lang = []
     for lang, patterns in LANG_PATTERNS.items():
         arrays = [one_pattern(mtype, rx) for mtype, rx in patterns]
-        per_lang.append((lang, F.concat(*arrays)))
+        # per-row dedup (array_distinct) — set semantics without a
+        # shuffle; see extract_triples for why row-local is sufficient
+        per_lang.append((lang, F.array_distinct(F.concat(*arrays))))
     mentions_col = None
     for lang, arr in per_lang:
         clause = F.when(F.col("lang") == lang, arr)
@@ -131,6 +133,7 @@ def _mentions_pandas(repos: DataFrame) -> DataFrame:
                 sub = pdf[pdf["lang"] == lang]
                 if sub.empty:
                     continue
+                sub_outs = []
                 for mtype, rx in patterns:
                     # findall is vectorized across the batch (Python re
                     # honors the inline (?m) flag); explode flattens the
@@ -140,9 +143,14 @@ def _mentions_pandas(repos: DataFrame) -> DataFrame:
                     frame["name"] = hits
                     frame = frame.explode("name").dropna(subset=["name"])
                     frame["mention_type"] = mtype
-                    outs.append(
+                    sub_outs.append(
                         frame[["repo", "path", "commit", "lang", "mention_type", "name"]]
                     )
+                # row-local set semantics, mirroring the SQL engine's
+                # array_distinct (provenance keys make rows independent)
+                outs.append(
+                    pd.concat(sub_outs, ignore_index=True).drop_duplicates()
+                )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
             else:
@@ -226,7 +234,13 @@ def extract_triples(repos: DataFrame, engine: str = "sql") -> DataFrame:
         F.col("path").alias("src_path"),
         F.col("commit").alias("src_commit"),
     )
-    out = meta.unionByName(mention_triples).dropDuplicates(
-        ["subj", "pred", "obj", "src_repo", "src_path", "src_commit"]
-    )
+    # Set semantics WITHOUT a global dropDuplicates shuffle: every triple
+    # carries (src_repo, src_path, src_commit), and that provenance key is
+    # unique per source row — so duplicates can only arise within one row
+    # (a mention matched twice in the same file). Those are removed
+    # row-locally (array_distinct in the SQL engine, drop_duplicates per
+    # sub-batch in the pandas engine), which makes extraction a pure
+    # narrow map: at corpus scale this is the difference between
+    # shuffling the whole triple table once and not shuffling at all.
+    out = meta.unionByName(mention_triples)
     return out.withColumn("graph", F.format_string("kg:graph/%s", F.col("src_repo")))

