@@ -6,8 +6,11 @@ headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR       parquet dir for the query battery (default sf0.1)
-  SPARK_GRAFT_CPUS         local[] parallelism (default 32)
-  SPARK_GRAFT_BENCH_FILES  synthetic corpus size for the KG pipeline (default 20000)
+  SPARK_GRAFT_CPUS         local[] parallelism (default 16: this host
+                           advertises 32 vCPUs but saturates ~16 — the
+                           same pipeline measures 70.6k t/s at 16 vs
+                           40.1k at 32 on the 100k-file corpus)
+  SPARK_GRAFT_BENCH_FILES  synthetic corpus size for the KG pipeline (default 100000)
 
 Usage: python bench.py            # one JSON line on stdout
        python bench.py --scaling  # also run the two-parallelism scaling probe
@@ -72,8 +75,8 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
     from cli_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "20000"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
     spark = get_spark("bench", master=master or f"local[{cpus}]")
 
     # Warm pass at the smallest SF: first-query time otherwise includes
@@ -116,7 +119,7 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
     return result
 
 
-def _scaling_leg(n: int, n_files: int) -> dict:
+def _scaling_leg(master: str, label: str, cores: int, n_files: int) -> dict:
     """One probe leg in a fresh subprocess: a reused driver JVM carries
     heap/cache state from the previous leg and contaminates the second
     measurement (observed 2-3x swings when both legs share a process)."""
@@ -126,7 +129,9 @@ def _scaling_leg(n: int, n_files: int) -> dict:
         "import json, sys\n"
         "from cli_spark.session import get_spark\n"
         "from bench import run_pipeline\n"
-        f"spark = get_spark('scale_{n}', master='local[{n}]', shuffle_partitions={n})\n"
+        f"extra = {{'spark.executor.memory': '8g'}} if 'local-cluster' in {master!r} else {{}}\n"
+        f"spark = get_spark({label!r}, master={master!r}, shuffle_partitions={cores},\n"
+        "                  extra_conf=extra)\n"
         f"nt, sec = run_pipeline(spark, {n_files})\n"
         "print(json.dumps({'n_triples': nt, 'seconds': round(sec, 3),\n"
         "                  'triples_per_sec': round(nt / sec, 1)}))\n"
@@ -143,26 +148,47 @@ def _scaling_leg(n: int, n_files: int) -> dict:
 
 
 def scaling_probe() -> dict:
-    """North-rule scaling evidence: the same job at N and 4N cores.
+    """North-rule scaling evidence: the same job at N and 4N executors.
 
-    Defaults to local[4] vs local[16] (SPARK_GRAFT_SCALE_LEGS=4,16):
-    this sandbox advertises 32 vCPUs but a pure-CPU probe saturates at
-    ~16 concurrent workers (shared host), so 8-vs-32 measures host
-    contention, not the job. 4-vs-16 stays inside the linear range where
-    the hardware itself delivers ~0.9 efficiency. The corpus size for
-    the probe defaults higher than the throughput bench: scaling
-    efficiency is only meaningful when per-stage compute dominates the
-    fixed driver/job-scheduling overhead (~15 s across the 5 stages).
+    Default mode spawns REAL separate executor JVMs via Spark's
+    local-cluster master — `local-cluster[N,2,8192]` = N executors x
+    2 cores x 8g — because a single shared JVM (plain local[K]) caps
+    measured scaling at ~0.55: all K task threads contend on one heap,
+    one GC, one allocation path, which no real cluster does. Executor
+    counts come from SPARK_GRAFT_SCALE_LEGS (default "1,4" = N and 4N);
+    SPARK_GRAFT_SCALE_MODE=threads switches back to single-JVM local[K]
+    legs for comparison. Legs above 4 executors (8 concurrent cores)
+    would exceed this sandbox's linear range: a pure-CPU probe scales
+    0.90 up to ~16 concurrent workers and saturates beyond, so the
+    4-executor leg is the largest honest 4N on this host. The probe
+    corpus (SPARK_GRAFT_SCALE_FILES, default 500k files) keeps
+    per-stage compute dominant over the ~15 s fixed driver latency.
     """
     legs = [
         int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALE_LEGS", "4,16").split(",")
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEGS", "1,4").split(",")
     ]
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
+    cores_per_exec = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "2"))
     n_files = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "500000"))
     out = {}
+    names = []
     for n in legs:
-        out[f"local[{n}]"] = {**_scaling_leg(n, n_files), "n_files": n_files}
-    lo, hi = f"local[{legs[0]}]", f"local[{legs[-1]}]"
+        if mode == "executors":
+            master = f"local-cluster[{n},{cores_per_exec},8192]"
+            name = f"{n}x{cores_per_exec}-executors"
+            cores = n * cores_per_exec
+        else:
+            master = f"local[{n}]"
+            name = f"local[{n}]"
+            cores = n
+        names.append(name)
+        out[name] = {
+            **_scaling_leg(master, f"scale_{n}", cores, n_files),
+            "n_files": n_files,
+            "master": master,
+        }
+    lo, hi = names[0], names[-1]
     ratio = legs[-1] / legs[0]
     eff = (out[hi]["triples_per_sec"] / out[lo]["triples_per_sec"]) / ratio
     out[f"scaling_efficiency_{legs[0]}_to_{legs[-1]}"] = round(eff, 3)

@@ -96,7 +96,8 @@ def encode_rows_to_frame(rows: list[tuple]) -> bytes:
         _write_varint(body, kind)
         if kind == KIND_OPTIONS:
             _write_varint(body, VERSION)
-            _write_varint(body, PHYSICAL_TRIPLES)
+            # physical type rides in the s_id slot (TRIPLES when absent)
+            _write_varint(body, PHYSICAL_TRIPLES if s_id is None else s_id)
             _write_varint(body, MAX_NAME_TABLE)
         elif kind == KIND_TRIPLE:
             _write_varint(body, s_id)
@@ -108,6 +109,10 @@ def encode_rows_to_frame(rows: list[tuple]) -> bytes:
             _write_varint(body, name_id)
             _write_varint(body, len(raw))
             body.write(raw)
+        elif kind == KIND_GRAPH_START:
+            _write_varint(body, name_id)  # graph term's dictionary id
+        elif kind == KIND_GRAPH_END:
+            pass  # no payload (MetricsPrinter.scala:69-82 row taxonomy)
         else:
             raise ValueError(f"unknown row kind {kind}")
         payload = body.getvalue()
@@ -144,6 +149,11 @@ def decode_frame(data: bytes) -> list[tuple]:
             name = data[pos : pos + nlen].decode("utf-8")
             pos += nlen
             rows.append((KIND_NAME, None, None, None, None, name_id, name))
+        elif kind == KIND_GRAPH_START:
+            name_id, pos = _read_varint(data, pos)
+            rows.append((KIND_GRAPH_START, None, None, None, None, name_id, None))
+        elif kind == KIND_GRAPH_END:
+            rows.append((KIND_GRAPH_END, None, None, None, None, None, None))
         else:
             raise ValueError(f"unknown row kind {kind}")
         if pos != end:
@@ -454,3 +464,242 @@ def decode_triples(
 def roundtrip(spark: SparkSession, triples: DataFrame, **kw) -> DataFrame:
     """encode → decode, for equivalence gates (SURVEY §5 pillar 2)."""
     return decode_triples(decode_frames(encode_triples(spark, triples, **kw)))
+
+
+# ---------------------------------------------------------------------------
+# GRAPHS physical type (S16): graph-run boundary encoding
+# ---------------------------------------------------------------------------
+
+PHYSICAL_GRAPHS = 3
+KIND_GRAPH_START = 5
+KIND_GRAPH_END = 6
+DEFAULT_GRAPH = ""  # encoded like any term; empty string = default graph
+
+
+def encode_quads_graphs(
+    spark: SparkSession,
+    quads: DataFrame,
+    rows_per_frame: int = ROWS_PER_FRAME,
+    max_name_table: int = MAX_NAME_TABLE,
+) -> DataFrame:
+    """quads(subj, pred, obj, obj_kind, graph nullable) → frames, GRAPHS
+    physical type (JellyStreamWriterGraphs.scala:19-95): statements are
+    grouped into graph RUNS delimited by GraphStart(name)/GraphEnd rows;
+    triple rows inside a run carry no graph term.
+
+    The reference detects runs with sequential encoder state (`lastGraph`
+    compare, :57-72); here the stream is ordered (graph, s, p, o) so runs
+    are contiguous by construction, and the boundary rows fall out of a
+    groupBy over (seg, graph) — min/max row number per run — instead of a
+    row-at-a-time state machine. Dictionary, segmenting, and frame
+    assignment are shared with the TRIPLES encoder.
+    """
+    seg_rows = max(
+        rows_per_frame, (max_name_table // 4) // rows_per_frame * rows_per_frame
+    )
+    from .order import global_row_number
+
+    g = F.coalesce(F.col("graph"), F.lit(DEFAULT_GRAPH))
+    base = quads.select(
+        "subj", "pred", "obj", "obj_kind", g.alias("graph")
+    ).dropDuplicates()
+    ordered = global_row_number(
+        base, ["graph", "subj", "pred", "obj", "obj_kind"]
+    ).withColumn("seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long"))
+
+    # dictionary covers graph names too (4 terms per statement)
+    terms = (
+        ordered.select(
+            "seg",
+            F.col("rn"),
+            F.explode(F.array("subj", "pred", "obj", "graph")).alias("term"),
+        )
+        .groupBy("seg", "term")
+        .agg(F.min("rn").alias("first_rn"))
+    )
+    wseg = W.partitionBy("seg").orderBy("first_rn", "term")
+    dictionary = terms.withColumn("term_id", F.dense_rank().over(wseg)).persist()
+
+    frame_of = lambda rn: F.floor((rn - 1) / rows_per_frame).cast("long")  # noqa: E731
+    # sort_key leaves room around each statement: name entries at -5,
+    # GraphStart at -2, the triple at 0, GraphEnd at +1.
+    skey = lambda rn, off: (rn * 10 + off).cast("long")  # noqa: E731
+
+    d = dictionary
+    null_cols = [
+        F.lit(None).cast("long").alias("s_id"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("o_id"),
+        F.lit(None).cast("int").alias("o_kind"),
+    ]
+    trip_rows = (
+        ordered.join(
+            d.select("seg", F.col("term").alias("subj"), F.col("term_id").alias("s_id")),
+            ["seg", "subj"],
+        )
+        .join(
+            d.select("seg", F.col("term").alias("pred"), F.col("term_id").alias("p_id")),
+            ["seg", "pred"],
+        )
+        .join(
+            d.select("seg", F.col("term").alias("obj"), F.col("term_id").alias("o_id")),
+            ["seg", "obj"],
+        )
+        .select(
+            "seg",
+            frame_of(F.col("rn")).alias("frame_index"),
+            skey(F.col("rn"), 0).alias("sort_key"),
+            F.lit(KIND_TRIPLE).alias("row_kind"),
+            "s_id",
+            "p_id",
+            "o_id",
+            F.col("obj_kind").alias("o_kind"),
+            F.lit(None).cast("long").alias("name_id"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    name_rows = dictionary.select(
+        "seg",
+        frame_of(F.col("first_rn")).alias("frame_index"),
+        skey(F.col("first_rn"), -5).alias("sort_key"),
+        F.lit(KIND_NAME).alias("row_kind"),
+        *null_cols,
+        F.col("term_id").alias("name_id"),
+        F.col("term").alias("name"),
+    )
+    # graph runs: contiguous by construction within a segment
+    runs = ordered.groupBy("seg", "graph").agg(
+        F.min("rn").alias("run_start"), F.max("rn").alias("run_end")
+    )
+    gdict = d.select(
+        "seg", F.col("term").alias("graph"), F.col("term_id").alias("gid")
+    )
+    start_rows = (
+        runs.join(gdict, ["seg", "graph"])
+        .select(
+            "seg",
+            frame_of(F.col("run_start")).alias("frame_index"),
+            skey(F.col("run_start"), -2).alias("sort_key"),
+            F.lit(KIND_GRAPH_START).alias("row_kind"),
+            *null_cols,
+            F.col("gid").alias("name_id"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    end_rows = runs.select(
+        "seg",
+        frame_of(F.col("run_end")).alias("frame_index"),
+        skey(F.col("run_end"), 1).alias("sort_key"),
+        F.lit(KIND_GRAPH_END).alias("row_kind"),
+        *null_cols,
+        F.lit(None).cast("long").alias("name_id"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    options_rows = (
+        ordered.groupBy("seg")
+        .agg(F.min("rn").alias("first"))
+        .select(
+            "seg",
+            frame_of(F.col("first")).alias("frame_index"),
+            F.lit(0).cast("long").alias("sort_key"),
+            F.lit(KIND_OPTIONS).alias("row_kind"),
+            F.lit(PHYSICAL_GRAPHS).cast("long").alias("s_id"),  # physical type
+            F.lit(None).cast("long").alias("p_id"),
+            F.lit(None).cast("long").alias("o_id"),
+            F.lit(None).cast("int").alias("o_kind"),
+            F.lit(None).cast("long").alias("name_id"),
+            F.lit(None).cast("string").alias("name"),
+        )
+    )
+    all_rows = (
+        options_rows.unionByName(name_rows)
+        .unionByName(start_rows)
+        .unionByName(trip_rows)
+        .unionByName(end_rows)
+    )
+
+    def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values(["sort_key", "row_kind"], ascending=[True, False])
+        rows = [
+            (
+                int(r.row_kind),
+                None if pd.isna(r.s_id) else int(r.s_id),
+                None if pd.isna(r.p_id) else int(r.p_id),
+                None if pd.isna(r.o_id) else int(r.o_id),
+                None if pd.isna(r.o_kind) else int(r.o_kind),
+                None if pd.isna(r.name_id) else int(r.name_id),
+                r.name,
+            )
+            for r in pdf.itertuples()
+        ]
+        frame = encode_rows_to_frame(rows)
+        return pd.DataFrame(
+            {
+                "seg": [int(pdf.seg.iloc[0])],
+                "frame_index": [int(pdf.frame_index.iloc[0])],
+                "n_rows": [len(rows)],
+                "frame_bytes": [frame],
+            }
+        )
+
+    return all_rows.groupBy("seg", "frame_index").applyInPandas(
+        encode_group, FRAME_SCHEMA
+    )
+
+
+def decode_quads_graphs(rows: DataFrame) -> DataFrame:
+    """GRAPHS row table → quads: each triple takes the graph of the most
+    recent GraphStart marker in stream order — the reference's decoder
+    state (`currentGraph`) expressed as a `last(..., ignorenulls)` window
+    per segment (W3's inverse). GraphEnd rows need no handling: the next
+    run always opens with its own GraphStart before any triple."""
+    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
+        rows = assign_segments(rows)
+    dictionary = (
+        rows.filter(F.col("row_kind") == KIND_NAME)
+        .select("seg", F.col("name_id").alias("term_id"), F.col("name").alias("term"))
+        .dropDuplicates(["seg", "term_id"])
+    )
+    w = W.partitionBy("seg").orderBy("frame_index", "row_pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    with_gid = rows.withColumn(
+        "gid",
+        F.last(
+            F.when(F.col("row_kind") == KIND_GRAPH_START, F.col("name_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    trips = with_gid.filter(F.col("row_kind") == KIND_TRIPLE)
+    d = dictionary
+    out = (
+        trips.join(
+            d.select("seg", F.col("term_id").alias("s_id"), F.col("term").alias("subj")),
+            ["seg", "s_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("p_id"), F.col("term").alias("pred")),
+            ["seg", "p_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
+            ["seg", "o_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("gid"), F.col("term").alias("graph")),
+            ["seg", "gid"],
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("o_kind").alias("obj_kind"),
+            F.when(F.col("graph") == DEFAULT_GRAPH, F.lit(None)).otherwise(
+                F.col("graph")
+            ).alias("graph"),
+            "frame_index",
+        )
+    )
+    return out

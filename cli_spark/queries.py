@@ -1997,3 +1997,144 @@ def q56_bnode_canonical(spark, sf_dir):
     )
     triples = t1.unionByName(t2).withColumn("graph", F.lit(None).cast("string"))
     return canonicalize_bnodes(triples)
+
+
+@query(
+    "q57_tumbling_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time windows (§2.9): the batch twin of the "
+    "Structured Streaming path (cli_spark.streaming.windowed_event_counts "
+    "runs the same plan over readStream with a watermark).",
+)
+def q57_tumbling_windows(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "n_users", "total_value")
+    )
+
+
+@query(
+    "q58_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 analog: distinct-aggregate over a broadcast-dim join "
+    "with a NOT-IN (anti-join) exclusion list — the distinct-agg +"
+    " anti-join surface in one plan.",
+)
+def q58_supplier_part_counts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q59_above_avg_balance",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name,
+           CAST(s_acctbal AS DOUBLE) AS acctbal,
+           nation_avg
+    FROM (
+      SELECT s.*, n.n_name,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS nation_avg
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WINDOW w AS (PARTITION BY s_nationkey)
+    )
+    WHERE CAST(s_acctbal AS DOUBLE) > nation_avg
+    """,
+    doc="Correlated 'above group average' filter decorrelated into an "
+    "analytic window — the subquery-decorrelation pattern Catalyst "
+    "applies, written explicitly; exact-decimal average.",
+)
+def q59_above_avg_balance(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    w = W.partitionBy("s_nationkey")
+    # exact-decimal sum cast to double, then one double division —
+    # bit-identical in both engines (decimal AVG rounds differently)
+    nation_avg = (
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).withColumn(
+        "nation_avg", nation_avg
+    )
+    return joined.filter(
+        F.col("s_acctbal").cast("double") > F.col("nation_avg")
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        "nation_avg",
+    )
+
+
+_QUADS_SQL = """
+    SELECT DISTINCT 'kg:doc/' || doc_id AS subj,
+           'kg:inLang' AS pred,
+           lang AS obj,
+           2 AS obj_kind,
+           CASE WHEN source = 'web' THEN NULL ELSE 'kg:graph/' || source END AS graph
+    FROM documents
+"""
+
+
+@query(
+    "q60_graphs_roundtrip",
+    oracle=_QUADS_SQL,
+    doc="GRAPHS physical type round-trip (S16, "
+    "JellyStreamWriterGraphs.scala:19-95): quads → graph-run frames "
+    "(GraphStart/GraphEnd boundary rows from a groupBy over contiguous "
+    "runs) → stateful decode via last-marker window; oracle is the "
+    "original quad set with NULL = default graph.",
+)
+def q60_graphs_roundtrip(spark, sf_dir):
+    from cli_spark.jelly import decode_frames, decode_quads_graphs, encode_quads_graphs
+
+    d = load(spark, sf_dir, "documents")
+    quads = d.select(
+        F.format_string("kg:doc/%d", F.col("doc_id")).alias("subj"),
+        F.lit("kg:inLang").alias("pred"),
+        F.col("lang").alias("obj"),
+        F.lit(2).alias("obj_kind"),
+        F.when(F.col("source") == "web", F.lit(None)).otherwise(
+            F.concat(F.lit("kg:graph/"), F.col("source"))
+        ).alias("graph"),
+    ).distinct()
+    frames = encode_quads_graphs(spark, quads, rows_per_frame=64)
+    return decode_quads_graphs(decode_frames(frames)).select(
+        "subj", "pred", "obj", "obj_kind", "graph"
+    )

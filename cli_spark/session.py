@@ -29,7 +29,7 @@ def get_spark(
     on a real cluster the same code path is driven by ``spark-submit``
     (master comes from the submit command, not from here).
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")  # host saturates ~16 runners (BENCH.md)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)

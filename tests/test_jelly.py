@@ -125,3 +125,54 @@ def test_varint_edge_values():
         _write_varint(buf, v)
         out, pos = _read_varint(buf.getvalue(), 0)
         assert out == v and pos == len(buf.getvalue())
+
+
+def test_graphs_physical_roundtrip(spark):
+    """S16: quads → GRAPHS frames (GraphStart/GraphEnd run boundaries) →
+    decode recovers every quad including default-graph rows."""
+    quads = spark.createDataFrame(
+        [
+            ("s1", "p", "o1", 0, None),           # default graph
+            ("s2", "p", "o2", 0, None),
+            ("s1", "p", "lit", 2, "kg:graph/a"),
+            ("s3", "p", "o3", 0, "kg:graph/a"),
+            ("s4", "p", "o4", 0, "kg:graph/b"),
+        ],
+        "subj string, pred string, obj string, obj_kind int, graph string",
+    )
+    frames = J.encode_quads_graphs(spark, quads, rows_per_frame=4)
+    rows = J.decode_frames(frames).cache()
+    # stream structure: one options row, one GraphStart/End pair per run
+    kinds = {r.row_kind for r in rows.select("row_kind").distinct().collect()}
+    assert J.KIND_GRAPH_START in kinds and J.KIND_GRAPH_END in kinds
+    starts = rows.filter(F.col("row_kind") == J.KIND_GRAPH_START).count()
+    ends = rows.filter(F.col("row_kind") == J.KIND_GRAPH_END).count()
+    assert starts == 3 and ends == 3  # default, a, b
+    out = J.decode_quads_graphs(rows)
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_kind, r.graph)
+        for r in out.collect()
+    }
+    want = {
+        ("s1", "p", "o1", 0, None),
+        ("s2", "p", "o2", 0, None),
+        ("s1", "p", "lit", 2, "kg:graph/a"),
+        ("s3", "p", "o3", 0, "kg:graph/a"),
+        ("s4", "p", "o4", 0, "kg:graph/b"),
+    }
+    assert got == want
+
+
+def test_graphs_runs_span_frames(spark):
+    """Graph state must survive frame boundaries: 40 quads in one graph
+    with rows_per_frame=8 ⇒ the run spans ≥5 frames, later frames carry
+    no GraphStart of their own."""
+    quads = spark.createDataFrame(
+        [(f"s{i:02d}", "p", f"o{i}", 0, "kg:graph/only") for i in range(40)],
+        "subj string, pred string, obj string, obj_kind int, graph string",
+    )
+    frames = J.encode_quads_graphs(spark, quads, rows_per_frame=8)
+    rows = J.decode_frames(frames)
+    out = J.decode_quads_graphs(rows)
+    assert out.count() == 40
+    assert out.filter(F.col("graph") == "kg:graph/only").count() == 40
