@@ -18,7 +18,11 @@ def per_frame_metrics(rows: DataFrame, use_size: bool = False) -> DataFrame:
     if use_size:
         weight = (
             F.when(F.col("row_kind") == KIND_NAME, F.length(F.coalesce("name", F.lit(""))) + 4)
-            .when(F.col("row_kind") == KIND_TRIPLE, F.lit(16))
+            .when(
+                F.col("row_kind") == KIND_TRIPLE,
+                # 4 ref varints + o_kind + dt ref + langtag bytes
+                F.lit(16) + F.length(F.coalesce("lang", F.lit(""))) + 2,
+            )
             .otherwise(F.lit(8))
         )
     else:

@@ -53,11 +53,14 @@ VERSION = 1
 KIND_OPTIONS = 1
 KIND_TRIPLE = 2
 KIND_NAME = 4
+KIND_DATATYPE = 7  # datatype lookup-table entry (3rd dictionary, S4)
+MAX_DT_TABLE = 256
 
 FRAME_SCHEMA = "seg long, frame_index long, n_rows int, frame_bytes binary"
 ROW_SCHEMA = (
     "seg long, frame_index long, row_pos int, row_kind int, "
-    "s_id long, p_id long, o_id long, o_kind int, name_id long, name string"
+    "s_id long, p_id long, o_id long, o_kind int, name_id long, name string, "
+    "dt_id long, lang string"
 )
 
 
@@ -89,9 +92,13 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def encode_rows_to_frame(rows: list[tuple]) -> bytes:
-    """rows: (row_kind, s_id, p_id, o_id, o_kind, name_id, name)."""
+    """rows: (row_kind, s_id, p_id, o_id, o_kind, name_id, name,
+    dt_id, lang). Legacy 7-tuples are padded (no datatype/langtag)."""
     buf = io.BytesIO()
-    for kind, s_id, p_id, o_id, o_kind, name_id, name in rows:
+    for row in rows:
+        if len(row) == 7:
+            row = row + (None, None)
+        kind, s_id, p_id, o_id, o_kind, name_id, name, dt_id, lang = row
         body = io.BytesIO()
         _write_varint(body, kind)
         if kind == KIND_OPTIONS:
@@ -104,7 +111,13 @@ def encode_rows_to_frame(rows: list[tuple]) -> bytes:
             _write_varint(body, p_id)
             _write_varint(body, o_id)
             _write_varint(body, o_kind)
-        elif kind == KIND_NAME:
+            # datatype table ref (0 = none) + inline langtag (reference
+            # keeps langtags inline too; only IRIs are dictionary-worthy)
+            _write_varint(body, 0 if dt_id is None else dt_id)
+            lraw = (lang or "").encode("utf-8")
+            _write_varint(body, len(lraw))
+            body.write(lraw)
+        elif kind in (KIND_NAME, KIND_DATATYPE):
             raw = name.encode("utf-8")
             _write_varint(body, name_id)
             _write_varint(body, len(raw))
@@ -136,24 +149,33 @@ def decode_frame(data: bytes) -> list[tuple]:
             ver, pos = _read_varint(data, pos)
             phys, pos = _read_varint(data, pos)
             max_name, pos = _read_varint(data, pos)
-            rows.append((KIND_OPTIONS, ver, phys, max_name, None, None, None))
+            rows.append((KIND_OPTIONS, ver, phys, max_name, None, None, None, None, None))
         elif kind == KIND_TRIPLE:
             s_id, pos = _read_varint(data, pos)
             p_id, pos = _read_varint(data, pos)
             o_id, pos = _read_varint(data, pos)
             o_kind, pos = _read_varint(data, pos)
-            rows.append((KIND_TRIPLE, s_id, p_id, o_id, o_kind, None, None))
-        elif kind == KIND_NAME:
+            dt_id, pos = _read_varint(data, pos)
+            llen, pos = _read_varint(data, pos)
+            lang = data[pos : pos + llen].decode("utf-8") if llen else None
+            pos += llen
+            rows.append(
+                (KIND_TRIPLE, s_id, p_id, o_id, o_kind, None, None,
+                 dt_id or None, lang)
+            )
+        elif kind in (KIND_NAME, KIND_DATATYPE):
             name_id, pos = _read_varint(data, pos)
             nlen, pos = _read_varint(data, pos)
             name = data[pos : pos + nlen].decode("utf-8")
             pos += nlen
-            rows.append((KIND_NAME, None, None, None, None, name_id, name))
+            rows.append((kind, None, None, None, None, name_id, name, None, None))
         elif kind == KIND_GRAPH_START:
             name_id, pos = _read_varint(data, pos)
-            rows.append((KIND_GRAPH_START, None, None, None, None, name_id, None))
+            rows.append(
+                (KIND_GRAPH_START, None, None, None, None, name_id, None, None, None)
+            )
         elif kind == KIND_GRAPH_END:
-            rows.append((KIND_GRAPH_END, None, None, None, None, None, None))
+            rows.append((KIND_GRAPH_END, None, None, None, None, None, None, None, None))
         else:
             raise ValueError(f"unknown row kind {kind}")
         if pos != end:
@@ -211,11 +233,36 @@ def encode_triples(
     seg_rows = max(rows_per_frame, (max_name_table // 3) // rows_per_frame * rows_per_frame)
     from .order import global_row_number
 
+    # optional literal metadata columns (datatype table + inline langtag)
+    has_dt = "obj_datatype" in triples.columns
+    has_lang = "obj_lang" in triples.columns
+    cols = [
+        F.col("subj"),
+        F.col("pred"),
+        F.col("obj"),
+        F.col("obj_kind"),
+        (F.col("obj_datatype") if has_dt else F.lit(None).cast("string")).alias(
+            "obj_datatype"
+        ),
+        (F.col("obj_lang") if has_lang else F.lit(None).cast("string")).alias(
+            "obj_lang"
+        ),
+    ]
     ordered = global_row_number(
-        triples.select("subj", "pred", "obj", "obj_kind").dropDuplicates(),
-        ["subj", "pred", "obj", "obj_kind"],
+        triples.select(*cols).dropDuplicates(),
+        ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"],
     ).withColumn("seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long"))
     dictionary = build_dictionary(ordered, max_name_table).persist()
+    # datatype lookup table (3rd dictionary, bounded like the name table)
+    dt_dict = (
+        ordered.filter(F.col("obj_datatype").isNotNull())
+        .groupBy("seg", "obj_datatype")
+        .agg(F.min("rn").alias("first_rn"))
+        .withColumn(
+            "dt_id",
+            F.dense_rank().over(W.partitionBy("seg").orderBy("first_rn", "obj_datatype")),
+        )
+    )
     frame_of = lambda rn: F.floor((rn - 1) / rows_per_frame).cast("long")  # noqa: E731
 
     d = dictionary
@@ -232,6 +279,15 @@ def encode_triples(
             d.select("seg", F.col("term").alias("obj"), F.col("term_id").alias("o_id")),
             ["seg", "obj"],
         )
+        .join(
+            dt_dict.select(
+                "seg",
+                F.col("obj_datatype"),
+                F.col("dt_id").alias("o_dt_id"),
+            ),
+            ["seg", "obj_datatype"],
+            "left",
+        )
         .select(
             "seg",
             frame_of(F.col("rn")).alias("frame_index"),
@@ -243,6 +299,8 @@ def encode_triples(
             F.col("obj_kind").alias("o_kind"),
             F.lit(None).cast("long").alias("name_id"),
             F.lit(None).cast("string").alias("name"),
+            F.col("o_dt_id").alias("dt_id"),
+            F.col("obj_lang").alias("lang"),
         )
     )
     name_rows = dictionary.select(
@@ -256,6 +314,22 @@ def encode_triples(
         F.lit(None).cast("int").alias("o_kind"),
         F.col("term_id").alias("name_id"),
         F.col("term").alias("name"),
+        F.lit(None).cast("long").alias("dt_id"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    dt_rows = dt_dict.select(
+        "seg",
+        frame_of(F.col("first_rn")).alias("frame_index"),
+        F.col("first_rn").alias("sort_key"),
+        F.lit(KIND_DATATYPE).alias("row_kind"),
+        F.lit(None).cast("long").alias("s_id"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("long").alias("o_id"),
+        F.lit(None).cast("int").alias("o_kind"),
+        F.col("dt_id").alias("name_id"),
+        F.col("obj_datatype").alias("name"),
+        F.lit(None).cast("long").alias("dt_id"),
+        F.lit(None).cast("string").alias("lang"),
     )
     # one options row at the head of each segment's first frame
     options_rows = (
@@ -273,15 +347,22 @@ def encode_triples(
             F.lit(None).cast("int").alias("o_kind"),
             F.lit(None).cast("long").alias("name_id"),
             F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("long").alias("dt_id"),
+            F.lit(None).cast("string").alias("lang"),
         )
     )
-    all_rows = options_rows.unionByName(name_rows).unionByName(trip_rows)
+    all_rows = (
+        options_rows.unionByName(name_rows)
+        .unionByName(dt_rows)
+        .unionByName(trip_rows)
+    )
 
     def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        # options first (sort_key 0); NAME (kind 4) before the TRIPLE
-        # (kind 2) that first uses it at equal sort_key → kind descending
+        # options first (sort_key 0); dictionary entries (kinds 7, 4)
+        # before the TRIPLE (kind 2) that first uses them at equal
+        # sort_key → kind descending
         pdf = pdf.sort_values(["sort_key", "row_kind"], ascending=[True, False])
         rows = [
             (
@@ -292,6 +373,8 @@ def encode_triples(
                 None if pd.isna(r.o_kind) else int(r.o_kind),
                 None if pd.isna(r.name_id) else int(r.name_id),
                 r.name,
+                None if pd.isna(r.dt_id) else int(r.dt_id),
+                None if (not isinstance(r.lang, str) or not r.lang) else r.lang,
             )
             for r in pdf.itertuples()
         ]
@@ -394,16 +477,21 @@ def decode_frames(frames: DataFrame) -> DataFrame:
                     kind = row[0]
                     base = (r["seg"], r["frame_index"], pos, kind)
                     if kind == KIND_OPTIONS:
-                        out.append(base + (None, None, None, None, None, None))
+                        out.append(base + (None,) * 8)
                     elif kind == KIND_TRIPLE:
-                        out.append(base + (row[1], row[2], row[3], row[4], None, None))
+                        out.append(
+                            base
+                            + (row[1], row[2], row[3], row[4], None, None, row[7], row[8])
+                        )
                     else:
-                        out.append(base + (None, None, None, None, row[5], row[6]))
+                        out.append(
+                            base + (None, None, None, None, row[5], row[6], None, None)
+                        )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "seg", "frame_index", "row_pos", "row_kind", "s_id", "p_id",
-                    "o_id", "o_kind", "name_id", "name",
+                    "o_id", "o_kind", "name_id", "name", "dt_id", "lang",
                 ],
             )
 
@@ -439,6 +527,11 @@ def decode_triples(
         .select("seg", F.col("name_id").alias("term_id"), F.col("name").alias("term"))
         .dropDuplicates(["seg", "term_id"])
     )
+    dt_dictionary = (
+        rows.filter(F.col("row_kind") == KIND_DATATYPE)
+        .select("seg", F.col("name_id").alias("ref_dt"), F.col("name").alias("obj_datatype"))
+        .dropDuplicates(["seg", "ref_dt"])
+    )
     trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
     if take_frames is not None:
         lo, hi = take_frames
@@ -457,7 +550,20 @@ def decode_triples(
             d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
             ["seg", "o_id"],
         )
-        .select("subj", "pred", "obj", F.col("o_kind").alias("obj_kind"), "frame_index")
+        .join(
+            dt_dictionary.withColumnRenamed("ref_dt", "dt_id"),
+            ["seg", "dt_id"],
+            "left",
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("o_kind").alias("obj_kind"),
+            "obj_datatype",
+            F.col("lang").alias("obj_lang"),
+            "frame_index",
+        )
     )
 
 

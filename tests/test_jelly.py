@@ -110,7 +110,7 @@ def test_inspect_metrics(spark, triples):
     pf = per_frame_metrics(rows)
     assert pf.agg(F.sum("triple_count")).collect()[0][0] == n
     sz = aggregate_metrics(rows, use_size=True)
-    assert sz["triple_count"] == 16 * n  # SizeStatistic: 16 bytes/triple
+    assert sz["triple_count"] == 18 * n  # SizeStatistic: 18 bytes/plain triple
     yaml_text = render_yaml({"frames": agg, "note": 'has "quotes"'})
     assert "triple_count:" in yaml_text and '\\"' in yaml_text
 
@@ -176,3 +176,36 @@ def test_graphs_runs_span_frames(spark):
     out = J.decode_quads_graphs(rows)
     assert out.count() == 40
     assert out.filter(F.col("graph") == "kg:graph/only").count() == 40
+
+
+def test_roundtrip_typed_literals(spark):
+    """Datatype table (3rd dictionary) + inline langtags survive the
+    frame round-trip losslessly."""
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p", "42", 2, "http://www.w3.org/2001/XMLSchema#integer", None),
+            ("s2", "p", "4.5", 2, "http://www.w3.org/2001/XMLSchema#decimal", None),
+            ("s3", "p", "hello", 2, None, "en"),
+            ("s4", "p", "bonjour", 2, None, "fr-CA"),
+            ("s5", "p", "plain", 2, None, None),
+            ("s6", "p", "o", 0, None, None),
+        ],
+        "subj string, pred string, obj string, obj_kind int, "
+        "obj_datatype string, obj_lang string",
+    )
+    back = J.roundtrip(spark, triples)
+    got = {
+        (r.subj, r.obj, r.obj_datatype, r.obj_lang)
+        for r in back.collect()
+    }
+    assert got == {
+        ("s1", "42", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("s2", "4.5", "http://www.w3.org/2001/XMLSchema#decimal", None),
+        ("s3", "hello", None, "en"),
+        ("s4", "bonjour", None, "fr-CA"),
+        ("s5", "plain", None, None),
+        ("s6", "o", None, None),
+    }
+    # the datatype table must be dictionary rows, not inline strings
+    rows = J.decode_frames(J.encode_triples(spark, triples))
+    assert rows.filter(F.col("row_kind") == J.KIND_DATATYPE).count() == 2
