@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE_QUERIES = [
     "q01_pricing_summary",
     "q02_revenue_topk",
-    "q03_local_supplier_volume",
     "q06_sessionize_events",
     "q08_asof_join",
     "q09_product_profit",
@@ -38,6 +37,7 @@ HEADLINE_QUERIES = [
     "q21_transcode_remap",
     "q24_graph_runs",
     "q30_minhash_signatures",
+    "q36_text_stats",
     "q44_embedding_neardup",
     "q47_rollup_revenue",
 ]

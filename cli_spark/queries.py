@@ -145,91 +145,10 @@ def q02_revenue_topk(spark, sf_dir):
 
 
 @query(
-    "q03_local_supplier_volume",
-    oracle="""
-    SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-    FROM lineitem l
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n   ON s.s_nationkey = n.n_nationkey
-      JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    ORDER BY revenue DESC, n_name
-    """,
-    doc="TPC-H Q5 analog: star join through two broadcast dims.",
-)
-def q03_local_supplier_volume(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
-           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-    return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
-    )
-
-
-@query(
-    "q04_top_customers_per_nation",
-    oracle="""
-    SELECT n_name, c_name, c_acctbal, rnk FROM (
-      SELECT n.n_name, c.c_name, c.c_acctbal,
-             ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
-      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    ) WHERE rnk <= 3
-    ORDER BY n_name, rnk
-    """,
-    doc="Top-k per group via ranking window (§2.5).",
-)
-def q04_top_customers_per_nation(spark, sf_dir):
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select("n_name", "c_name", "c_acctbal", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= 3)
-        .orderBy("n_name", "rnk")
-    )
-
-
-@query(
-    "q05_order_priority_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-    doc="GROUPING SETS rollup — the inspect detail/node/term granularities (A5).",
-)
-def q05_order_priority_cube(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("v_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
-        FROM v_orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-        """
-    )
-
-
-@query(
     "q06_sessionize_events",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -237,8 +156,8 @@ def q05_order_priority_cube(spark, sf_dir):
       FROM events
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
@@ -265,33 +184,6 @@ def q06_sessionize_events(spark, sf_dir):
         sess.groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id", "session_id")
-    )
-
-
-@query(
-    "q07_hourly_event_rollup",
-    oracle="""
-    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
-           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    doc="Tumbling time window aggregation (streaming W2 analog, batch form).",
-)
-def q07_hourly_event_rollup(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour_start"
-            ),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
-        )
-        .orderBy("hour_start", "event_type")
     )
 
 
@@ -468,16 +360,6 @@ def _nq_line_col() -> "F.Column":
 
 
 @query(
-    "q11_nquads_render",
-    oracle=_NQ_RENDER_SQL,
-    doc="N-Triples term rendering (F7/S12): format_string/concat columnar "
-    "render with escaping — the StreamRDFWriter sink analog.",
-)
-def q11_nquads_render(spark, sf_dir):
-    return doc_triples(spark, sf_dir).select(_nq_line_col())
-
-
-@query(
     "q12_nquads_roundtrip",
     oracle=TRIPLES_SQL,
     doc="S5/S6 parse ∘ F7 render = identity: render triples to N-Triples "
@@ -522,18 +404,23 @@ _FRAMES_SQL = f"""
     )
     SELECT ((rn - 1) // {FRAME_SIZE}) AS frame_index,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN obj_kind = 2 THEN 1 ELSE 0 END) AS n_literals
+           CAST(SUM(CASE WHEN obj_kind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_literals,
+           CAST(SUM(length(subj) + length(pred) + length(obj)) AS BIGINT) AS frame_bytes,
+           MAX(length(obj)) AS max_term_bytes
     FROM numbered GROUP BY 1
 """
 
 
 def framed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W2: deterministic global order → row_number → tumbling count
-    window of FRAME_SIZE rows = Jelly frame assignment (RdfToJelly
-    rowsPerFrame=256, RdfToJelly.scala:53-56)."""
+    """W1/W2: deterministic global order → rank → tumbling count window of
+    FRAME_SIZE rows = Jelly frame assignment (RdfToJelly rowsPerFrame=256,
+    RdfToJelly.scala:53-56). Rank comes from the partition-offset technique
+    (cli_spark.order.global_row_number), not a single-task global window —
+    the same plan survives a 100× scale-up."""
+    from cli_spark.order import global_row_number
+
     t = doc_triples(spark, sf_dir)
-    w = W.orderBy("subj", "pred", "obj", "obj_kind")
-    return t.withColumn("rn", F.row_number().over(w)).withColumn(
+    return global_row_number(t, ["subj", "pred", "obj", "obj_kind"]).withColumn(
         "frame_index", F.floor((F.col("rn") - 1) / FRAME_SIZE).cast("long")
     )
 
@@ -541,13 +428,18 @@ def framed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q13_frame_assign",
     oracle=_FRAMES_SQL,
-    doc="Frame assignment + per-frame row-kind counts (W1/W2/A1/A2): the "
-    "`rdf inspect` per-frame metrics table.",
+    doc="Frame assignment + per-frame row counts AND serialized sizes "
+    "(W1/W2/A1/A2, MetricsPrinter.scala:13-27 count-vs-size statistic "
+    "pair): the `rdf inspect` per-frame metrics table with --size.",
 )
 def q13_frame_assign(spark, sf_dir):
     return framed_triples(spark, sf_dir).groupBy("frame_index").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("obj_kind") == 2, 1).otherwise(0)).alias("n_literals"),
+        F.sum(
+            F.length("subj") + F.length("pred") + F.length("obj")
+        ).alias("frame_bytes"),
+        F.max(F.length("obj")).alias("max_term_bytes"),
     )
 
 
@@ -595,12 +487,15 @@ DICT_MAX = 1024
     "entries past the cap stay unencoded (NULL).",
 )
 def q15_dict_encode(spark, sf_dir):
+    from cli_spark.order import global_row_number
+
     toks = doc_tokens(spark, sf_dir)
     firsts = toks.groupBy("token").agg(
         F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_pos")
     )
-    w = W.orderBy("first_pos", "token")
-    ranked = firsts.withColumn("dict_id", F.dense_rank().over(w))
+    # rows are unique per (first_pos, token) ⇒ dense_rank ≡ row_number;
+    # partition-offset rank instead of an unpartitioned window
+    ranked = global_row_number(firsts, ["first_pos", "token"], rn_col="dict_id")
     return ranked.select(
         "token",
         F.when(F.col("dict_id") <= DICT_MAX, F.col("dict_id")).alias("dict_id"),
@@ -647,9 +542,9 @@ def q16_inspect_detail(spark, sf_dir):
            COUNT(DISTINCT subj) AS distinct_subjects,
            COUNT(DISTINCT pred) AS distinct_predicates,
            COUNT(DISTINCT obj) AS distinct_objects,
-           SUM(CASE WHEN obj_kind = 2 THEN 1 ELSE 0 END) AS literal_count,
-           SUM(CASE WHEN obj_kind = 0 THEN 1 ELSE 0 END) AS iri_count,
-           SUM(LENGTH(subj) + LENGTH(pred) + LENGTH(obj)) AS serialized_size
+           CAST(SUM(CASE WHEN obj_kind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS literal_count,
+           CAST(SUM(CASE WHEN obj_kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS iri_count,
+           CAST(SUM(LENGTH(subj) + LENGTH(pred) + LENGTH(obj)) AS BIGINT) AS serialized_size
     FROM triples
     """,
     doc="Global aggregate across frames (A3: partial+final combine = "
@@ -671,61 +566,63 @@ def q17_inspect_aggregate(spark, sf_dir):
 
 
 @query(
-    "q18_ordered_compare",
+    "q18_compare_battery",
     oracle=f"""
     WITH toks AS ({TOKENS_SQL}),
     a AS (SELECT token, ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS idx
           FROM toks WHERE doc_id % 2 = 0),
     b AS (SELECT CASE WHEN LENGTH(token) < 3 THEN 'X' ELSE token END AS token,
                  ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS idx
-          FROM toks WHERE doc_id % 2 = 0)
-    SELECT COUNT(*) AS n_positions,
-           SUM(CASE WHEN a.token = b.token THEN 1 ELSE 0 END) AS n_equal,
-           SUM(CASE WHEN a.token <> b.token THEN 1 ELSE 0 END) AS n_diff
-    FROM a JOIN b USING (idx)
+          FROM toks WHERE doc_id % 2 = 0),
+    ordered AS (
+      SELECT COUNT(*) AS n_positions,
+             CAST(SUM(CASE WHEN a.token = b.token THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+             CAST(SUM(CASE WHEN a.token <> b.token THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+      FROM a JOIN b USING (idx)
+    ),
+    triples AS ({TRIPLES_SQL}),
+    expected AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE obj_kind = 2),
+    actual   AS (SELECT DISTINCT subj, pred, obj FROM triples),
+    containment AS (
+      SELECT (SELECT COUNT(*) FROM expected) AS n_expected,
+             (SELECT COUNT(*) FROM expected e
+               WHERE NOT EXISTS (SELECT 1 FROM actual a
+                                 WHERE a.subj=e.subj AND a.pred=e.pred AND a.obj=e.obj))
+             AS n_missing
+    )
+    SELECT * FROM ordered CROSS JOIN containment
     """,
-    doc="Ordered positional compare (J1, OrderedRdfCompare.scala:10-75): "
-    "row_number both sides → zip join on idx → per-position equality.",
+    doc="Compare battery: ordered positional compare (J1, "
+    "OrderedRdfCompare.scala:10-75) — one partition-offset rank shared by "
+    "both sides → zip join on idx → per-position equality — plus model "
+    "containment (J3, RdfToJellySpec containsAll) as a left-anti count.",
 )
-def q18_ordered_compare(spark, sf_dir):
+def q18_compare_battery(spark, sf_dir):
+    from cli_spark.order import global_row_number
+
     toks = doc_tokens(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
-    w = W.orderBy("doc_id", "pos")
-    a = toks.select(F.col("token"), F.row_number().over(w).alias("idx"))
-    b = toks.select(
+    # one deterministic idx (partition-offset rank, no single-task window)
+    # shared by both compare sides — 'stream order as given' J1 contract
+    idxed = global_row_number(toks, ["doc_id", "pos"], rn_col="idx")
+    a = idxed.select("idx", "token")
+    b = idxed.select(
+        "idx",
         F.when(F.length("token") < 3, F.lit("X")).otherwise(F.col("token")).alias("tokenb"),
-        F.row_number().over(w).alias("idx"),
     )
     j = a.join(b, "idx")
-    return j.agg(
+    ordered = j.agg(
         F.count(F.lit(1)).alias("n_positions"),
         F.sum(F.when(F.col("token") == F.col("tokenb"), 1).otherwise(0)).alias("n_equal"),
         F.sum(F.when(F.col("token") != F.col("tokenb"), 1).otherwise(0)).alias("n_diff"),
     )
-
-
-@query(
-    "q19_containment",
-    oracle=f"""
-    WITH triples AS ({TRIPLES_SQL}),
-    expected AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE obj_kind = 2),
-    actual   AS (SELECT DISTINCT subj, pred, obj FROM triples)
-    SELECT (SELECT COUNT(*) FROM expected) AS n_expected,
-           (SELECT COUNT(*) FROM expected e
-             WHERE NOT EXISTS (SELECT 1 FROM actual a
-                               WHERE a.subj=e.subj AND a.pred=e.pred AND a.obj=e.obj))
-           AS n_missing
-    """,
-    doc="Model containment (J3, RdfToJellySpec containsAll): left-anti join "
-    "count == 0 ⇒ expected ⊆ actual.",
-)
-def q19_containment(spark, sf_dir):
     t = doc_triples(spark, sf_dir)
     expected = t.filter(F.col("obj_kind") == 2).select("subj", "pred", "obj").distinct()
     actual = t.select("subj", "pred", "obj").distinct()
     missing = expected.join(actual, ["subj", "pred", "obj"], "left_anti")
-    return expected.agg(F.count(F.lit(1)).alias("n_expected")).crossJoin(
+    containment = expected.agg(F.count(F.lit(1)).alias("n_expected")).crossJoin(
         missing.agg(F.count(F.lit(1)).alias("n_missing"))
     )
+    return ordered.crossJoin(containment)
 
 
 @query(
@@ -798,8 +695,13 @@ def q21_transcode_remap(spark, sf_dir):
         "stream", "token", F.dense_rank().over(wl).alias("old_id")
     )
     merged = streams.groupBy("token").agg(F.min("first_pos").alias("merged_first"))
-    wn = W.orderBy("merged_first", "token")
-    new_ids = merged.select("token", F.dense_rank().over(wn).alias("new_id"))
+    # merged rows unique per (merged_first, token) ⇒ dense_rank ≡ rank;
+    # partition-offset rank replaces the unpartitioned window
+    from cli_spark.order import global_row_number
+
+    new_ids = global_row_number(
+        merged, ["merged_first", "token"], rn_col="new_id"
+    ).select("token", "new_id")
     return local_ids.join(new_ids, "token").select("stream", "token", "old_id", "new_id")
 
 
@@ -816,11 +718,15 @@ def q21_transcode_remap(spark, sf_dir):
     "unionByName + global re-numbering.",
 )
 def q22_union_streams(spark, sf_dir):
+    from cli_spark.order import global_row_number
+
     d = load(spark, sf_dir, "documents")
     a = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
     b = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
     u = a.unionByName(b)
-    return u.select("doc_id", F.row_number().over(W.orderBy("doc_id")).alias("global_pos"))
+    return global_row_number(u, ["doc_id"], rn_col="global_pos").select(
+        "doc_id", "global_pos"
+    )
 
 
 @query(
@@ -855,8 +761,8 @@ def q23_lineage_sha(spark, sf_dir):
     ),
     runs AS (
       SELECT user_id, event_type,
-             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS run_id
+             CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
       FROM flagged
     )
     SELECT user_id, run_id, event_type, COUNT(*) AS run_length
@@ -1149,101 +1055,53 @@ _STOP_FR = "'le','la','de','et','les','des','en','un','du','une'"
 
 
 @query(
-    "q36_language_id",
+    "q36_text_stats",
     oracle=f"""
-    SELECT doc_id AS id,
-           len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS en_hits,
-           len(list_filter(toks, t -> t IN ({_STOP_ES}))) AS es_hits,
-           len(list_filter(toks, t -> t IN ({_STOP_FR}))) AS fr_hits,
-           len(toks) AS n_tokens,
-           CASE
-             WHEN len(list_filter(toks, t -> t IN ({_STOP_EN}))) >= len(list_filter(toks, t -> t IN ({_STOP_ES})))
-              AND len(list_filter(toks, t -> t IN ({_STOP_EN}))) >= len(list_filter(toks, t -> t IN ({_STOP_FR}))) THEN 'en'
-             WHEN len(list_filter(toks, t -> t IN ({_STOP_ES}))) > len(list_filter(toks, t -> t IN ({_STOP_EN})))
-              AND len(list_filter(toks, t -> t IN ({_STOP_ES}))) >= len(list_filter(toks, t -> t IN ({_STOP_FR}))) THEN 'es'
-             ELSE 'fr'
-           END AS guessed_lang
-    FROM (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
-      FROM documents
-    )
-    """,
-    doc="Language-ID heuristic: per-language stopword hit counts, argmax "
-    "with lexicographic tie-break (ops.textstats.language_scores).",
-)
-def q36_language_id(spark, sf_dir):
-    from cli_spark.ops.textstats import language_scores
-
-    d = load(spark, sf_dir, "documents")
-    return language_scores(d, "doc_id", "text")
-
-
-@query(
-    "q37_quality_scores",
-    oracle="""
-    SELECT doc_id AS id,
-           length(text) AS n_chars,
-           len(toks) AS n_tokens,
-           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
-           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-           CAST(len(list_filter(ltoks, t -> t IN ('the','of','and','to','in','is','that','for','with','on',
-                                                  'el','la','de','que','y','en','los','del','se','las',
-                                                  'le','et','les','des','un','du','une'))) AS DOUBLE) / len(toks) AS stopword_ratio,
-           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio
-    FROM (
+    WITH base AS (
       SELECT doc_id, text,
              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
              list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltoks
       FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(('0x' || substr(md5(token || '@' || pos), 1, 8))::BIGINT) % {P31} AS BIGINT)
+               AS fingerprint
+      FROM ({TOKENS_SQL}) GROUP BY doc_id
     )
+    SELECT b.doc_id AS id,
+           len(list_filter(b.ltoks, t -> t IN ({_STOP_EN}))) AS en_hits,
+           len(list_filter(b.ltoks, t -> t IN ({_STOP_ES}))) AS es_hits,
+           len(list_filter(b.ltoks, t -> t IN ({_STOP_FR}))) AS fr_hits,
+           len(b.toks) AS n_tokens,
+           length(b.text) AS n_chars,
+           CAST(list_sum(list_transform(b.toks, t -> length(t))) AS DOUBLE) / len(b.toks) AS avg_token_len,
+           CAST(length(b.text) - length(regexp_replace(b.text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(b.text) AS punct_ratio,
+           CAST(len(list_filter(b.ltoks, t -> t IN ({_STOP_EN},{_STOP_ES},{_STOP_FR}))) AS DOUBLE) / len(b.toks) AS stopword_ratio,
+           CAST(length(b.text) - length(regexp_replace(b.text, '[A-Z]', '', 'g')) AS DOUBLE) / length(b.text) AS upper_ratio,
+           len(b.toks) AS n_ws_tokens,
+           len(regexp_extract_all(b.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS n_bpe_tokens,
+           COALESCE(f.fingerprint, 0) AS fingerprint,
+           CASE
+             WHEN len(list_filter(b.ltoks, t -> t IN ({_STOP_EN}))) >= len(list_filter(b.ltoks, t -> t IN ({_STOP_ES})))
+              AND len(list_filter(b.ltoks, t -> t IN ({_STOP_EN}))) >= len(list_filter(b.ltoks, t -> t IN ({_STOP_FR}))) THEN 'en'
+             WHEN len(list_filter(b.ltoks, t -> t IN ({_STOP_ES}))) > len(list_filter(b.ltoks, t -> t IN ({_STOP_EN})))
+              AND len(list_filter(b.ltoks, t -> t IN ({_STOP_ES}))) >= len(list_filter(b.ltoks, t -> t IN ({_STOP_FR}))) THEN 'es'
+             ELSE 'fr'
+           END AS guessed_lang
+    FROM base b LEFT JOIN fp f ON f.doc_id = b.doc_id
     """,
-    doc="Quality scoring: length/punct/stopword/case ratios from exact "
-    "integer intermediates (ops.textstats.quality_scores).",
+    doc="Text-analysis battery in one zero-shuffle pass "
+    "(ops.textstats.text_stats): language-ID stopword hits + argmax "
+    "guess, quality ratios (length/punct/stopword/case), whitespace + "
+    "BPE-ish token counts, and the order-sensitive position-salted "
+    "fingerprint as an in-row array fold.",
 )
-def q37_quality_scores(spark, sf_dir):
-    from cli_spark.ops.textstats import quality_scores
+def q36_text_stats(spark, sf_dir):
+    from cli_spark.ops.textstats import text_stats
 
     d = load(spark, sf_dir, "documents")
-    return quality_scores(d, "doc_id", "text")
-
-
-@query(
-    "q38_token_counts",
-    oracle="""
-    SELECT doc_id AS id,
-           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS n_bpe_tokens,
-           length(text) AS n_chars
-    FROM documents
-    """,
-    doc="Token counting: whitespace + BPE-ish lexer regex "
-    "(ops.textstats.token_counts).",
-)
-def q38_token_counts(spark, sf_dir):
-    from cli_spark.ops.textstats import token_counts
-
-    d = load(spark, sf_dir, "documents")
-    return token_counts(d, "doc_id", "text")
-
-
-@query(
-    "q39_doc_fingerprint",
-    oracle=f"""
-    WITH toks AS ({TOKENS_SQL})
-    SELECT doc_id AS id,
-           CAST(SUM(('0x' || substr(md5(token || '@' || pos), 1, 8))::BIGINT) % {P31} AS BIGINT)
-             AS fingerprint
-    FROM toks GROUP BY doc_id
-    """,
-    doc="Document fingerprint: position-salted 32-bit hash sum mod 2^31-1 "
-    "— order-sensitive digest (ops.textstats.fingerprint).",
-)
-def q39_doc_fingerprint(spark, sf_dir):
-    from cli_spark.ops.textstats import fingerprint
-
-    d = load(spark, sf_dir, "documents")
-    return fingerprint(d, "doc_id", "text")
+    return text_stats(d, "doc_id", "text")
 
 
 @query(
@@ -1270,11 +1128,11 @@ def q40_binary_metadata(spark, sf_dir):
     "q41_event_type_pivot",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
     doc="Pivot (A1 per-frame row-type counts shape: groupBy + pivot on "
@@ -1472,12 +1330,13 @@ _CHUNKS_SQL = f"""
     ),
     chunked AS (
       SELECT boundary,
-             SUM(boundary) OVER (ORDER BY rn
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             - boundary AS chunk_id
+             CAST(SUM(boundary) OVER (ORDER BY rn
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - boundary AS BIGINT) AS chunk_id
       FROM lines
     )
-    SELECT chunk_id, COUNT(*) AS n_lines, SUM(boundary) AS n_boundaries
+    SELECT chunk_id, COUNT(*) AS n_lines,
+           CAST(SUM(boundary) AS BIGINT) AS n_boundaries
     FROM chunked GROUP BY chunk_id
 """
 
@@ -1491,16 +1350,15 @@ _CHUNKS_SQL = f"""
     "line closing its own chunk.",
 )
 def q25_jellytext_chunks(spark, sf_dir):
+    from cli_spark.order import global_prefix_sum
+
     t = doc_triples(spark, sf_dir)
     boundary = F.when(F.col("pred") == "kg:inLang", 1).otherwise(0)
-    w = W.orderBy("subj", "pred", "obj", "obj_kind")
-    lines = t.withColumn("boundary", boundary).withColumn(
-        "rn", F.row_number().over(w)
-    )
-    wc = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
-    chunked = lines.withColumn(
-        "chunk_id", F.sum("boundary").over(wc) - F.col("boundary")
-    )
+    lines = t.withColumn("boundary", boundary)
+    # distributed running boundary count (no single-task global window)
+    chunked = global_prefix_sum(
+        lines, ["subj", "pred", "obj", "obj_kind"], "boundary", out_col="cum"
+    ).withColumn("chunk_id", F.col("cum") - F.col("boundary"))
     return chunked.groupBy("chunk_id").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("boundary").alias("n_boundaries"),
@@ -1605,6 +1463,8 @@ _IRIS_SQL = f"""
     "/ or #, dense_rank dictionary id per distinct prefix.",
 )
 def q43_prefix_split(spark, sf_dir):
+    from cli_spark.order import global_row_number
+
     t = doc_triples(spark, sf_dir)
     iris = (
         t.select(F.col("subj").alias("iri"))
@@ -1613,11 +1473,18 @@ def q43_prefix_split(spark, sf_dir):
         .distinct()
     )
     prefix = F.regexp_extract(F.col("iri"), r"^(.*[/#])", 1)
-    return iris.select(
+    split = iris.select(
         "iri",
         prefix.alias("prefix"),
         F.regexp_replace(F.col("iri"), r"^(.*[/#])", "").alias("local_name"),
-        F.dense_rank().over(W.orderBy(prefix)).alias("prefix_id"),
+    )
+    # dense_rank over a non-unique key = row_number over its distinct
+    # values joined back — a broadcastable dictionary, no global window
+    prefix_ids = global_row_number(
+        split.select("prefix").distinct(), ["prefix"], rn_col="prefix_id"
+    )
+    return split.join(F.broadcast(prefix_ids), "prefix").select(
+        "iri", "prefix", "local_name", "prefix_id"
     )
 
 
@@ -1904,33 +1771,6 @@ def q53_date_battery(spark, sf_dir):
 
 
 @query(
-    "q54_frame_sizes",
-    oracle=f"""
-    WITH triples AS ({TRIPLES_SQL}),
-    numbered AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY subj, pred, obj, obj_kind) AS rn FROM triples
-    )
-    SELECT ((rn - 1) // {FRAME_SIZE}) AS frame_index,
-           COUNT(*) AS n_rows,
-           SUM(length(subj) + length(pred) + length(obj)) AS frame_bytes,
-           MAX(length(obj)) AS max_term_bytes
-    FROM numbered GROUP BY 1
-    """,
-    doc="SizeStatistic strategy (A2, MetricsPrinter.scala:13-27): the "
-    "count-vs-serialized-size collector pair as two agg exprs over the "
-    "same frame grouping — `rdf inspect --size`.",
-)
-def q54_frame_sizes(spark, sf_dir):
-    return framed_triples(spark, sf_dir).groupBy("frame_index").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.length("subj") + F.length("pred") + F.length("obj")
-        ).alias("frame_bytes"),
-        F.max(F.length("obj")).alias("max_term_bytes"),
-    )
-
-
-@query(
     "q55_graphset_diff",
     oracle="""
     WITH expected AS (
@@ -2024,38 +1864,6 @@ def q57_tumbling_windows(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "n_users", "total_value")
-    )
-
-
-@query(
-    "q58_supplier_part_counts",
-    oracle="""
-    SELECT p.p_brand, p.p_size,
-           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
-           COUNT(*) AS n_lines
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_size IN (1, 5, 9, 13)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY 1, 2
-    """,
-    doc="TPC-H Q16 analog: distinct-aggregate over a broadcast-dim join "
-    "with a NOT-IN (anti-join) exclusion list — the distinct-agg +"
-    " anti-join surface in one plan.",
-)
-def q58_supplier_part_counts(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
-    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
-        F.col("s_suppkey").alias("l_suppkey")
-    )
-    return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_size")
-        .agg(
-            F.countDistinct("l_suppkey").alias("supplier_cnt"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
     )
 
 

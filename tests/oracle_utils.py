@@ -57,9 +57,68 @@ def _rowset(cols, rows):
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
+# Type-width classes. The driver's value hash is width-strict where
+# pandas rendering differs: DuckDB integer SUM returns HUGEINT (int128 →
+# Decimal in pandas) which hash-mismatches a Spark BIGINT even when the
+# values are equal (all 7 round-1 driver failures). int32 vs int64 is
+# fine (both render identically); HUGEINT and un-cast DECIMAL are not.
+_DUCK_CLASS = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "UTINYINT": "i", "USMALLINT": "i", "UINTEGER": "i", "UBIGINT": "i",
+    "HUGEINT": "i128", "UHUGEINT": "i128",
+    "FLOAT": "f32", "DOUBLE": "f64",
+    "VARCHAR": "str", "BLOB": "bytes", "BOOLEAN": "bool",
+    "DATE": "date",
+}
+
+
+def _duck_class(t: str) -> str:
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return "dec"
+    if t.startswith("TIMESTAMP") or t == "DATETIME":
+        return "ts"
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("STRUCT"):
+        return "nested"
+    return _DUCK_CLASS.get(t, t)
+
+
+def _spark_class(dt) -> str:
+    name = type(dt).__name__
+    return {
+        "ByteType": "i", "ShortType": "i", "IntegerType": "i", "LongType": "i",
+        "FloatType": "f32", "DoubleType": "f64", "DecimalType": "dec",
+        "StringType": "str", "BinaryType": "bytes", "BooleanType": "bool",
+        "TimestampType": "ts", "TimestampNTZType": "ts", "DateType": "date",
+        "ArrayType": "nested", "StructType": "nested", "MapType": "nested",
+    }.get(name, name)
+
+
+def _type_mismatches(spark_df, rel) -> list[str]:
+    spark_types = {f.name.lower(): _spark_class(f.dataType) for f in spark_df.schema.fields}
+    problems = []
+    for col, dt in zip(rel.columns, rel.types):
+        cls = _duck_class(dt)
+        scls = spark_types.get(col.lower())
+        if cls == "i128":
+            problems.append(
+                f"{col}: DuckDB {dt} (int128) — width-strict driver hash "
+                f"will mismatch; CAST(... AS BIGINT) in the oracle"
+            )
+        elif cls == "dec" and scls != "dec":
+            problems.append(
+                f"{col}: DuckDB {dt} vs Spark {scls} — cast the oracle "
+                f"decimal to DOUBLE/BIGINT to match"
+            )
+        elif scls is not None and cls != scls:
+            problems.append(f"{col}: DuckDB {dt} ({cls}) vs Spark {scls}")
+    return problems
+
+
 def compare(spark_df, con, sql: str) -> dict:
     """Returns {'ok': bool, 'reason': str} comparing a Spark DataFrame
-    against a DuckDB SQL result, order-insensitively."""
+    against a DuckDB SQL result, order-insensitively — and type-width
+    strictly, so the local gate predicts the driver's hash compare."""
     s_cols = [c.lower() for c in spark_df.columns]
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
@@ -67,6 +126,9 @@ def compare(spark_df, con, sql: str) -> dict:
     d_rows = rel.fetchall()
     if sorted(s_cols) != sorted(d_cols):
         return {"ok": False, "reason": f"schema mismatch: spark={s_cols} duckdb={d_cols}"}
+    width_problems = _type_mismatches(spark_df, rel)
+    if width_problems:
+        return {"ok": False, "reason": "type-width mismatch: " + "; ".join(width_problems)}
     if len(s_rows) != len(d_rows):
         return {"ok": False, "reason": f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"}
     a = _rowset(s_cols, s_rows)
