@@ -58,8 +58,20 @@ def main(argv: list[str] | None = None) -> int:
     tj.add_argument("input")
     tj.add_argument("--to", required=True)
     tj.add_argument("--rows-per-frame", type=int, default=256)
-    tj.add_argument("--max-name-table", type=int, default=4096)
+    tj.add_argument("--max-name-table", type=int, default=None)
+    tj.add_argument("--max-prefix-table", type=int, default=None)
     tj.add_argument("--non-delimited", action="store_true")
+    tj.add_argument("--append", action="store_true", help="append-mode sink (S3)")
+    tj.add_argument("--physical-type", choices=["triples", "quads", "graphs"],
+                    default=None, help="default: quads when input has graphs")
+    tj.add_argument("--logical-type", default=None,
+                    help="STaX logical type (name or IRI), e.g. flatTriples")
+    tj.add_argument("--stream-name", default=None)
+    tj.add_argument("--generalized", action="store_true", default=None)
+    tj.add_argument("--rdf-star", action="store_true", default=None)
+    tj.add_argument("--no-prefix-table", action="store_true")
+    tj.add_argument("--options-from", default=None,
+                    help="copy stream options from an existing .jelly file (S11)")
 
     fj = rdf.add_parser("from-jelly")
     fj.add_argument("input")
@@ -67,6 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     fj.add_argument("--take-frames", default=None)
     fj.add_argument("--merge-graphs", action="store_true")
     fj.add_argument("--single-file", action="store_true")
+    fj.add_argument("--out-format", choices=["nt", "nq"], default=None,
+                    help="default: inferred from --to extension (.nt = "
+                    "triples-only, triggers the quad guard)")
 
     ins = rdf.add_parser("inspect")
     ins.add_argument("input")
@@ -134,25 +149,99 @@ def _dispatch(spark, args) -> int:
     from .nquads import read_nquads, render_lines, write_nquads
 
     if args.rdf_cmd == "to-jelly":
-        triples = read_nquads(spark, args.input).select(
-            "subj", "pred", "obj", "obj_kind"
+        stmts = read_nquads(spark, args.input)
+        has_graph = "graph" in stmts.columns and (
+            stmts.filter(F.col("graph").isNotNull()).limit(1).count() > 0
         )
-        frames = J.encode_triples(
-            spark,
-            triples,
-            rows_per_frame=args.rows_per_frame,
-            max_name_table=args.max_name_table,
+        # option cascade (P13): CLI flags > --options-from file > derived
+        logical = None
+        if args.logical_type:
+            lt = args.logical_type
+            logical = (
+                J.logical_type_from_iri(lt)
+                if "#" in lt or "/" in lt
+                else J.logical_type_from_iri(J.STAX_BASE + lt + ("" if lt.endswith("Stream") else "Stream"))
+            )
+        physical = {
+            "triples": J.PHYSICAL_TRIPLES,
+            "quads": J.PHYSICAL_QUADS,
+            "graphs": J.PHYSICAL_GRAPHS,
+            None: None,
+        }[args.physical_type]
+        derived = J.StreamOptions(
+            physical_type=J.PHYSICAL_QUADS if has_graph else J.PHYSICAL_TRIPLES
         )
-        J.write_jelly_file(frames, args.to, delimited=not args.non_delimited)
+        from_file = J.options_from_file(args.options_from) if args.options_from else None
+        opts = J.options_cascade(
+            cli={
+                "physical_type": physical,
+                "logical_type": logical,
+                "stream_name": args.stream_name,
+                "generalized": args.generalized,
+                "rdf_star": args.rdf_star,
+                "max_name_table": args.max_name_table,
+                "max_prefix_table": args.max_prefix_table,
+            },
+            from_file=from_file,
+            derived=derived,
+        )
+        prefix_table = not args.no_prefix_table
+        if opts.physical_type == J.PHYSICAL_QUADS:
+            quads = stmts if "graph" in stmts.columns else stmts.withColumn(
+                "graph", F.lit(None).cast("string")
+            )
+            frames = J.encode_quads(
+                spark, quads, rows_per_frame=args.rows_per_frame,
+                options=opts, prefix_table=prefix_table,
+            )
+        elif opts.physical_type == J.PHYSICAL_GRAPHS:
+            quads = stmts if "graph" in stmts.columns else stmts.withColumn(
+                "graph", F.lit(None).cast("string")
+            )
+            frames = J.encode_quads_graphs(
+                spark, quads.select("subj", "pred", "obj", "obj_kind", "graph"),
+                rows_per_frame=args.rows_per_frame, options=opts,
+            )
+        else:
+            if has_graph:
+                raise ValueError(
+                    "input has named graphs but physical type TRIPLES was "
+                    "requested (P4); use --physical-type quads"
+                )
+            frames = J.encode_triples(
+                spark,
+                stmts.select(
+                    "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"
+                ),
+                rows_per_frame=args.rows_per_frame, options=opts,
+                prefix_table=prefix_table,
+            )
+        J.write_jelly_file(
+            frames, args.to, delimited=not args.non_delimited, append=args.append
+        )
         return 0
 
     if args.rdf_cmd == "from-jelly":
         frames = J.read_jelly_file(spark, args.input)
         take = _parse_range(args.take_frames) if args.take_frames else None
-        triples = J.decode_triples(J.decode_frames(frames), take_frames=take)
-        if args.merge_graphs and "graph" in triples.columns:
-            triples = triples.drop("graph")
-        write_nquads(triples, args.to, single_file=args.single_file)
+        rows = J.decode_frames(frames).cache()
+        phys = J.stream_physical_types(rows)
+        out_format = args.out_format or ("nt" if args.to.endswith(".nt") else "nq")
+        if phys <= {J.PHYSICAL_TRIPLES}:
+            stmts = J.decode_triples(rows, take_frames=take, strict=False)
+        else:
+            if J.PHYSICAL_QUADS in phys:
+                stmts = J.decode_quads(rows, take_frames=take)
+            else:
+                stmts = J.decode_quads_graphs(rows)
+                if take is not None:
+                    stmts = stmts.filter(F.col("frame_index").between(*take))
+            if args.merge_graphs:
+                stmts = stmts.drop("graph")
+            elif out_format == "nt":
+                # P4 guard (RdfFromJelly.scala:144-153)
+                J.ensure_physical(rows, {J.PHYSICAL_TRIPLES}, "N-Triples output")
+        write_nquads(stmts, args.to, single_file=args.single_file)
         return 0
 
     if args.rdf_cmd == "inspect":

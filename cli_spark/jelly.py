@@ -2,40 +2,61 @@
 §3.1-3.2).
 
 The reference serializes RDF statement streams as length-delimited
-protobuf ``RdfStreamFrame`` messages: an options header row, dictionary
-entry rows (name table), and statement rows referencing dictionary ids
-(/root/reference/src/main/scala/eu/neverblink/jelly/cli/command/rdf/
-RdfToJelly.scala:130-199; row taxonomy per MetricsPrinter.scala:69-82).
+protobuf ``RdfStreamFrame`` messages: an options header row, lookup-table
+entry rows (prefix + name + datatype tables), and statement rows
+referencing table ids (/root/reference/src/main/scala/eu/neverblink/
+jelly/cli/command/rdf/RdfToJelly.scala:130-199; row taxonomy per
+MetricsPrinter.scala:69-82; three-table contract per
+RdfJellySerializationOptions.scala:33-35).
 
 This module re-expresses that as Spark jobs with a hand-rolled varint
 wire format (the protobuf wire spec is public; no protobuf runtime in
 this image):
 
-- encode: triples → deterministic global order (W1) → bounded
-  dictionary via first-occurrence dense_rank (W5) → frame assignment
+- encode: statements → deterministic global order (W1) → bounded
+  dictionaries via first-occurrence dense_rank (W5) → frame assignment
   ``floor((rn-1)/rows_per_frame)`` (W2) → per-frame ``applyInPandas``
-  varint encoder → frames table ``(frame_index, n_rows, frame_bytes)``.
+  varint encoder → frames table ``(seg, frame_index, n_rows, frame_bytes)``.
 - decode: frames table → ``mapInPandas`` varint decoder → row table →
-  dictionary join → triples. Dictionary entries carry EXPLICIT ids
+  dictionary joins → statements. Table entries carry EXPLICIT ids
   (legal in Jelly, where implicit ids are prev+1), which makes decode
   order-free: any subset of frames can be decoded after one pass that
   collects entry rows — the two-scan replacement for the reference's
   sequential decoder state (P2, RdfFromJelly.scala:166-177).
 
-Wire format (field numbers follow the reference's row-kind order):
+Wire format v2 (field numbers follow the reference's row-kind order):
   frame   := (row_tag=0x0A, len, row)*                [repeated field 1]
   row     := kind-tagged message:
-      kind 1 OPTIONS : ver varint, physical_type varint, max_name varint
-      kind 2 TRIPLE  : s_id, p_id, o_id varints, o_kind varint
-      kind 4 NAME    : id varint, len, utf8 bytes
+      kind 1 OPTIONS  : version, physical, logical, flags,
+                        max_name, max_prefix, max_dt, stream_name
+                        (flags bit0 = generalized, bit1 = rdf-star)
+      kind 2 TRIPLE   : s_id, p_id, o_id, o_kind, dt_id, langtag
+      kind 3 QUAD     : s_id, p_id, o_id, o_kind, g_id, dt_id, langtag
+                        (g_id 0 = default graph)
+      kind 4 NAME     : id, prefix_id, local-utf8  (prefix_id 0 = none;
+                        decoded term = prefix[prefix_id] || local — the
+                        prefix lookup table makes repeated long IRI
+                        prefixes one entry per segment)
+      kind 5 GRAPH_START / kind 6 GRAPH_END (GRAPHS physical type)
+      kind 7 DATATYPE : id, utf8
+      kind 8 PREFIX   : id, utf8
+      kind 9 NAMESPACE: short-name utf8, iri utf8 (namespace
+                        declaration passthrough, RdfElement.scala:7)
   file    := (varint frame_len, frame_bytes)* if delimited
              | frame_bytes                    if non-delimited
+
+Version note: v1 (round 1) had a 3-field options row and no
+prefix/quad/namespace kinds; v2 streams carry version=2 and the decoder
+rejects any other version with a clear error instead of a byte-level
+overrun (the options row is the first row of every segment).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import io
 from collections.abc import Iterator
+from dataclasses import dataclass
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,21 +68,143 @@ if TYPE_CHECKING:
 
 ROWS_PER_FRAME = 256  # reference default, RdfToJelly.scala:53-56
 MAX_NAME_TABLE = 4096  # BIG-ish default; min 8 per reference tests
+MAX_PREFIX_TABLE = 1024
+VERSION = 2
+
 PHYSICAL_TRIPLES = 1
-VERSION = 1
+PHYSICAL_QUADS = 2
+PHYSICAL_GRAPHS = 3
+
+# Logical (STaX) types and the camelCase↔UPPER_SNAKE mapping (F6/P12,
+# RdfLogicalType enum names vs stax ontology IRI local names).
+LOGICAL_UNSPECIFIED = 0
+LOGICAL_FLAT_TRIPLES = 1
+LOGICAL_FLAT_QUADS = 2
+LOGICAL_GRAPHS = 3
+LOGICAL_DATASETS = 4
+LOGICAL_NAMES = {
+    LOGICAL_UNSPECIFIED: "UNSPECIFIED",
+    LOGICAL_FLAT_TRIPLES: "FLAT_TRIPLES",
+    LOGICAL_FLAT_QUADS: "FLAT_QUADS",
+    LOGICAL_GRAPHS: "GRAPHS",
+    LOGICAL_DATASETS: "DATASETS",
+}
+STAX_BASE = "https://w3id.org/stax/ontology#"
+# logical type → physical types it is valid over (RdfValidate.scala:118-143)
+LOGICAL_COMPAT = {
+    LOGICAL_FLAT_TRIPLES: {PHYSICAL_TRIPLES},
+    LOGICAL_FLAT_QUADS: {PHYSICAL_QUADS, PHYSICAL_GRAPHS},
+    LOGICAL_GRAPHS: {PHYSICAL_TRIPLES},
+    LOGICAL_DATASETS: {PHYSICAL_QUADS, PHYSICAL_GRAPHS},
+}
 
 KIND_OPTIONS = 1
 KIND_TRIPLE = 2
+KIND_QUAD = 3
 KIND_NAME = 4
+KIND_GRAPH_START = 5
+KIND_GRAPH_END = 6
 KIND_DATATYPE = 7  # datatype lookup-table entry (3rd dictionary, S4)
-MAX_DT_TABLE = 256
+KIND_PREFIX = 8  # prefix lookup-table entry (1st dictionary, F1)
+KIND_NAMESPACE = 9  # namespace declaration (RdfFromJelly.scala:133-140)
+
+DEFAULT_GRAPH = ""  # GRAPHS type encodes the default graph as "" term
 
 FRAME_SCHEMA = "seg long, frame_index long, n_rows int, frame_bytes binary"
 ROW_SCHEMA = (
     "seg long, frame_index long, row_pos int, row_kind int, "
-    "s_id long, p_id long, o_id long, o_kind int, name_id long, name string, "
-    "dt_id long, lang string"
+    "s_id long, p_id long, o_id long, o_kind int, g_id long, "
+    "name_id long, prefix_id long, name string, dt_id long, lang string, "
+    "aux string, opt_version int, opt_physical int, opt_logical int, "
+    "opt_flags int, opt_max_name int, opt_max_prefix int, opt_max_dt int"
 )
+_ROW_COLS = [s.split()[0] for s in ROW_SCHEMA.split(", ")]
+
+
+def snake_to_camel(name: str) -> str:
+    """UPPER_SNAKE → lowerCamel (F6, e.g. FLAT_TRIPLES → flatTriples)."""
+    parts = name.lower().split("_")
+    return parts[0] + "".join(p.capitalize() for p in parts[1:])
+
+
+def camel_to_snake(name: str) -> str:
+    """lowerCamel → UPPER_SNAKE (F6 inverse)."""
+    out = []
+    for ch in name:
+        if ch.isupper():
+            out.append("_")
+        out.append(ch.upper())
+    return "".join(out)
+
+
+def logical_type_iri(logical: int) -> str | None:
+    """Logical-type enum → STaX ontology IRI (P12)."""
+    if logical == LOGICAL_UNSPECIFIED:
+        return None
+    return STAX_BASE + snake_to_camel(LOGICAL_NAMES[logical]) + "Stream"
+
+
+def logical_type_from_iri(iri: str) -> int:
+    """STaX ontology IRI → logical-type enum (P12 inverse)."""
+    local = iri.rsplit("#", 1)[-1]
+    if local.endswith("Stream"):
+        local = local[: -len("Stream")]
+    name = camel_to_snake(local)
+    for code, nm in LOGICAL_NAMES.items():
+        if nm == name:
+            return code
+    raise ValueError(f"unknown logical stream type IRI: {iri}")
+
+
+@dataclass(frozen=True)
+class StreamOptions:
+    """Full RdfStreamOptions (RdfJellySerializationOptions.scala:33-45):
+    version, physical/logical type, generalized-RDF + RDF-star flags,
+    stream name, and the three lookup-table max sizes."""
+
+    version: int = VERSION
+    physical_type: int = PHYSICAL_TRIPLES
+    logical_type: int = LOGICAL_UNSPECIFIED
+    generalized: bool = False
+    rdf_star: bool = False
+    stream_name: str = ""
+    max_name_table: int = MAX_NAME_TABLE
+    max_prefix_table: int = MAX_PREFIX_TABLE
+    # datatype ids share the name-table bound: segment sizing guarantees
+    # ≤ seg_rows ≤ max_name_table/3 distinct datatypes per segment, so no
+    # separate eviction is ever needed (the round-1 MAX_DT_TABLE=256
+    # constant claimed a bound it did not enforce).
+    max_dt_table: int = MAX_NAME_TABLE
+
+    @property
+    def flags(self) -> int:
+        return (1 if self.generalized else 0) | (2 if self.rdf_star else 0)
+
+
+def options_cascade(
+    cli: dict | None = None,
+    from_file: StreamOptions | None = None,
+    derived: StreamOptions | None = None,
+) -> StreamOptions:
+    """Option cascade (P13, RdfJellySerializationOptions.scala:104-140):
+    explicit CLI flags > options copied from a file > options derived
+    from the input > library defaults. ``cli`` keys with value ``None``
+    are treated as unset."""
+    opts = StreamOptions()
+    for layer in (derived, from_file):
+        if layer is not None:
+            opts = dataclasses.replace(
+                opts,
+                **{
+                    f.name: getattr(layer, f.name)
+                    for f in dataclasses.fields(StreamOptions)
+                },
+            )
+    if cli:
+        updates = {k: v for k, v in cli.items() if v is not None}
+        if updates:
+            opts = dataclasses.replace(opts, **updates)
+    return dataclasses.replace(opts, version=VERSION)
 
 
 # ---------------------------------------------------------------------------
@@ -91,41 +234,57 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
-def encode_rows_to_frame(rows: list[tuple]) -> bytes:
-    """rows: (row_kind, s_id, p_id, o_id, o_kind, name_id, name,
-    dt_id, lang). Legacy 7-tuples are padded (no datatype/langtag)."""
+def _write_str(buf: io.BytesIO, s: str | None) -> None:
+    raw = (s or "").encode("utf-8")
+    _write_varint(buf, len(raw))
+    buf.write(raw)
+
+
+def _read_str(data: bytes, pos: int) -> tuple[str, int]:
+    n, pos = _read_varint(data, pos)
+    return data[pos : pos + n].decode("utf-8"), pos + n
+
+
+def encode_rows_to_frame(rows: list[dict]) -> bytes:
+    """rows: dicts with 'kind' plus kind-specific fields (None-safe)."""
     buf = io.BytesIO()
     for row in rows:
-        if len(row) == 7:
-            row = row + (None, None)
-        kind, s_id, p_id, o_id, o_kind, name_id, name, dt_id, lang = row
+        kind = row["kind"]
         body = io.BytesIO()
         _write_varint(body, kind)
         if kind == KIND_OPTIONS:
-            _write_varint(body, VERSION)
-            # physical type rides in the s_id slot (TRIPLES when absent)
-            _write_varint(body, PHYSICAL_TRIPLES if s_id is None else s_id)
-            _write_varint(body, MAX_NAME_TABLE)
-        elif kind == KIND_TRIPLE:
-            _write_varint(body, s_id)
-            _write_varint(body, p_id)
-            _write_varint(body, o_id)
-            _write_varint(body, o_kind)
-            # datatype table ref (0 = none) + inline langtag (reference
-            # keeps langtags inline too; only IRIs are dictionary-worthy)
-            _write_varint(body, 0 if dt_id is None else dt_id)
-            lraw = (lang or "").encode("utf-8")
-            _write_varint(body, len(lraw))
-            body.write(lraw)
-        elif kind in (KIND_NAME, KIND_DATATYPE):
-            raw = name.encode("utf-8")
-            _write_varint(body, name_id)
-            _write_varint(body, len(raw))
-            body.write(raw)
+            opt: StreamOptions = row.get("opt") or StreamOptions()
+            _write_varint(body, opt.version)
+            _write_varint(body, opt.physical_type)
+            _write_varint(body, opt.logical_type)
+            _write_varint(body, opt.flags)
+            _write_varint(body, opt.max_name_table)
+            _write_varint(body, opt.max_prefix_table)
+            _write_varint(body, opt.max_dt_table)
+            _write_str(body, opt.stream_name)
+        elif kind in (KIND_TRIPLE, KIND_QUAD):
+            _write_varint(body, row["s_id"])
+            _write_varint(body, row["p_id"])
+            _write_varint(body, row["o_id"])
+            _write_varint(body, row["o_kind"])
+            if kind == KIND_QUAD:
+                _write_varint(body, row.get("g_id") or 0)
+            _write_varint(body, row.get("dt_id") or 0)
+            _write_str(body, row.get("lang"))
+        elif kind == KIND_NAME:
+            _write_varint(body, row["name_id"])
+            _write_varint(body, row.get("prefix_id") or 0)
+            _write_str(body, row["name"])
+        elif kind in (KIND_DATATYPE, KIND_PREFIX):
+            _write_varint(body, row["name_id"])
+            _write_str(body, row["name"])
         elif kind == KIND_GRAPH_START:
-            _write_varint(body, name_id)  # graph term's dictionary id
+            _write_varint(body, row["name_id"])  # graph term's dictionary id
         elif kind == KIND_GRAPH_END:
             pass  # no payload (MetricsPrinter.scala:69-82 row taxonomy)
+        elif kind == KIND_NAMESPACE:
+            _write_str(body, row["name"])  # short name
+            _write_str(body, row.get("aux"))  # namespace IRI
         else:
             raise ValueError(f"unknown row kind {kind}")
         payload = body.getvalue()
@@ -135,7 +294,7 @@ def encode_rows_to_frame(rows: list[tuple]) -> bytes:
     return buf.getvalue()
 
 
-def decode_frame(data: bytes) -> list[tuple]:
+def decode_frame(data: bytes) -> list[dict]:
     rows, pos = [], 0
     while pos < len(data):
         tag = data[pos]
@@ -145,46 +304,63 @@ def decode_frame(data: bytes) -> list[tuple]:
         length, pos = _read_varint(data, pos)
         end = pos + length
         kind, pos = _read_varint(data, pos)
+        row: dict = {"kind": kind}
         if kind == KIND_OPTIONS:
             ver, pos = _read_varint(data, pos)
+            if ver != VERSION:
+                raise ValueError(
+                    f"unsupported stream version {ver} (this decoder "
+                    f"supports version {VERSION})"
+                )
             phys, pos = _read_varint(data, pos)
+            logical, pos = _read_varint(data, pos)
+            flags, pos = _read_varint(data, pos)
             max_name, pos = _read_varint(data, pos)
-            rows.append((KIND_OPTIONS, ver, phys, max_name, None, None, None, None, None))
-        elif kind == KIND_TRIPLE:
-            s_id, pos = _read_varint(data, pos)
-            p_id, pos = _read_varint(data, pos)
-            o_id, pos = _read_varint(data, pos)
-            o_kind, pos = _read_varint(data, pos)
+            max_prefix, pos = _read_varint(data, pos)
+            max_dt, pos = _read_varint(data, pos)
+            sname, pos = _read_str(data, pos)
+            row.update(
+                opt_version=ver, opt_physical=phys, opt_logical=logical,
+                opt_flags=flags, opt_max_name=max_name,
+                opt_max_prefix=max_prefix, opt_max_dt=max_dt, aux=sname,
+            )
+        elif kind in (KIND_TRIPLE, KIND_QUAD):
+            row["s_id"], pos = _read_varint(data, pos)
+            row["p_id"], pos = _read_varint(data, pos)
+            row["o_id"], pos = _read_varint(data, pos)
+            row["o_kind"], pos = _read_varint(data, pos)
+            if kind == KIND_QUAD:
+                g_id, pos = _read_varint(data, pos)
+                row["g_id"] = g_id or None  # 0 = default graph
             dt_id, pos = _read_varint(data, pos)
-            llen, pos = _read_varint(data, pos)
-            lang = data[pos : pos + llen].decode("utf-8") if llen else None
-            pos += llen
-            rows.append(
-                (KIND_TRIPLE, s_id, p_id, o_id, o_kind, None, None,
-                 dt_id or None, lang)
-            )
-        elif kind in (KIND_NAME, KIND_DATATYPE):
-            name_id, pos = _read_varint(data, pos)
-            nlen, pos = _read_varint(data, pos)
-            name = data[pos : pos + nlen].decode("utf-8")
-            pos += nlen
-            rows.append((kind, None, None, None, None, name_id, name, None, None))
+            row["dt_id"] = dt_id or None
+            lang, pos = _read_str(data, pos)
+            row["lang"] = lang or None
+        elif kind == KIND_NAME:
+            row["name_id"], pos = _read_varint(data, pos)
+            prefix_id, pos = _read_varint(data, pos)
+            row["prefix_id"] = prefix_id or None
+            row["name"], pos = _read_str(data, pos)
+        elif kind in (KIND_DATATYPE, KIND_PREFIX):
+            row["name_id"], pos = _read_varint(data, pos)
+            row["name"], pos = _read_str(data, pos)
         elif kind == KIND_GRAPH_START:
-            name_id, pos = _read_varint(data, pos)
-            rows.append(
-                (KIND_GRAPH_START, None, None, None, None, name_id, None, None, None)
-            )
+            row["name_id"], pos = _read_varint(data, pos)
         elif kind == KIND_GRAPH_END:
-            rows.append((KIND_GRAPH_END, None, None, None, None, None, None, None, None))
+            pass
+        elif kind == KIND_NAMESPACE:
+            row["name"], pos = _read_str(data, pos)
+            row["aux"], pos = _read_str(data, pos)
         else:
             raise ValueError(f"unknown row kind {kind}")
         if pos != end:
             raise ValueError("row length mismatch")
+        rows.append(row)
     return rows
 
 
 # ---------------------------------------------------------------------------
-# encode: triples DataFrame → frames DataFrame
+# encode: statements DataFrame → frames DataFrame (TRIPLES and QUADS)
 # ---------------------------------------------------------------------------
 
 
@@ -214,28 +390,115 @@ def build_dictionary(ordered: DataFrame, max_size: int = MAX_NAME_TABLE) -> Data
     return ranked.select("seg", "term", "term_id", "first_rn")
 
 
-def encode_triples(
+def _null_row_cols(*present: str) -> list:
+    """Typed null columns for every ROW_SCHEMA field not in `present`
+    (keeps every union branch schema-aligned)."""
+    types = dict(s.rsplit(" ", 1) for s in ROW_SCHEMA.split(", "))
+    out = []
+    for c in _ROW_COLS:
+        if c in ("seg", "frame_index") or c in present:
+            continue
+        out.append(F.lit(None).cast(types[c]).alias(c))
+    return out
+
+
+def _encode_group_fn():
+    """applyInPandas encoder: one grouped partition of row-table rows →
+    one binary frame. Rows sort by (sort_key, minor): options first,
+    then table entries, then statements — each entry row lands in the
+    frame of its first use, before the statement that uses it."""
+
+    def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values(["sort_key", "minor"])
+
+        def val(v):
+            return None if pd.isna(v) else int(v)
+
+        rows = []
+        for r in pdf.itertuples():
+            kind = int(r.row_kind)
+            row = {"kind": kind}
+            if kind == KIND_OPTIONS:
+                row["opt"] = StreamOptions(
+                    version=int(r.opt_version),
+                    physical_type=int(r.opt_physical),
+                    logical_type=int(r.opt_logical),
+                    generalized=bool(int(r.opt_flags) & 1),
+                    rdf_star=bool(int(r.opt_flags) & 2),
+                    stream_name=r.aux if isinstance(r.aux, str) else "",
+                    max_name_table=int(r.opt_max_name),
+                    max_prefix_table=int(r.opt_max_prefix),
+                    max_dt_table=int(r.opt_max_dt),
+                )
+            else:
+                row.update(
+                    s_id=val(r.s_id), p_id=val(r.p_id), o_id=val(r.o_id),
+                    o_kind=val(r.o_kind), g_id=val(r.g_id),
+                    name_id=val(r.name_id), prefix_id=val(r.prefix_id),
+                    name=r.name if isinstance(r.name, str) else None,
+                    dt_id=val(r.dt_id),
+                    lang=r.lang if isinstance(r.lang, str) and r.lang else None,
+                    aux=r.aux if isinstance(r.aux, str) else None,
+                )
+            rows.append(row)
+        frame = encode_rows_to_frame(rows)
+        return pd.DataFrame(
+            {
+                "seg": [int(pdf.seg.iloc[0])],
+                "frame_index": [int(pdf.frame_index.iloc[0])],
+                "n_rows": [len(rows)],
+                "frame_bytes": [frame],
+            }
+        )
+
+    return encode_group
+
+
+# sort minor: fixed emit order within equal sort_key
+_MINOR_OPTIONS = 0
+_MINOR_NAMESPACE = 1
+_MINOR_PREFIX = 2
+_MINOR_DATATYPE = 3
+_MINOR_NAME = 4
+_MINOR_GRAPH_START = 5
+_MINOR_STATEMENT = 6
+_MINOR_GRAPH_END = 7
+
+_PREFIX_RE = r"^(.*[/#])"
+
+
+def _encode_statements(
     spark: SparkSession,
-    triples: DataFrame,
-    rows_per_frame: int = ROWS_PER_FRAME,
-    max_name_table: int = MAX_NAME_TABLE,
+    statements: DataFrame,
+    physical: int,
+    rows_per_frame: int,
+    options: StreamOptions,
+    prefix_table: bool,
+    namespaces: DataFrame | None,
 ) -> DataFrame:
-    """triples(subj, pred, obj, obj_kind) → frames(seg, frame_index,
-    n_rows, frame_bytes).
+    """Shared TRIPLES/QUADS encoder: statements(subj, pred, obj,
+    obj_kind[, graph][, obj_datatype][, obj_lang]) → frames.
 
     Layout per the reference's stream contract: each segment's first
     frame starts with an options row (P10, RdfValidate.scala:118-121);
-    each dictionary entry row lands in the frame of its first use,
-    before the statement that uses it (sort_key ordering inside the
-    grouped encoder). Global row order comes from the partition-offset
-    rank (cli_spark.order), not a single-task window.
+    each lookup-table entry row lands in the frame of its first use,
+    before the statement that uses it. Global row order comes from the
+    partition-offset rank (cli_spark.order), not a single-task window.
     """
-    seg_rows = max(rows_per_frame, (max_name_table // 3) // rows_per_frame * rows_per_frame)
     from .order import global_row_number
 
-    # optional literal metadata columns (datatype table + inline langtag)
-    has_dt = "obj_datatype" in triples.columns
-    has_lang = "obj_lang" in triples.columns
+    is_quads = physical == PHYSICAL_QUADS
+    nterms = 4 if is_quads else 3
+    rows_per_frame = int(rows_per_frame)
+    seg_rows = max(
+        rows_per_frame,
+        (options.max_name_table // nterms) // rows_per_frame * rows_per_frame,
+    )
+
+    has_dt = "obj_datatype" in statements.columns
+    has_lang = "obj_lang" in statements.columns
     cols = [
         F.col("subj"),
         F.col("pred"),
@@ -248,12 +511,73 @@ def encode_triples(
             "obj_lang"
         ),
     ]
+    keys = ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"]
+    if is_quads:
+        cols.append(F.col("graph"))
+        keys = ["graph"] + keys
     ordered = global_row_number(
-        triples.select(*cols).dropDuplicates(),
-        ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"],
+        statements.select(*cols).dropDuplicates(), keys
     ).withColumn("seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long"))
-    dictionary = build_dictionary(ordered, max_name_table).persist()
-    # datatype lookup table (3rd dictionary, bounded like the name table)
+
+    # name table: every distinct term per segment, first-use dense_rank.
+    # For QUADS the graph term joins the dictionary (NULL graph = default
+    # graph = id 0, no entry).
+    term_arr = ["subj", "pred", "obj"] + (["graph"] if is_quads else [])
+    terms = (
+        ordered.select(
+            "seg", F.col("rn"), F.explode(F.array(*term_arr)).alias("term")
+        )
+        .filter(F.col("term").isNotNull())
+        .groupBy("seg", "term")
+        .agg(F.min("rn").alias("first_rn"))
+    )
+    wseg = W.partitionBy("seg").orderBy("first_rn", "term")
+    dictionary = terms.withColumn("term_id", F.dense_rank().over(wseg)).persist()
+
+    # prefix table (F1): greedy split at the last / or # of each DICTIONARY
+    # term; bounded per segment — prefixes past max_prefix_table stay
+    # unsplit (prefix_id 0, full term in the name entry).
+    if prefix_table:
+        split = dictionary.withColumn(
+            "prefix", F.regexp_extract(F.col("term"), _PREFIX_RE, 1)
+        )
+        prefixes = (
+            split.filter(F.col("prefix") != "")
+            .groupBy("seg", "prefix")
+            .agg(F.min("first_rn").alias("first_rn"))
+        )
+        wp = W.partitionBy("seg").orderBy("first_rn", "prefix")
+        prefix_dict = (
+            prefixes.withColumn("pid", F.dense_rank().over(wp))
+            .filter(F.col("pid") <= options.max_prefix_table)
+            .persist()
+        )
+        name_entries = (
+            split.join(prefix_dict.select("seg", "prefix", "pid"), ["seg", "prefix"], "left")
+            .select(
+                "seg",
+                "term_id",
+                "first_rn",
+                F.col("pid").alias("prefix_id"),
+                F.when(
+                    F.col("pid").isNotNull(),
+                    F.expr("substring(term, length(prefix) + 1)"),
+                )
+                .otherwise(F.col("term"))
+                .alias("local"),
+            )
+        )
+    else:
+        prefix_dict = None
+        name_entries = dictionary.select(
+            "seg",
+            "term_id",
+            "first_rn",
+            F.lit(None).cast("long").alias("prefix_id"),
+            F.col("term").alias("local"),
+        )
+
+    # datatype lookup table (3rd dictionary; ids bounded by seg sizing)
     dt_dict = (
         ordered.filter(F.col("obj_datatype").isNotNull())
         .groupBy("seg", "obj_datatype")
@@ -266,7 +590,7 @@ def encode_triples(
     frame_of = lambda rn: F.floor((rn - 1) / rows_per_frame).cast("long")  # noqa: E731
 
     d = dictionary
-    trip_rows = (
+    stmt = (
         ordered.join(
             d.select("seg", F.col("term").alias("subj"), F.col("term_id").alias("s_id")),
             ["seg", "subj"],
@@ -280,117 +604,181 @@ def encode_triples(
             ["seg", "obj"],
         )
         .join(
-            dt_dict.select(
-                "seg",
-                F.col("obj_datatype"),
-                F.col("dt_id").alias("o_dt_id"),
-            ),
+            dt_dict.select("seg", "obj_datatype", F.col("dt_id").alias("o_dt_id")),
             ["seg", "obj_datatype"],
             "left",
         )
-        .select(
-            "seg",
-            frame_of(F.col("rn")).alias("frame_index"),
-            F.col("rn").alias("sort_key"),
-            F.lit(KIND_TRIPLE).alias("row_kind"),
-            "s_id",
-            "p_id",
-            "o_id",
-            F.col("obj_kind").alias("o_kind"),
-            F.lit(None).cast("long").alias("name_id"),
-            F.lit(None).cast("string").alias("name"),
-            F.col("o_dt_id").alias("dt_id"),
-            F.col("obj_lang").alias("lang"),
-        )
     )
-    name_rows = dictionary.select(
+    if is_quads:
+        stmt = stmt.join(
+            d.select("seg", F.col("term").alias("graph"), F.col("term_id").alias("gid")),
+            ["seg", "graph"],
+            "left",
+        )
+    stmt_rows = stmt.select(
+        "seg",
+        frame_of(F.col("rn")).alias("frame_index"),
+        F.col("rn").alias("sort_key"),
+        F.lit(_MINOR_STATEMENT).alias("minor"),
+        F.lit(KIND_QUAD if is_quads else KIND_TRIPLE).alias("row_kind"),
+        F.col("s_id"),
+        F.col("p_id"),
+        F.col("o_id"),
+        F.col("obj_kind").alias("o_kind"),
+        (F.col("gid") if is_quads else F.lit(None).cast("long")).alias("g_id"),
+        F.lit(None).cast("long").alias("name_id"),
+        F.lit(None).cast("long").alias("prefix_id"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("o_dt_id").alias("dt_id"),
+        F.col("obj_lang").alias("lang"),
+        *_null_row_cols(
+            "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id", "o_kind",
+            "g_id", "name_id", "prefix_id", "name", "dt_id", "lang", "row_pos",
+        ),
+    )
+    name_rows = name_entries.select(
         "seg",
         frame_of(F.col("first_rn")).alias("frame_index"),
         F.col("first_rn").alias("sort_key"),
+        F.lit(_MINOR_NAME).alias("minor"),
         F.lit(KIND_NAME).alias("row_kind"),
-        F.lit(None).cast("long").alias("s_id"),
-        F.lit(None).cast("long").alias("p_id"),
-        F.lit(None).cast("long").alias("o_id"),
-        F.lit(None).cast("int").alias("o_kind"),
         F.col("term_id").alias("name_id"),
-        F.col("term").alias("name"),
-        F.lit(None).cast("long").alias("dt_id"),
-        F.lit(None).cast("string").alias("lang"),
-    )
+        F.col("prefix_id"),
+        F.col("local").alias("name"),
+        *_null_row_cols(
+            "sort_key", "minor", "row_kind", "name_id", "prefix_id", "name", "row_pos"
+        ),
+    ).select(*_frame_row_order())
     dt_rows = dt_dict.select(
         "seg",
         frame_of(F.col("first_rn")).alias("frame_index"),
         F.col("first_rn").alias("sort_key"),
+        F.lit(_MINOR_DATATYPE).alias("minor"),
         F.lit(KIND_DATATYPE).alias("row_kind"),
-        F.lit(None).cast("long").alias("s_id"),
-        F.lit(None).cast("long").alias("p_id"),
-        F.lit(None).cast("long").alias("o_id"),
-        F.lit(None).cast("int").alias("o_kind"),
         F.col("dt_id").alias("name_id"),
         F.col("obj_datatype").alias("name"),
-        F.lit(None).cast("long").alias("dt_id"),
-        F.lit(None).cast("string").alias("lang"),
-    )
+        *_null_row_cols("sort_key", "minor", "row_kind", "name_id", "name", "row_pos"),
+    ).select(*_frame_row_order())
+    branches = [stmt_rows.select(*_frame_row_order()), name_rows, dt_rows]
+    if prefix_dict is not None:
+        prefix_rows = prefix_dict.select(
+            "seg",
+            frame_of(F.col("first_rn")).alias("frame_index"),
+            F.col("first_rn").alias("sort_key"),
+            F.lit(_MINOR_PREFIX).alias("minor"),
+            F.lit(KIND_PREFIX).alias("row_kind"),
+            F.col("pid").alias("name_id"),
+            F.col("prefix").alias("name"),
+            *_null_row_cols(
+                "sort_key", "minor", "row_kind", "name_id", "name", "row_pos"
+            ),
+        ).select(*_frame_row_order())
+        branches.append(prefix_rows)
     # one options row at the head of each segment's first frame
     options_rows = (
-        ordered.select("seg", (F.col("seg") * seg_rows).alias("seg_first_rn"))
-        .groupBy("seg")
-        .agg(F.min("seg_first_rn").alias("first"))
+        ordered.groupBy("seg")
+        .agg(F.min("rn").alias("first"))
         .select(
             "seg",
-            frame_of(F.col("first") + 1).alias("frame_index"),
+            frame_of(F.col("first")).alias("frame_index"),
             F.lit(0).cast("long").alias("sort_key"),
+            F.lit(_MINOR_OPTIONS).alias("minor"),
             F.lit(KIND_OPTIONS).alias("row_kind"),
-            F.lit(None).cast("long").alias("s_id"),
-            F.lit(None).cast("long").alias("p_id"),
-            F.lit(None).cast("long").alias("o_id"),
-            F.lit(None).cast("int").alias("o_kind"),
-            F.lit(None).cast("long").alias("name_id"),
-            F.lit(None).cast("string").alias("name"),
-            F.lit(None).cast("long").alias("dt_id"),
-            F.lit(None).cast("string").alias("lang"),
+            F.lit(options.version).alias("opt_version"),
+            F.lit(physical).alias("opt_physical"),
+            F.lit(options.logical_type).alias("opt_logical"),
+            F.lit(options.flags).alias("opt_flags"),
+            F.lit(options.max_name_table).alias("opt_max_name"),
+            F.lit(options.max_prefix_table).alias("opt_max_prefix"),
+            F.lit(options.max_dt_table).alias("opt_max_dt"),
+            F.lit(options.stream_name).alias("aux"),
+            *_null_row_cols(
+                "sort_key", "minor", "row_kind", "opt_version", "opt_physical",
+                "opt_logical", "opt_flags", "opt_max_name", "opt_max_prefix",
+                "opt_max_dt", "aux", "row_pos",
+            ),
         )
+        .select(*_frame_row_order())
     )
-    all_rows = (
-        options_rows.unionByName(name_rows)
-        .unionByName(dt_rows)
-        .unionByName(trip_rows)
-    )
+    branches.append(options_rows)
+    if namespaces is not None:
+        # namespace declarations ride at the head of the stream (seg 0,
+        # frame 0, right after options)
+        ns_rows = namespaces.select(
+            F.lit(0).cast("long").alias("seg"),
+            F.lit(0).cast("long").alias("frame_index"),
+            F.lit(0).cast("long").alias("sort_key"),
+            F.lit(_MINOR_NAMESPACE).alias("minor"),
+            F.lit(KIND_NAMESPACE).alias("row_kind"),
+            F.col("name").alias("name"),
+            F.col("iri").alias("aux"),
+            *_null_row_cols("sort_key", "minor", "row_kind", "name", "aux", "row_pos"),
+        ).select(*_frame_row_order())
+        branches.append(ns_rows)
 
-    def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        # options first (sort_key 0); dictionary entries (kinds 7, 4)
-        # before the TRIPLE (kind 2) that first uses them at equal
-        # sort_key → kind descending
-        pdf = pdf.sort_values(["sort_key", "row_kind"], ascending=[True, False])
-        rows = [
-            (
-                int(r.row_kind),
-                None if pd.isna(r.s_id) else int(r.s_id),
-                None if pd.isna(r.p_id) else int(r.p_id),
-                None if pd.isna(r.o_id) else int(r.o_id),
-                None if pd.isna(r.o_kind) else int(r.o_kind),
-                None if pd.isna(r.name_id) else int(r.name_id),
-                r.name,
-                None if pd.isna(r.dt_id) else int(r.dt_id),
-                None if (not isinstance(r.lang, str) or not r.lang) else r.lang,
-            )
-            for r in pdf.itertuples()
-        ]
-        frame = encode_rows_to_frame(rows)
-        return pd.DataFrame(
-            {
-                "seg": [int(pdf.seg.iloc[0])],
-                "frame_index": [int(pdf.frame_index.iloc[0])],
-                "n_rows": [len(rows)],
-                "frame_bytes": [frame],
-            }
-        )
-
+    all_rows = branches[0]
+    for b in branches[1:]:
+        all_rows = all_rows.unionByName(b)
     # seg_rows is a multiple of rows_per_frame ⇒ each frame belongs to
     # exactly one segment; grouping carries both for the output schema.
-    return all_rows.groupBy("seg", "frame_index").applyInPandas(encode_group, FRAME_SCHEMA)
+    return all_rows.groupBy("seg", "frame_index").applyInPandas(
+        _encode_group_fn(), FRAME_SCHEMA
+    )
+
+
+def _frame_row_order() -> list[str]:
+    """Canonical column order for the pre-encode row table."""
+    return [
+        "seg", "frame_index", "sort_key", "minor", "row_kind",
+        "s_id", "p_id", "o_id", "o_kind", "g_id",
+        "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
+        "opt_version", "opt_physical", "opt_logical", "opt_flags",
+        "opt_max_name", "opt_max_prefix", "opt_max_dt",
+    ]
+
+
+def encode_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    rows_per_frame: int = ROWS_PER_FRAME,
+    max_name_table: int = MAX_NAME_TABLE,
+    options: StreamOptions | None = None,
+    prefix_table: bool = False,
+    namespaces: DataFrame | None = None,
+) -> DataFrame:
+    """triples(subj, pred, obj, obj_kind[, obj_datatype, obj_lang]) →
+    frames(seg, frame_index, n_rows, frame_bytes), TRIPLES physical type
+    (S15, RdfToJelly.scala:130-199)."""
+    opts = options or StreamOptions(max_name_table=max_name_table)
+    if options is None:
+        opts = dataclasses.replace(opts, max_dt_table=max_name_table)
+    return _encode_statements(
+        spark, triples, PHYSICAL_TRIPLES, rows_per_frame, opts,
+        prefix_table, namespaces,
+    )
+
+
+def encode_quads(
+    spark: SparkSession,
+    quads: DataFrame,
+    rows_per_frame: int = ROWS_PER_FRAME,
+    max_name_table: int = MAX_NAME_TABLE,
+    options: StreamOptions | None = None,
+    prefix_table: bool = False,
+    namespaces: DataFrame | None = None,
+) -> DataFrame:
+    """quads(subj, pred, obj, obj_kind, graph nullable) → frames, QUADS
+    physical type (RdfToJelly.scala:158,182-191): every statement row
+    carries its own graph reference (g_id 0 = default graph), unlike
+    GRAPHS which factors the graph out into run boundaries."""
+    opts = options or StreamOptions(
+        physical_type=PHYSICAL_QUADS, max_name_table=max_name_table,
+        max_dt_table=max_name_table,
+    )
+    return _encode_statements(
+        spark, quads, PHYSICAL_QUADS, rows_per_frame, opts,
+        prefix_table, namespaces,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -398,12 +786,18 @@ def encode_triples(
 # ---------------------------------------------------------------------------
 
 
-def write_jelly_file(frames: DataFrame, path: str, delimited: bool = True) -> None:
+def write_jelly_file(
+    frames: DataFrame, path: str, delimited: bool = True, append: bool = False
+) -> None:
     """Concatenate frames (ordered) into one delimited binary file.
     Driver-side assembly — a .jelly artifact is a single bounded file;
-    the cluster-scale representation stays the frames table."""
+    the cluster-scale representation stays the frames table.
+    ``append`` mirrors the reference's append-mode sink (S3,
+    IoUtil.scala:30-36): appended frames form a concatenated stream,
+    which is legal input (U1)."""
     rows = frames.orderBy("seg", "frame_index").select("frame_bytes").collect()
-    with open(path, "wb") as fh:
+    mode = "ab" if append else "wb"
+    with open(path, mode) as fh:
         for r in rows:
             if delimited:
                 buf = io.BytesIO()
@@ -436,8 +830,8 @@ def read_jelly_file(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["content"])
+            for content in pdf["content"]:
+                data = bytes(content)
                 if not data:
                     continue
                 if data[0] == 0x0A:  # non-delimited: exactly one frame
@@ -458,13 +852,42 @@ def read_jelly_file(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(split, FRAME_SCHEMA)
 
 
+def options_from_file(path: str) -> StreamOptions:
+    """Options-from-file (S11, RdfToJelly.scala:82-89): read the first
+    frame of an existing stream and copy its options row. Pure driver-side
+    I/O — only the head of the file is touched."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data:
+        raise ValueError("empty stream")
+    if data[0] == 0x0A:
+        frame = data
+    else:
+        length, pos = _read_varint(data, 0)
+        frame = data[pos : pos + length]
+    for row in decode_frame(frame):
+        if row["kind"] == KIND_OPTIONS:
+            return StreamOptions(
+                version=row["opt_version"],
+                physical_type=row["opt_physical"],
+                logical_type=row["opt_logical"],
+                generalized=bool(row["opt_flags"] & 1),
+                rdf_star=bool(row["opt_flags"] & 2),
+                stream_name=row.get("aux") or "",
+                max_name_table=row["opt_max_name"],
+                max_prefix_table=row["opt_max_prefix"],
+                max_dt_table=row["opt_max_dt"],
+            )
+    raise ValueError(f"no options row in the first frame of {path}")
+
+
 # ---------------------------------------------------------------------------
-# decode: frames table → rows table → triples
+# decode: frames table → rows table → statements
 # ---------------------------------------------------------------------------
 
 
 def decode_frames(frames: DataFrame) -> DataFrame:
-    """frames → row table (frame_index, row_pos, row_kind, ...) via
+    """frames → row table (seg, frame_index, row_pos, row_kind, ...) via
     Arrow-batched decoder."""
 
     def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -472,28 +895,20 @@ def decode_frames(frames: DataFrame) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                for pos, row in enumerate(decode_frame(bytes(r["frame_bytes"]))):
-                    kind = row[0]
-                    base = (r["seg"], r["frame_index"], pos, kind)
-                    if kind == KIND_OPTIONS:
-                        out.append(base + (None,) * 8)
-                    elif kind == KIND_TRIPLE:
-                        out.append(
-                            base
-                            + (row[1], row[2], row[3], row[4], None, None, row[7], row[8])
-                        )
-                    else:
-                        out.append(
-                            base + (None, None, None, None, row[5], row[6], None, None)
-                        )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "seg", "frame_index", "row_pos", "row_kind", "s_id", "p_id",
-                    "o_id", "o_kind", "name_id", "name", "dt_id", "lang",
-                ],
-            )
+            for seg, frame_index, frame_bytes in zip(
+                pdf["seg"], pdf["frame_index"], pdf["frame_bytes"]
+            ):
+                for pos, row in enumerate(decode_frame(bytes(frame_bytes))):
+                    rec = {c: None for c in _ROW_COLS}
+                    rec.update(
+                        seg=seg, frame_index=frame_index, row_pos=pos,
+                        row_kind=row["kind"],
+                    )
+                    for k, v in row.items():
+                        if k != "kind":
+                            rec[k] = v
+                    out.append(rec)
+            yield pd.DataFrame(out, columns=_ROW_COLS)
 
     return frames.mapInPandas(dec, ROW_SCHEMA)
 
@@ -512,26 +927,91 @@ def assign_segments(rows: DataFrame) -> DataFrame:
     )
 
 
-def decode_triples(
-    rows: DataFrame, take_frames: tuple[int, int] | None = None
-) -> DataFrame:
-    """rows table → triples. Two-pass distributed decode (§3.2): pass 1
-    materializes each segment's dictionary, pass 2 joins statement refs
-    on (seg, id) — frame slicing (P1/P2 --take-frames) filters pass 2
-    only, so skipped frames still contribute dictionary state exactly
-    like the reference's state-preserving skip (RdfFromJelly.scala:166-177)."""
-    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
-        rows = assign_segments(rows)
-    dictionary = (
-        rows.filter(F.col("row_kind") == KIND_NAME)
-        .select("seg", F.col("name_id").alias("term_id"), F.col("name").alias("term"))
+def stream_physical_types(rows: DataFrame) -> set[int]:
+    """Distinct physical types declared by the stream's options rows."""
+    return {
+        r[0]
+        for r in rows.filter(F.col("row_kind") == KIND_OPTIONS)
+        .select("opt_physical")
+        .distinct()
+        .collect()
+    }
+
+
+def ensure_physical(rows: DataFrame, allowed: set[int], context: str) -> None:
+    """P4 guard (RdfFromJelly.scala:144-153): converting a QUADS/GRAPHS
+    stream into a triples-only sink is an error, not silent data loss."""
+    bad = stream_physical_types(rows) - allowed - {None}
+    if bad:
+        names = {1: "TRIPLES", 2: "QUADS", 3: "GRAPHS"}
+        raise ValueError(
+            f"stream physical type {sorted(names.get(b, b) for b in bad)} "
+            f"cannot be written to {context}; use --merge-graphs to drop "
+            f"graph names or choose a quad-capable format"
+        )
+
+
+def namespace_declarations(rows: DataFrame) -> DataFrame:
+    """(name, iri) namespace declarations carried by the stream (P-row
+    kind 9 passthrough, RdfFromJelly.scala:133-140)."""
+    return rows.filter(F.col("row_kind") == KIND_NAMESPACE).select(
+        F.col("name"), F.col("aux").alias("iri")
+    )
+
+
+def _term_dictionary(rows: DataFrame) -> DataFrame:
+    """(seg, term_id, term) — name entries joined to the prefix table
+    (term = prefix || local; prefix_id NULL/0 ⇒ local is the full term)."""
+    names = rows.filter(F.col("row_kind") == KIND_NAME).select(
+        "seg",
+        F.col("name_id").alias("term_id"),
+        "prefix_id",
+        F.col("name").alias("local"),
+    )
+    prefixes = rows.filter(F.col("row_kind") == KIND_PREFIX).select(
+        "seg", F.col("name_id").alias("prefix_id"), F.col("name").alias("prefix")
+    )
+    return (
+        names.join(F.broadcast(prefixes), ["seg", "prefix_id"], "left")
+        .select(
+            "seg",
+            "term_id",
+            F.concat(F.coalesce(F.col("prefix"), F.lit("")), F.col("local")).alias(
+                "term"
+            ),
+        )
         .dropDuplicates(["seg", "term_id"])
     )
-    dt_dictionary = (
+
+
+def _dt_dictionary(rows: DataFrame) -> DataFrame:
+    return (
         rows.filter(F.col("row_kind") == KIND_DATATYPE)
-        .select("seg", F.col("name_id").alias("ref_dt"), F.col("name").alias("obj_datatype"))
-        .dropDuplicates(["seg", "ref_dt"])
+        .select("seg", F.col("name_id").alias("dt_id"), F.col("name").alias("obj_datatype"))
+        .dropDuplicates(["seg", "dt_id"])
     )
+
+
+def decode_triples(
+    rows: DataFrame,
+    take_frames: tuple[int, int] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """rows table → triples. Two-pass distributed decode (§3.2): pass 1
+    materializes each segment's dictionaries, pass 2 joins statement refs
+    on (seg, id) — frame slicing (P1/P2 --take-frames) filters pass 2
+    only, so skipped frames still contribute dictionary state exactly
+    like the reference's state-preserving skip (RdfFromJelly.scala:166-177).
+
+    ``strict`` enforces the P4 quad-in-triple-format guard: a stream
+    whose options declare QUADS/GRAPHS raises instead of silently
+    dropping graph names."""
+    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
+        rows = assign_segments(rows)
+    if strict:
+        ensure_physical(rows, {PHYSICAL_TRIPLES}, "a triples-only sink")
+    dictionary = _term_dictionary(rows)
+    dt_dictionary = _dt_dictionary(rows)
     trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
     if take_frames is not None:
         lo, hi = take_frames
@@ -550,11 +1030,7 @@ def decode_triples(
             d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
             ["seg", "o_id"],
         )
-        .join(
-            dt_dictionary.withColumnRenamed("ref_dt", "dt_id"),
-            ["seg", "dt_id"],
-            "left",
-        )
+        .join(dt_dictionary, ["seg", "dt_id"], "left")
         .select(
             "subj",
             "pred",
@@ -567,19 +1043,127 @@ def decode_triples(
     )
 
 
+def decode_quads(
+    rows: DataFrame, take_frames: tuple[int, int] | None = None
+) -> DataFrame:
+    """QUADS rows table → quads(subj, pred, obj, obj_kind, graph,
+    obj_datatype, obj_lang, frame_index); g_id NULL ⇒ default graph ⇒
+    graph NULL."""
+    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
+        rows = assign_segments(rows)
+    dictionary = _term_dictionary(rows)
+    dt_dictionary = _dt_dictionary(rows)
+    qs = rows.filter(F.col("row_kind") == KIND_QUAD)
+    if take_frames is not None:
+        lo, hi = take_frames
+        qs = qs.filter(F.col("frame_index").between(lo, hi))
+    d = dictionary
+    return (
+        qs.join(
+            d.select("seg", F.col("term_id").alias("s_id"), F.col("term").alias("subj")),
+            ["seg", "s_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("p_id"), F.col("term").alias("pred")),
+            ["seg", "p_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
+            ["seg", "o_id"],
+        )
+        .join(
+            d.select("seg", F.col("term_id").alias("g_id"), F.col("term").alias("graph")),
+            ["seg", "g_id"],
+            "left",
+        )
+        .join(dt_dictionary, ["seg", "dt_id"], "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("o_kind").alias("obj_kind"),
+            "graph",
+            "obj_datatype",
+            F.col("lang").alias("obj_lang"),
+            "frame_index",
+        )
+    )
+
+
 def roundtrip(spark: SparkSession, triples: DataFrame, **kw) -> DataFrame:
     """encode → decode, for equivalence gates (SURVEY §5 pillar 2)."""
     return decode_triples(decode_frames(encode_triples(spark, triples, **kw)))
 
 
+def roundtrip_quads(spark: SparkSession, quads: DataFrame, **kw) -> DataFrame:
+    """QUADS encode → decode identity."""
+    return decode_quads(decode_frames(encode_quads(spark, quads, **kw)))
+
+
+# ---------------------------------------------------------------------------
+# options validation (P10/P8, RdfValidate.scala:118-143,192-195)
+# ---------------------------------------------------------------------------
+
+
+def validate_options(rows: DataFrame) -> list[str]:
+    """Options-row validation battery: version supported, physical type
+    known, logical/physical compatibility, and later-options equality
+    (every options row after the first must declare identical options).
+    Returns violation strings (empty ⇒ valid); options rows are a
+    per-segment handful, so the collect is trivially small."""
+    opts = (
+        rows.filter(F.col("row_kind") == KIND_OPTIONS)
+        .select(
+            "seg", "frame_index", "row_pos", "opt_version", "opt_physical",
+            "opt_logical", "opt_flags", "opt_max_name", "opt_max_prefix",
+            "opt_max_dt", "aux",
+        )
+        .orderBy("seg", "frame_index", "row_pos")
+        .collect()
+    )
+    problems: list[str] = []
+    if not opts:
+        problems.append("stream has no options row")
+        return problems
+    for r in opts:
+        if not r.opt_version or r.opt_version < 1:
+            problems.append(f"options row declares invalid version {r.opt_version}")
+        elif r.opt_version > VERSION:
+            problems.append(
+                f"unsupported stream version {r.opt_version} (max {VERSION})"
+            )
+        if r.opt_physical not in (PHYSICAL_TRIPLES, PHYSICAL_QUADS, PHYSICAL_GRAPHS):
+            problems.append(f"unknown physical stream type {r.opt_physical}")
+        if r.opt_logical and r.opt_logical in LOGICAL_COMPAT:
+            if r.opt_physical not in LOGICAL_COMPAT[r.opt_logical]:
+                problems.append(
+                    f"logical type {LOGICAL_NAMES.get(r.opt_logical, r.opt_logical)} "
+                    f"is incompatible with physical type {r.opt_physical}"
+                )
+        elif r.opt_logical and r.opt_logical not in LOGICAL_NAMES:
+            problems.append(f"unknown logical stream type {r.opt_logical}")
+        if r.opt_max_name is not None and r.opt_max_name < 8:
+            problems.append(
+                f"name table size {r.opt_max_name} below the minimum of 8"
+            )
+    first = opts[0]
+    key = (
+        "opt_version", "opt_physical", "opt_logical", "opt_flags",
+        "opt_max_name", "opt_max_prefix", "opt_max_dt", "aux",
+    )
+    for r in opts[1:]:
+        if tuple(r[k] for k in key) != tuple(first[k] for k in key):
+            problems.append(
+                "options changed mid-stream (later options rows must equal "
+                "the first — RdfValidate.scala:192-195)"
+            )
+            break
+    return problems
+
+
 # ---------------------------------------------------------------------------
 # GRAPHS physical type (S16): graph-run boundary encoding
 # ---------------------------------------------------------------------------
-
-PHYSICAL_GRAPHS = 3
-KIND_GRAPH_START = 5
-KIND_GRAPH_END = 6
-DEFAULT_GRAPH = ""  # encoded like any term; empty string = default graph
 
 
 def encode_quads_graphs(
@@ -587,6 +1171,7 @@ def encode_quads_graphs(
     quads: DataFrame,
     rows_per_frame: int = ROWS_PER_FRAME,
     max_name_table: int = MAX_NAME_TABLE,
+    options: StreamOptions | None = None,
 ) -> DataFrame:
     """quads(subj, pred, obj, obj_kind, graph nullable) → frames, GRAPHS
     physical type (JellyStreamWriterGraphs.scala:19-95): statements are
@@ -600,6 +1185,10 @@ def encode_quads_graphs(
     row-at-a-time state machine. Dictionary, segmenting, and frame
     assignment are shared with the TRIPLES encoder.
     """
+    opts = options or StreamOptions(
+        physical_type=PHYSICAL_GRAPHS, max_name_table=max_name_table,
+        max_dt_table=max_name_table,
+    )
     seg_rows = max(
         rows_per_frame, (max_name_table // 4) // rows_per_frame * rows_per_frame
     )
@@ -627,18 +1216,9 @@ def encode_quads_graphs(
     dictionary = terms.withColumn("term_id", F.dense_rank().over(wseg)).persist()
 
     frame_of = lambda rn: F.floor((rn - 1) / rows_per_frame).cast("long")  # noqa: E731
-    # sort_key leaves room around each statement: name entries at -5,
-    # GraphStart at -2, the triple at 0, GraphEnd at +1.
-    skey = lambda rn, off: (rn * 10 + off).cast("long")  # noqa: E731
 
     d = dictionary
-    null_cols = [
-        F.lit(None).cast("long").alias("s_id"),
-        F.lit(None).cast("long").alias("p_id"),
-        F.lit(None).cast("long").alias("o_id"),
-        F.lit(None).cast("int").alias("o_kind"),
-    ]
-    trip_rows = (
+    stmt_rows = (
         ordered.join(
             d.select("seg", F.col("term").alias("subj"), F.col("term_id").alias("s_id")),
             ["seg", "subj"],
@@ -654,25 +1234,30 @@ def encode_quads_graphs(
         .select(
             "seg",
             frame_of(F.col("rn")).alias("frame_index"),
-            skey(F.col("rn"), 0).alias("sort_key"),
+            F.col("rn").alias("sort_key"),
+            F.lit(_MINOR_STATEMENT).alias("minor"),
             F.lit(KIND_TRIPLE).alias("row_kind"),
             "s_id",
             "p_id",
             "o_id",
             F.col("obj_kind").alias("o_kind"),
-            F.lit(None).cast("long").alias("name_id"),
-            F.lit(None).cast("string").alias("name"),
+            *_null_row_cols(
+                "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id",
+                "o_kind", "row_pos",
+            ),
         )
+        .select(*_frame_row_order())
     )
     name_rows = dictionary.select(
         "seg",
         frame_of(F.col("first_rn")).alias("frame_index"),
-        skey(F.col("first_rn"), -5).alias("sort_key"),
+        F.col("first_rn").alias("sort_key"),
+        F.lit(_MINOR_NAME).alias("minor"),
         F.lit(KIND_NAME).alias("row_kind"),
-        *null_cols,
         F.col("term_id").alias("name_id"),
         F.col("term").alias("name"),
-    )
+        *_null_row_cols("sort_key", "minor", "row_kind", "name_id", "name", "row_pos"),
+    ).select(*_frame_row_order())
     # graph runs: contiguous by construction within a segment
     runs = ordered.groupBy("seg", "graph").agg(
         F.min("rn").alias("run_start"), F.max("rn").alias("run_end")
@@ -685,22 +1270,22 @@ def encode_quads_graphs(
         .select(
             "seg",
             frame_of(F.col("run_start")).alias("frame_index"),
-            skey(F.col("run_start"), -2).alias("sort_key"),
+            F.col("run_start").alias("sort_key"),
+            F.lit(_MINOR_GRAPH_START).alias("minor"),
             F.lit(KIND_GRAPH_START).alias("row_kind"),
-            *null_cols,
             F.col("gid").alias("name_id"),
-            F.lit(None).cast("string").alias("name"),
+            *_null_row_cols("sort_key", "minor", "row_kind", "name_id", "row_pos"),
         )
+        .select(*_frame_row_order())
     )
     end_rows = runs.select(
         "seg",
         frame_of(F.col("run_end")).alias("frame_index"),
-        skey(F.col("run_end"), 1).alias("sort_key"),
+        F.col("run_end").alias("sort_key"),
+        F.lit(_MINOR_GRAPH_END).alias("minor"),
         F.lit(KIND_GRAPH_END).alias("row_kind"),
-        *null_cols,
-        F.lit(None).cast("long").alias("name_id"),
-        F.lit(None).cast("string").alias("name"),
-    )
+        *_null_row_cols("sort_key", "minor", "row_kind", "row_pos"),
+    ).select(*_frame_row_order())
     options_rows = (
         ordered.groupBy("seg")
         .agg(F.min("rn").alias("first"))
@@ -708,50 +1293,32 @@ def encode_quads_graphs(
             "seg",
             frame_of(F.col("first")).alias("frame_index"),
             F.lit(0).cast("long").alias("sort_key"),
+            F.lit(_MINOR_OPTIONS).alias("minor"),
             F.lit(KIND_OPTIONS).alias("row_kind"),
-            F.lit(PHYSICAL_GRAPHS).cast("long").alias("s_id"),  # physical type
-            F.lit(None).cast("long").alias("p_id"),
-            F.lit(None).cast("long").alias("o_id"),
-            F.lit(None).cast("int").alias("o_kind"),
-            F.lit(None).cast("long").alias("name_id"),
-            F.lit(None).cast("string").alias("name"),
+            F.lit(opts.version).alias("opt_version"),
+            F.lit(PHYSICAL_GRAPHS).alias("opt_physical"),
+            F.lit(opts.logical_type).alias("opt_logical"),
+            F.lit(opts.flags).alias("opt_flags"),
+            F.lit(opts.max_name_table).alias("opt_max_name"),
+            F.lit(opts.max_prefix_table).alias("opt_max_prefix"),
+            F.lit(opts.max_dt_table).alias("opt_max_dt"),
+            F.lit(opts.stream_name).alias("aux"),
+            *_null_row_cols(
+                "sort_key", "minor", "row_kind", "opt_version", "opt_physical",
+                "opt_logical", "opt_flags", "opt_max_name", "opt_max_prefix",
+                "opt_max_dt", "aux", "row_pos",
+            ),
         )
+        .select(*_frame_row_order())
     )
     all_rows = (
         options_rows.unionByName(name_rows)
         .unionByName(start_rows)
-        .unionByName(trip_rows)
+        .unionByName(stmt_rows)
         .unionByName(end_rows)
     )
-
-    def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        pdf = pdf.sort_values(["sort_key", "row_kind"], ascending=[True, False])
-        rows = [
-            (
-                int(r.row_kind),
-                None if pd.isna(r.s_id) else int(r.s_id),
-                None if pd.isna(r.p_id) else int(r.p_id),
-                None if pd.isna(r.o_id) else int(r.o_id),
-                None if pd.isna(r.o_kind) else int(r.o_kind),
-                None if pd.isna(r.name_id) else int(r.name_id),
-                r.name,
-            )
-            for r in pdf.itertuples()
-        ]
-        frame = encode_rows_to_frame(rows)
-        return pd.DataFrame(
-            {
-                "seg": [int(pdf.seg.iloc[0])],
-                "frame_index": [int(pdf.frame_index.iloc[0])],
-                "n_rows": [len(rows)],
-                "frame_bytes": [frame],
-            }
-        )
-
     return all_rows.groupBy("seg", "frame_index").applyInPandas(
-        encode_group, FRAME_SCHEMA
+        _encode_group_fn(), FRAME_SCHEMA
     )
 
 
@@ -763,16 +1330,12 @@ def decode_quads_graphs(rows: DataFrame) -> DataFrame:
     run always opens with its own GraphStart before any triple."""
     if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
         rows = assign_segments(rows)
-    dictionary = (
-        rows.filter(F.col("row_kind") == KIND_NAME)
-        .select("seg", F.col("name_id").alias("term_id"), F.col("name").alias("term"))
-        .dropDuplicates(["seg", "term_id"])
-    )
+    dictionary = _term_dictionary(rows)
     w = W.partitionBy("seg").orderBy("frame_index", "row_pos").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     with_gid = rows.withColumn(
-        "gid",
+        "run_gid",
         F.last(
             F.when(F.col("row_kind") == KIND_GRAPH_START, F.col("name_id")),
             ignorenulls=True,
@@ -794,8 +1357,8 @@ def decode_quads_graphs(rows: DataFrame) -> DataFrame:
             ["seg", "o_id"],
         )
         .join(
-            d.select("seg", F.col("term_id").alias("gid"), F.col("term").alias("graph")),
-            ["seg", "gid"],
+            d.select("seg", F.col("term_id").alias("run_gid"), F.col("term").alias("graph")),
+            ["seg", "run_gid"],
         )
         .select(
             "subj",

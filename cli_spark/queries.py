@@ -1205,13 +1205,18 @@ JELLY_SEG_ROWS = 1280  # default: (4096 // 3) // 256 * 256
     oracle=TRIPLES_SQL,
     doc="Jelly frames round-trip (S15→S9, to-jelly ∘ from-jelly = id): "
     "triples → varint frames (applyInPandas) → decode (mapInPandas) → "
-    "dictionary joins; oracle is the original triple set.",
+    "dictionary joins, WITH the prefix lookup table on (F1, "
+    "RdfJellySerializationOptions.scala:33-35 three-table contract; "
+    "name entries store (prefix_id, local)); oracle is the original "
+    "triple set.",
 )
 def q50_jelly_roundtrip(spark, sf_dir):
     from cli_spark.jelly import roundtrip
 
     t = doc_triples(spark, sf_dir)
-    return roundtrip(spark, t).select("subj", "pred", "obj", "obj_kind")
+    return roundtrip(spark, t, prefix_table=True).select(
+        "subj", "pred", "obj", "obj_kind"
+    )
 
 
 @query(
@@ -1946,3 +1951,40 @@ def q60_graphs_roundtrip(spark, sf_dir):
     return decode_quads_graphs(decode_frames(frames)).select(
         "subj", "pred", "obj", "obj_kind", "graph"
     )
+
+
+_QUADS2_SQL = """
+    SELECT DISTINCT 'kg:doc/' || doc_id AS subj,
+           'kg:fromSource' AS pred,
+           'kg:src/' || source AS obj,
+           0 AS obj_kind,
+           CASE WHEN lang = 'en' THEN NULL ELSE 'kg:graph/' || lang END AS graph
+    FROM documents
+"""
+
+
+@query(
+    "q61_quads_roundtrip",
+    oracle=_QUADS2_SQL,
+    doc="QUADS physical type round-trip (S15 QUADS + P4 machinery, "
+    "RdfToJelly.scala:158,182-191): quads → frames where every statement "
+    "row carries its own graph reference (g_id 0 = default graph) → "
+    "decode via 4-way dictionary join, prefix table on; oracle is the "
+    "original quad set with NULL = default graph.",
+)
+def q61_quads_roundtrip(spark, sf_dir):
+    from cli_spark.jelly import roundtrip_quads
+
+    d = load(spark, sf_dir, "documents")
+    quads = d.select(
+        F.format_string("kg:doc/%d", F.col("doc_id")).alias("subj"),
+        F.lit("kg:fromSource").alias("pred"),
+        F.concat(F.lit("kg:src/"), F.col("source")).alias("obj"),
+        F.lit(0).alias("obj_kind"),
+        F.when(F.col("lang") == "en", F.lit(None)).otherwise(
+            F.concat(F.lit("kg:graph/"), F.col("lang"))
+        ).alias("graph"),
+    ).distinct()
+    return roundtrip_quads(
+        spark, quads, rows_per_frame=64, prefix_table=True
+    ).select("subj", "pred", "obj", "obj_kind", "graph")

@@ -1,0 +1,320 @@
+"""Wire-format v2 features: QUADS physical type + P4 guard, prefix
+lookup table (3-table contract), full stream options + validation
+matrix (mirrors RdfValidateSpec.scala:143-338), namespace declarations,
+options-from-file + cascade (S11/P13), append-mode sink (S3), and the
+logical-type IRI↔enum mapping (F6/P12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark import jelly as J
+
+QKEY = ["subj", "pred", "obj", "obj_kind", "graph"]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("kg:doc/1", "kg:p", "kg:doc/2", 0, None),
+        ("kg:doc/2", "kg:p", "lit one", 2, None),
+        ("kg:doc/3", "kg:p", "kg:doc/1", 0, "kg:graph/a"),
+        ("kg:doc/3", "kg:q", "42", 2, "kg:graph/a"),
+        ("kg:doc/4", "kg:q", "kg:doc/5", 0, "kg:graph/b"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind int, graph string"
+    ).cache()
+
+
+def _set(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_quads_roundtrip(spark, quads):
+    back = J.roundtrip_quads(spark, quads, rows_per_frame=2)
+    assert _set(back, QKEY) == _set(quads, QKEY)
+    # wire really used QUAD rows with a graph reference
+    rows = J.decode_frames(J.encode_quads(spark, quads))
+    kinds = {r.row_kind for r in rows.select("row_kind").distinct().collect()}
+    assert J.KIND_QUAD in kinds and J.KIND_TRIPLE not in kinds
+    # default-graph rows carry g_id NULL (wire 0)
+    n_default = rows.filter(
+        (F.col("row_kind") == J.KIND_QUAD) & F.col("g_id").isNull()
+    ).count()
+    assert n_default == 2
+
+
+def test_quads_typed_literals(spark):
+    quads = spark.createDataFrame(
+        [
+            ("s", "p", "42", 2, "g1", "http://www.w3.org/2001/XMLSchema#integer", None),
+            ("s", "p", "hi", 2, None, None, "en"),
+        ],
+        "subj string, pred string, obj string, obj_kind int, graph string, "
+        "obj_datatype string, obj_lang string",
+    )
+    back = J.roundtrip_quads(spark, quads)
+    got = {
+        (r.subj, r.obj, r.graph, r.obj_datatype, r.obj_lang) for r in back.collect()
+    }
+    assert got == {
+        ("s", "42", "g1", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("s", "hi", None, None, "en"),
+    }
+
+
+def test_p4_quad_in_triple_sink_guard(spark, quads):
+    """P4 (RdfFromJelly.scala:144-153): decoding a QUADS stream into a
+    triples-only sink raises instead of silently dropping graphs."""
+    rows = J.decode_frames(J.encode_quads(spark, quads))
+    with pytest.raises(ValueError, match="QUADS"):
+        J.decode_triples(rows, strict=True).count()
+    # non-strict opt-out still decodes nothing silently (no TRIPLE rows)
+    assert J.decode_triples(rows, strict=False).count() == 0
+
+
+@pytest.fixture(scope="module")
+def iri_triples(spark):
+    # long shared prefixes — the prefix table's target shape
+    rows = [
+        (f"http://example.org/ontology/entity/e{i}",
+         "http://example.org/ontology/vocab#related",
+         f"http://example.org/ontology/entity/e{i + 1}", 0)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind int"
+    ).cache()
+
+
+def test_prefix_table_roundtrip_and_smaller(spark, iri_triples):
+    """The 3-table contract (RdfJellySerializationOptions.scala:33-35):
+    prefix-split name entries round-trip exactly AND the stream is
+    measurably smaller (min-size behavior, RdfToJellySpec.scala:824-833)."""
+    plain = J.encode_triples(spark, iri_triples, prefix_table=False)
+    pref = J.encode_triples(spark, iri_triples, prefix_table=True)
+    size = lambda fr: fr.agg(  # noqa: E731
+        F.sum(F.length("frame_bytes"))
+    ).collect()[0][0]
+    assert size(pref) < size(plain)
+    back = J.decode_triples(J.decode_frames(pref), strict=True)
+    key = ["subj", "pred", "obj", "obj_kind"]
+    assert _set(back, key) == _set(iri_triples, key)
+    # prefix entry rows exist and name entries reference them
+    rows = J.decode_frames(pref)
+    n_prefix = rows.filter(F.col("row_kind") == J.KIND_PREFIX).count()
+    assert n_prefix >= 2  # entity/ and vocab# prefixes
+    n_ref = rows.filter(
+        (F.col("row_kind") == J.KIND_NAME) & F.col("prefix_id").isNotNull()
+    ).count()
+    assert n_ref > 0
+
+
+def test_prefix_table_cap(spark):
+    """Prefixes past max_prefix_table stay unsplit (bounded table, no
+    eviction) and the stream still round-trips."""
+    rows = [(f"http://p{i}.example/x/e", "kg:p", f"v{i}", 2) for i in range(50)]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind int"
+    )
+    opts = J.StreamOptions(max_prefix_table=4)
+    frames = J.encode_triples(spark, t, options=opts, prefix_table=True)
+    dec = J.decode_frames(frames)
+    n_prefix = dec.filter(F.col("row_kind") == J.KIND_PREFIX).count()
+    assert n_prefix <= 4
+    back = J.decode_triples(dec)
+    key = ["subj", "pred", "obj", "obj_kind"]
+    assert _set(back, key) == _set(t, key)
+
+
+def test_full_options_roundtrip(spark, iri_triples):
+    opts = J.StreamOptions(
+        physical_type=J.PHYSICAL_TRIPLES,
+        logical_type=J.LOGICAL_FLAT_TRIPLES,
+        generalized=True,
+        rdf_star=False,
+        stream_name="test-stream",
+        max_name_table=512,
+        max_prefix_table=64,
+    )
+    rows = J.decode_frames(J.encode_triples(spark, iri_triples, options=opts))
+    opt_row = rows.filter(F.col("row_kind") == J.KIND_OPTIONS).first()
+    assert opt_row.opt_version == J.VERSION
+    assert opt_row.opt_physical == J.PHYSICAL_TRIPLES
+    assert opt_row.opt_logical == J.LOGICAL_FLAT_TRIPLES
+    assert opt_row.opt_flags == 1  # generalized, not rdf-star
+    assert opt_row.opt_max_name == 512
+    assert opt_row.opt_max_prefix == 64
+    assert opt_row.aux == "test-stream"
+    assert J.validate_options(rows) == []
+
+
+def _opts_row(spark, **overrides):
+    """Build a one-row rows-table with the given options fields."""
+    base = dict(
+        seg=0, frame_index=0, row_pos=0, row_kind=J.KIND_OPTIONS,
+        s_id=None, p_id=None, o_id=None, o_kind=None, g_id=None,
+        name_id=None, prefix_id=None, name=None, dt_id=None, lang=None,
+        aux="", opt_version=J.VERSION, opt_physical=J.PHYSICAL_TRIPLES,
+        opt_logical=0, opt_flags=0, opt_max_name=4096, opt_max_prefix=1024,
+        opt_max_dt=4096,
+    )
+    base.update(overrides)
+    return base
+
+
+def test_validate_options_matrix(spark):
+    """Failure matrix mirroring RdfValidateSpec.scala:143-338."""
+    mk = lambda *rows: spark.createDataFrame(list(rows), J.ROW_SCHEMA)  # noqa: E731
+    # valid
+    assert J.validate_options(mk(_opts_row(spark))) == []
+    # no options at all
+    probs = J.validate_options(
+        mk(dict(_opts_row(spark), row_kind=J.KIND_GRAPH_END))
+    )
+    assert any("no options" in p for p in probs)
+    # version 0 / unsupported future version
+    assert any(
+        "invalid version" in p
+        for p in J.validate_options(mk(_opts_row(spark, opt_version=0)))
+    )
+    assert any(
+        "unsupported stream version" in p
+        for p in J.validate_options(mk(_opts_row(spark, opt_version=J.VERSION + 1)))
+    )
+    # unknown physical type
+    assert any(
+        "unknown physical" in p
+        for p in J.validate_options(mk(_opts_row(spark, opt_physical=9)))
+    )
+    # logical/physical incompatibility: FLAT_QUADS over TRIPLES
+    assert any(
+        "incompatible" in p
+        for p in J.validate_options(
+            mk(_opts_row(spark, opt_logical=J.LOGICAL_FLAT_QUADS))
+        )
+    )
+    # compatible combination passes
+    assert (
+        J.validate_options(
+            mk(
+                _opts_row(
+                    spark,
+                    opt_logical=J.LOGICAL_FLAT_QUADS,
+                    opt_physical=J.PHYSICAL_QUADS,
+                )
+            )
+        )
+        == []
+    )
+    # name table below the minimum of 8
+    assert any(
+        "below the minimum" in p
+        for p in J.validate_options(mk(_opts_row(spark, opt_max_name=4)))
+    )
+    # later-options equality (RdfValidate.scala:192-195)
+    assert any(
+        "changed mid-stream" in p
+        for p in J.validate_options(
+            mk(
+                _opts_row(spark),
+                _opts_row(spark, seg=1, opt_max_name=512),
+            )
+        )
+    )
+    # identical later options are fine
+    assert (
+        J.validate_options(mk(_opts_row(spark), _opts_row(spark, seg=1))) == []
+    )
+
+
+def test_namespace_declarations(spark, iri_triples):
+    ns = spark.createDataFrame(
+        [("ex", "http://example.org/ontology/"), ("kg", "kg:")],
+        "name string, iri string",
+    )
+    rows = J.decode_frames(J.encode_triples(spark, iri_triples, namespaces=ns))
+    got = {tuple(r) for r in J.namespace_declarations(rows).collect()}
+    assert got == {("ex", "http://example.org/ontology/"), ("kg", "kg:")}
+    # declarations ride in frame 0 right after the options row
+    first = (
+        rows.filter(F.col("frame_index") == 0)
+        .orderBy("row_pos")
+        .select("row_kind")
+        .limit(3)
+        .collect()
+    )
+    assert first[0].row_kind == J.KIND_OPTIONS
+    assert J.KIND_NAMESPACE in {r.row_kind for r in first[1:]}
+
+
+def test_options_from_file_and_cascade(spark, iri_triples, tmp_path):
+    opts = J.StreamOptions(
+        stream_name="origin", max_name_table=256, generalized=True
+    )
+    p = str(tmp_path / "origin.jelly")
+    J.write_jelly_file(J.encode_triples(spark, iri_triples, options=opts), p)
+    loaded = J.options_from_file(p)
+    assert loaded.stream_name == "origin"
+    assert loaded.max_name_table == 256
+    assert loaded.generalized is True
+    # cascade: CLI flag beats file beats derived (P13)
+    merged = J.options_cascade(
+        cli={"stream_name": "cli-wins", "max_name_table": None},
+        from_file=loaded,
+        derived=J.StreamOptions(physical_type=J.PHYSICAL_QUADS),
+    )
+    assert merged.stream_name == "cli-wins"  # cli layer
+    assert merged.max_name_table == 256  # file layer (cli unset)
+    assert merged.generalized is True  # file layer
+    assert merged.physical_type == J.PHYSICAL_TRIPLES  # file overrode derived
+
+
+def test_append_mode_sink(spark, tmp_path):
+    """S3 (IoUtil.scala:30-36): appended frames form a concatenated
+    stream, which decodes as the union (U1)."""
+    a = spark.createDataFrame(
+        [("a", "p", "1", 2)], "subj string, pred string, obj string, obj_kind int"
+    )
+    b = spark.createDataFrame(
+        [("b", "p", "2", 2)], "subj string, pred string, obj string, obj_kind int"
+    )
+    p = str(tmp_path / "appended.jelly")
+    J.write_jelly_file(J.encode_triples(spark, a), p)
+    J.write_jelly_file(J.encode_triples(spark, b), p, append=True)
+    back = J.decode_triples(J.decode_frames(J.read_jelly_file(spark, p)))
+    assert {(r.subj, r.obj) for r in back.collect()} == {("a", "1"), ("b", "2")}
+
+
+def test_logical_type_iri_mapping():
+    """F6 camelCase↔SNAKE + P12 IRI↔enum."""
+    assert J.snake_to_camel("FLAT_TRIPLES") == "flatTriples"
+    assert J.camel_to_snake("flatTriples") == "FLAT_TRIPLES"
+    for code in (1, 2, 3, 4):
+        iri = J.logical_type_iri(code)
+        assert iri.startswith(J.STAX_BASE)
+        assert J.logical_type_from_iri(iri) == code
+    assert J.logical_type_iri(J.LOGICAL_UNSPECIFIED) is None
+    with pytest.raises(ValueError):
+        J.logical_type_from_iri(J.STAX_BASE + "noSuchStream")
+
+
+def test_version_rejection():
+    """ADVICE: a frame from another version fails with a clear error,
+    not a byte-level overrun."""
+    import io
+
+    buf = io.BytesIO()
+    body = io.BytesIO()
+    J._write_varint(body, J.KIND_OPTIONS)
+    J._write_varint(body, 1)  # v1 options row
+    J._write_varint(body, 1)
+    J._write_varint(body, 4096)
+    payload = body.getvalue()
+    buf.write(b"\x0a")
+    J._write_varint(buf, len(payload))
+    buf.write(payload)
+    with pytest.raises(ValueError, match="unsupported stream version 1"):
+        J.decode_frame(buf.getvalue())
