@@ -4,16 +4,20 @@
   products are computed JVM-side with ``F.aggregate``/``zip_with`` in a
   fixed left-to-right fold (deterministic doubles, oracle-comparable).
 - :func:`lsh_topk`      random-hyperplane LSH: sign-bit signatures from
-  deterministic pseudo-hyperplanes (hash-derived, no RNG state), probe
-  by bucket equi-join, exact re-rank inside buckets. The scale path: the
-  candidate set per query is the bucket population, not the corpus.
-- :func:`ivf_topk`      IVF-style probing with hash-partition "cells"
-  (a stand-in for k-means centroids that keeps determinism): re-rank
-  only within the probed cells.
+  a deterministic seeded plane matrix applied in ONE Arrow kernel
+  (``mapInArrow`` matmul — O(bits×dim) numpy work per row instead of
+  O(bits×dim) Catalyst expression NODES, which blow up the plan at
+  dim 768), probe by bucket equi-join, exact re-rank inside buckets.
+- :func:`ivf_topk`      real IVF: deterministic seeded centroids
+  (optionally refined with Lloyd rounds), corpus assigned to its argmax-
+  cosine cell, queries probe their ``n_probe`` nearest cells, exact
+  re-rank inside the probed cells. The corpus-scan-free ANN scale path:
+  per-query work is the probed cells' population, not the corpus.
 
 Scale notes: brute force is a broadcast of the (small) query set against
-a full scan — one pass, no shuffle; LSH replaces the scan with a
-bucket-join whose right side is ~corpus/2^bits per probe.
+a full scan — one pass, no shuffle. IVF build is one broadcast argmax
+pass over the corpus (the centroid table is tiny); the probe join
+shuffles on cell_id only.
 """
 
 from __future__ import annotations
@@ -22,10 +26,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "with_norm"]
+__all__ = [
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "with_norm",
+    "hyperplane_buckets",
+    "arrow_cosine",
+    "seeded_centroids",
+    "lloyd_round",
+    "assign_cells",
+]
 
 
 def _dot(a, b):
+    """Fixed-order left-to-right double fold — bit-identical to DuckDB's
+    list_cosine_similarity numerator (oracle-parity path)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,6 +51,112 @@ def _dot(a, b):
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def _clamped_cosine(a, b, anorm, bnorm):
+    """Cosine clamped to [-1, 1] like DuckDB's list_cosine_similarity —
+    self-pairs can exceed 1 by an ulp."""
+    raw = _dot(a, b) / (anorm * bnorm)
+    return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), raw))
+
+
+def _ddl_of(df: DataFrame) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def _flat_matrix(list_array):
+    """ListArray → (n, dim) float64 ndarray, slice-safe: uses the FULL
+    offsets array (offsets[0]..offsets[-1] bound the values buffer), so
+    sliced batches cannot bleed into neighboring rows."""
+    import numpy as np
+
+    offsets = list_array.offsets.to_numpy(zero_copy_only=False)
+    flat = list_array.values.to_numpy(zero_copy_only=False)
+    n = len(list_array)
+    widths = offsets[1:] - offsets[:-1]
+    if n and not (widths == widths[0]).all():
+        raise ValueError("embedding column has ragged row lengths")
+    return flat[offsets[0] : offsets[-1]].reshape(n, -1).astype(np.float64)
+
+
+def _plane_matrix(bits: int, dim: int):
+    """Deterministic pseudo-random hyperplanes: per-plane md5-seeded
+    PCG64 normals — reproducible on any cluster, no driver state."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((bits, dim))
+    for b in range(bits):
+        seed = int.from_bytes(
+            hashlib.md5(f"plane:{b}".encode()).digest()[:8], "little"
+        )
+        planes[b] = np.random.default_rng(seed).standard_normal(dim)
+    return planes
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    out_col: str = "bucket",
+    dim: int | None = None,
+) -> DataFrame:
+    """Append a sign-bit LSH bucket column computed in one Arrow-batched
+    matmul kernel (the expression-tree version is O(bits×dim) Catalyst
+    nodes per signature — pathological at real embedding dims)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _plane_matrix(bits, dim)
+    out_schema = _ddl_of(df) + f", {out_col} long"
+    vec_idx = df.columns.index(vec_col)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            mat = _flat_matrix(batch.column(vec_idx))
+            proj = mat @ planes.T  # (n, bits)
+            bucket = ((proj > 0).astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(
+                axis=1
+            )
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            arrays.append(pa.array(bucket, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(batch.schema.names) + [out_col]
+            )
+
+    return df.mapInArrow(kernel, out_schema)
+
+
+def arrow_cosine(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "cosine"
+) -> DataFrame:
+    """Append cosine(a, b) computed row-wise in a vectorized Arrow kernel
+    (engine path; the oracle-parity path is the fixed-order HOF fold)."""
+    out_schema = _ddl_of(df) + f", {out_col} double"
+    a_idx = df.columns.index(a_col)
+    b_idx = df.columns.index(b_col)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            A = _flat_matrix(batch.column(a_idx))
+            B = _flat_matrix(batch.column(b_idx))
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, num / den, 0.0)
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            arrays.append(pa.array(cos, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(batch.schema.names) + [out_col]
+            )
+
+    return df.mapInArrow(kernel, out_schema)
 
 
 def cosine_topk(
@@ -71,28 +193,6 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sig(vec_col: str, bits: int, dim: int):
-    """Sign-bit signature against `bits` deterministic pseudo-hyperplanes.
-
-    Hyperplane component (b, d) = centered 16-bit value derived from
-    xxhash64 of the literal string "b:d" — reproducible on any cluster
-    with zero driver state shipped.
-    """
-    def plane_dot(b: int):
-        acc = F.lit(0.0)
-        for d in range(dim):
-            w = (F.xxhash64(F.lit(f"{b}:{d}")) % 65536 - 32768).cast("double")
-            acc = acc + w * F.element_at(F.col(vec_col), d + 1).cast("double")
-        return acc
-
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.shiftleft(F.when(plane_dot(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), b)
-        )
-    return sig
-
-
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -102,18 +202,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: bucket on hyperplane sign signature, exact
-    re-rank within the query's bucket. Recall is bucket-bound; raise
-    `bits` for selectivity, add multi-probe by flipping one bit."""
+    """Approximate top-k: bucket on hyperplane sign signature (Arrow
+    kernel), exact re-rank within the query's bucket. Recall is
+    bucket-bound; raise `bits` for selectivity; queries multi-probe all
+    Hamming-distance-1 buckets."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    sig = _hyperplane_sig(vec_col, bits, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), sig.alias("bucket")
+    q = hyperplane_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", bits, dim=dim,
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        _hyperplane_sig(vec_col, bits, dim).alias("bucket"),
+    c = hyperplane_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", bits, dim=dim,
     )
     # multi-probe: query also probes buckets at Hamming distance 1
     probes = q.select(
@@ -122,12 +223,9 @@ def lsh_topk(
             F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)])
         ).alias("bucket"),
     )
-    qn = with_norm(probes, "qv").withColumnRenamed("_norm", "qnorm")
-    cn = with_norm(c, "cv").withColumnRenamed("_norm", "cnorm")
-    scored = (
-        qn.join(cn, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")))
+    scored = arrow_cosine(
+        probes.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id")),
+        "qv", "cv",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
@@ -135,6 +233,86 @@ def lsh_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: seeded centroids (+ optional Lloyd refinement) → cell assignment
+# → probe → in-cell exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid init: the n_cells corpus vectors with the
+    smallest xxhash64(id) — a seeded uniform sample with zero driver
+    state, computed as a scalable TakeOrdered (no global window)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+        )
+        .orderBy(F.xxhash64(F.col("cell_id").cast("string")), F.col("cell_id"))
+        .limit(n_cells)
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_fold: bool = True,
+) -> DataFrame:
+    """(id, cell_id): every vector → its argmax-cosine centroid.
+    Broadcast cross-score + ranking-window argmax; cosines are clamped
+    to [-1, 1] so a self-pair's 1+ulp cannot flip the tie-break."""
+    e = with_norm(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("ev")), "ev"
+    ).withColumnRenamed("_norm", "enorm")
+    c = with_norm(centroids, "cv").withColumnRenamed("_norm", "cnorm")
+    joined = e.crossJoin(F.broadcast(c))
+    if exact_fold:
+        scored = joined.withColumn(
+            "cell_cos", _clamped_cosine(F.col("ev"), F.col("cv"), F.col("enorm"), F.col("cnorm"))
+        )
+    else:
+        scored = arrow_cosine(joined, "ev", "cv", "cell_cos").withColumn(
+            "cell_cos", F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("cell_cos")))
+        )
+    w = W.partitionBy(id_col).orderBy(F.desc("cell_cos"), "cell_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, "cell_id", "cell_cos")
+    )
+
+
+def lloyd_round(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One k-means update: new centroid = element-wise mean of the
+    vectors assigned to the cell (posexplode → avg → reassemble in
+    position order). Engine path only — float mean order is not
+    oracle-deterministic."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col, exact_fold=False)
+    return (
+        corpus.join(cells.select(id_col, "cell_id"), id_col)
+        .select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("cell_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
     )
 
 
@@ -146,35 +324,56 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    lloyd_rounds: int = 0,
+    exact_fold: bool = False,
 ) -> DataFrame:
-    """IVF-style: assign vectors to `n_cells` deterministic cells (hash of
-    the dominant-component index — a centroid-free stand-in), probe the
-    query's `n_probe` nearest cells, exact re-rank inside."""
-    dim_arr = F.transform(
-        F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-        lambda i: F.abs(F.element_at(F.col(vec_col), i + 1)),
+    """Real IVF probing: corpus vectors live in their argmax-cosine cell;
+    a query re-ranks only inside its ``n_probe`` nearest cells. Pass
+    ``centroids`` (cell_id, cv) for a fixed deterministic centroid set
+    (the oracle-parity configuration, `exact_fold=True`), or let
+    ``seeded_centroids`` + ``lloyd_rounds`` build one."""
+    if centroids is None:
+        centroids = seeded_centroids(corpus, n_cells, id_col, vec_col)
+        for _ in range(lloyd_rounds):
+            centroids = lloyd_round(corpus, centroids, id_col, vec_col)
+    centroids = centroids.persist()
+    cells = assign_cells(corpus, centroids, id_col, vec_col, exact_fold=exact_fold)
+    # queries probe their n_probe nearest centroids
+    qe = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+    ).withColumnRenamed("_norm", "qnorm")
+    c = with_norm(centroids, "cv").withColumnRenamed("_norm", "cnorm")
+    pj = qe.crossJoin(F.broadcast(c))
+    if exact_fold:
+        pscored = pj.withColumn(
+            "pcos", _clamped_cosine(F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm"))
+        )
+    else:
+        pscored = arrow_cosine(pj, "qv", "cv", "pcos")
+    wp = W.partitionBy("query_id").orderBy(F.desc("pcos"), "cell_id")
+    probes = (
+        pscored.withColumn("prnk", F.row_number().over(wp))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "qv", "qnorm", "cell_id")
     )
-    dominant = F.array_position(dim_arr, F.array_max(dim_arr)) - 1
-    cell = F.pmod(dominant, F.lit(n_cells))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), cell.alias("cell")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_probe - 1)),
-                lambda p: F.pmod(cell + p, F.lit(n_cells)),
-            )
-        ).alias("cell"),
-    )
-    qn = with_norm(q, "qv").withColumnRenamed("_norm", "qnorm")
-    cn = with_norm(c, "cv").withColumnRenamed("_norm", "cnorm")
-    scored = (
-        qn.join(cn, "cell")
+    # candidates: probed cells' population (not the corpus)
+    cv = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "nv",
+    ).withColumnRenamed("_norm", "nnorm")
+    cand = (
+        probes.join(cells.select(F.col(id_col).alias("neighbor_id"), "cell_id"), "cell_id")
+        .join(cv, "neighbor_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")))
     )
+    if exact_fold:
+        scored = cand.withColumn(
+            "cosine", _dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))
+        )
+    else:
+        scored = arrow_cosine(cand, "qv", "nv")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         scored.dropDuplicates(["query_id", "neighbor_id"])

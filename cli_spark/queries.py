@@ -1493,37 +1493,69 @@ def q43_prefix_split(spark, sf_dir):
     )
 
 
+_CELLS_SQL = """
+    centroids AS (
+      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    cell_assign AS (
+      SELECT e.vec_id, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                        c.cell_id) AS arnk
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (SELECT vec_id, cell_id FROM cell_assign WHERE arnk = 1)
+"""
+
+
 @query(
     "q44_embedding_neardup",
-    oracle="""
-    SELECT l.vec_id AS left_id, r.vec_id AS right_id, l.label,
+    oracle=f"""
+    WITH {_CELLS_SQL}
+    SELECT cl.cell_id, l.vec_id AS left_id, r.vec_id AS right_id,
            list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cosine
-    FROM embeddings l JOIN embeddings r
-      ON l.label = r.label AND l.vec_id < r.vec_id
-    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.8
+    FROM cells cl JOIN cells cr ON cl.cell_id = cr.cell_id AND cl.vec_id < cr.vec_id
+      JOIN embeddings l ON l.vec_id = cl.vec_id
+      JOIN embeddings r ON r.vec_id = cr.vec_id
+    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs: label-blocked self-join "
-    "(the blocking key bounds the pair space, the 100 TB analog is an "
-    "LSH/IVF bucket), fixed-order double fold, threshold filter.",
+    doc="Embedding-cosine near-duplicate pairs blocked by IVF CELL (the "
+    "scale-correct blocking key: a hot label is O(B²), a centroid cell "
+    "is load-bounded and semantically 'near'): argmax-cosine cell "
+    "assignment (ops.simsearch.assign_cells) → within-cell self-join → "
+    "fixed-order double fold ≥ threshold.",
 )
 def q44_embedding_neardup(spark, sf_dir):
-    from cli_spark.ops.simsearch import _dot, with_norm
+    from cli_spark.ops.simsearch import _dot, assign_cells, with_norm
 
     emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+    )
+    cells = assign_cells(emb, cents).select("vec_id", "cell_id")
     l = with_norm(
-        emb.select(F.col("vec_id").alias("left_id"), "label", F.col("embedding").alias("lv")),
+        emb.join(cells, "vec_id").select(
+            F.col("vec_id").alias("left_id"), "cell_id", F.col("embedding").alias("lv")
+        ),
         "lv",
     ).withColumnRenamed("_norm", "lnorm")
     r = with_norm(
-        emb.select(F.col("vec_id").alias("right_id"), F.col("label").alias("rlabel"),
-                   F.col("embedding").alias("rv")),
+        emb.join(cells, "vec_id").select(
+            F.col("vec_id").alias("right_id"),
+            F.col("cell_id").alias("rcell"),
+            F.col("embedding").alias("rv"),
+        ),
         "rv",
     ).withColumnRenamed("_norm", "rnorm")
     return (
-        l.join(r, (F.col("label") == F.col("rlabel")) & (F.col("left_id") < F.col("right_id")))
+        l.join(
+            r,
+            (F.col("cell_id") == F.col("rcell")) & (F.col("left_id") < F.col("right_id")),
+        )
         .withColumn("cosine", _dot(F.col("lv"), F.col("rv")) / (F.col("lnorm") * F.col("rnorm")))
-        .filter(F.col("cosine") >= 0.8)
-        .select("left_id", "right_id", "label", "cosine")
+        .filter(F.col("cosine") >= 0.4)
+        .select("cell_id", "left_id", "right_id", "cosine")
     )
 
 
@@ -1553,25 +1585,63 @@ _IVF_SQL = """
     "(ops.simsearch.ivf_topk) — the corpus-scan-free ANN scale path.",
 )
 def q45_ivf_assign(spark, sf_dir):
-    from cli_spark.ops.simsearch import _dot, with_norm
+    from cli_spark.ops.simsearch import assign_cells
 
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
     )
-    e = with_norm(emb.select("vec_id", F.col("embedding").alias("ev")), "ev").withColumnRenamed("_norm", "enorm")
-    c = with_norm(cents, "cv").withColumnRenamed("_norm", "cnorm")
-    # Clamp like DuckDB's list_cosine_similarity: the self-pair's
-    # sqrt(n)*sqrt(n) can exceed the dot by 1 ulp → cosine 1+ε.
-    raw = _dot(F.col("ev"), F.col("cv")) / (F.col("enorm") * F.col("cnorm"))
-    scored = e.crossJoin(F.broadcast(c)).withColumn(
-        "cosine", F.least(F.lit(1.0), F.greatest(F.lit(-1.0), raw))
+    # assign_cells clamps cosines like DuckDB's list_cosine_similarity
+    # (the self-pair's sqrt(n)*sqrt(n) can exceed the dot by 1 ulp)
+    return assign_cells(emb, cents).select(
+        "vec_id", "cell_id", F.col("cell_cos").alias("cosine")
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "cell_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "cell_id", "cosine")
+
+
+@query(
+    "q62_ivf_topk",
+    oracle=f"""
+    WITH {_CELLS_SQL},
+    probes AS (
+      SELECT q.vec_id AS query_id, c.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                        c.cell_id) AS prnk
+      FROM embeddings q CROSS JOIN centroids c
+      WHERE q.vec_id < 5
+    ),
+    cand AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cosine
+      FROM probes p
+        JOIN cells ce ON ce.cell_id = p.cell_id
+        JOIN embeddings e ON e.vec_id = ce.vec_id AND e.vec_id <> p.query_id
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+      WHERE p.prnk <= 2
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= 5
+    """,
+    doc="IVF ANN probe (the full corpus-scan-free scale path, "
+    "ops.simsearch.ivf_topk): fixed deterministic centroids → corpus "
+    "argmax-cell assignment → each query probes its 2 nearest cells → "
+    "exact re-rank inside the probed cells only. Recall vs the exact "
+    "q35 top-k is asserted in tests/test_ops.py.",
+)
+def q62_ivf_topk(spark, sf_dir):
+    from cli_spark.ops.simsearch import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=5, n_probe=2,
+        centroids=cents, exact_fold=True,
     )
 
 

@@ -98,6 +98,33 @@ def test_ivf_topk_runs(spark, vectors):
     assert out.count() > 0
 
 
+def test_ivf_topk_recall(spark, vectors):
+    """Real-IVF recall gate vs the exact brute force: probing half the
+    cells on clustered data must recover most of the true top-k."""
+    exact = S.cosine_topk(vectors.filter("vec_id < 5"), vectors, k=3)
+    approx = S.ivf_topk(
+        vectors.filter("vec_id < 5"), vectors, k=3, n_cells=6, n_probe=3,
+        lloyd_rounds=1,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+
+def test_seeded_centroids_deterministic(spark, vectors):
+    a = {r.cell_id for r in S.seeded_centroids(vectors, 4).collect()}
+    b = {r.cell_id for r in S.seeded_centroids(vectors, 4).collect()}
+    assert a == b and len(a) == 4
+
+
+def test_assign_cells_partitions_corpus(spark, vectors):
+    cents = S.seeded_centroids(vectors, 4)
+    cells = S.assign_cells(vectors, cents)
+    assert cells.count() == vectors.count()  # every vector exactly one cell
+    assert cells.select("cell_id").distinct().count() <= 4
+
+
 def test_token_counts(spark, docs):
     out = {r.id: r for r in T.token_counts(docs, "doc_id", "text").collect()}
     assert out[5].n_ws_tokens == 2
