@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     tj.add_argument("--no-prefix-table", action="store_true")
     tj.add_argument("--options-from", default=None,
                     help="copy stream options from an existing .jelly file (S11)")
+    tj.add_argument("--in-format", default=None,
+                    help="input format (S4 registry: nt, nq, ttl, trig, ...); "
+                    "default: inferred from extension")
+    tj.add_argument("--base", default=None,
+                    help="base IRI for relative-IRI resolution (S8; "
+                    "Turtle/TriG only)")
 
     fj = rdf.add_parser("from-jelly")
     fj.add_argument("input")
@@ -79,9 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     fj.add_argument("--take-frames", default=None)
     fj.add_argument("--merge-graphs", action="store_true")
     fj.add_argument("--single-file", action="store_true")
-    fj.add_argument("--out-format", choices=["nt", "nq"], default=None,
-                    help="default: inferred from --to extension (.nt = "
-                    "triples-only, triggers the quad guard)")
+    fj.add_argument("--out-format", default=None,
+                    help="output format (S4 registry: nt, nq, ttl, trig); "
+                    "default: inferred from --to extension (a triples-only "
+                    "format triggers the quad guard P4)")
 
     ins = rdf.add_parser("inspect")
     ins.add_argument("input")
@@ -149,7 +156,18 @@ def _dispatch(spark, args) -> int:
     from .nquads import read_nquads, render_lines, write_nquads
 
     if args.rdf_cmd == "to-jelly":
-        stmts = read_nquads(spark, args.input)
+        from .formats import REGISTRY as _FMT
+        from .formats import resolve
+
+        try:
+            in_fmt = resolve(args.input, args.in_format)
+        except ValueError:
+            in_fmt = _FMT["nq"]  # unknown extension → generalized N-Quads
+        if in_fmt.read is None:
+            raise ValueError(f"{in_fmt.full_name} is not a readable input format")
+        if args.base is not None and not in_fmt.supports_base_iri:
+            raise ValueError(f"{in_fmt.full_name} does not support --base (S8)")
+        stmts = in_fmt.read(spark, args.input, base=args.base)
         has_graph = "graph" in stmts.columns and (
             stmts.filter(F.col("graph").isNotNull()).limit(1).count() > 0
         )
@@ -222,11 +240,20 @@ def _dispatch(spark, args) -> int:
         return 0
 
     if args.rdf_cmd == "from-jelly":
+        from .formats import resolve
+
+        from .formats import REGISTRY as _FMT
+
+        try:
+            out_fmt = resolve(args.to, args.out_format)
+        except ValueError:
+            out_fmt = _FMT["nq"]  # extensionless output dir → N-Quads parts
+        if out_fmt.write is None:
+            raise ValueError(f"{out_fmt.full_name} is not a writable output format")
         frames = J.read_jelly_file(spark, args.input)
         take = _parse_range(args.take_frames) if args.take_frames else None
         rows = J.decode_frames(frames).cache()
         phys = J.stream_physical_types(rows)
-        out_format = args.out_format or ("nt" if args.to.endswith(".nt") else "nq")
         if phys <= {J.PHYSICAL_TRIPLES}:
             stmts = J.decode_triples(rows, take_frames=take, strict=False)
         else:
@@ -238,10 +265,12 @@ def _dispatch(spark, args) -> int:
                     stmts = stmts.filter(F.col("frame_index").between(*take))
             if args.merge_graphs:
                 stmts = stmts.drop("graph")
-            elif out_format == "nt":
+            elif not out_fmt.supports_quads:
                 # P4 guard (RdfFromJelly.scala:144-153)
-                J.ensure_physical(rows, {J.PHYSICAL_TRIPLES}, "N-Triples output")
-        write_nquads(stmts, args.to, single_file=args.single_file)
+                J.ensure_physical(
+                    rows, {J.PHYSICAL_TRIPLES}, f"{out_fmt.full_name} output"
+                )
+        out_fmt.write(stmts, args.to, single_file=args.single_file)
         return 0
 
     if args.rdf_cmd == "inspect":

@@ -120,7 +120,9 @@ def _render_term(value: Column, kind: Column, datatype: Column, lang: Column) ->
     )
     return (
         F.when(kind == KIND_IRI, F.concat(F.lit("<"), value, F.lit(">")))
-        .when(kind == KIND_BNODE, F.concat(F.lit("_:"), value))
+        # flat extraction schemas store bnodes as "_:x" (kind inferred);
+        # the parsed term model stores the bare label — accept either
+        .when(kind == KIND_BNODE, F.concat(F.lit("_:"), F.regexp_replace(value, "^_:", "")))
         .otherwise(F.concat(F.lit('"'), _escape(value), F.lit('"'), lit_suffix))
     )
 

@@ -2058,3 +2058,32 @@ def q61_quads_roundtrip(spark, sf_dir):
     return roundtrip_quads(
         spark, quads, rows_per_frame=64, prefix_table=True
     ).select("subj", "pred", "obj", "obj_kind", "graph")
+
+
+@query(
+    "q63_turtle_roundtrip",
+    oracle=TRIPLES_SQL,
+    doc="Turtle render ∘ parse = identity (S4 Turtle, RdfFormat.scala:48-54; "
+    "the reference's parametrized format sweep RdfToJellySpec.scala:537-615): "
+    "triples → prefix-compacted line-per-statement Turtle (columnar "
+    "render, derived prefix map) → line-parallel parse against the "
+    "broadcast prefix map → original triple set.",
+)
+def q63_turtle_roundtrip(spark, sf_dir):
+    from cli_spark.turtle import derive_prefixes, parse_turtle_lines, render_turtle
+
+    t = doc_triples(spark, sf_dir)
+    # literal objects (obj_kind 2) vs IRI objects (0) — map to term model
+    model = t.select(
+        "subj", "pred", "obj",
+        F.col("obj_kind").cast("int").alias("obj_kind"),
+    )
+    prefixes = derive_prefixes(model)
+    _, body = render_turtle(model, prefixes)
+    parsed = parse_turtle_lines(body, prefixes)
+    return parsed.select(
+        "subj",
+        "pred",
+        "obj",
+        F.when(F.col("obj_kind") == 2, F.lit(2)).otherwise(F.lit(0)).alias("obj_kind"),
+    )

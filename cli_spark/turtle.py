@@ -1,0 +1,416 @@
+"""Turtle / TriG subset reader + writer (SURVEY.md §2.1 S4/S8; reference
+format registry RdfFormat.scala:48-62 — Turtle `supportsBaseIri`, TriG
+adds quads).
+
+Design for Spark's execution model:
+
+- **Writer** is fully columnar and line-parallel: one statement per
+  output line, IRIs compacted to prefixed names against a (small,
+  broadcast) prefix map with a single `regexp`-free longest-prefix
+  resolution, literals escaped with the shared N-Triples escaper. The
+  `@prefix` header is a handful of driver-side lines.
+- **Reader** is file-parallel: each input file is one task
+  (`mapInPandas` over wholetext rows) running a compact recursive-
+  descent statement parser. A single Turtle document is inherently
+  sequential (directives scope forward), exactly like the reference's
+  RIOT stream parser — the parallel unit at 100 TB is the file/object,
+  of which there are millions. Line-level parallel parsing IS available
+  for the writer's own line-per-statement output via
+  :func:`parse_turtle_lines`.
+
+Supported subset (documented descope — the reference delegates to Jena
+RIOT): @prefix/@base + SPARQL-style PREFIX/BASE directives, IRIs,
+prefixed names, blank nodes, `a` keyword, literals with language tags /
+datatypes / numeric+boolean shorthand, `;` and `,` continuation lists,
+TriG `GRAPH <g> { ... }` / `<g> { ... }` blocks, comments. Not
+supported: collections `(...)`, anonymous bnode property lists
+`[...]`, and triple-quoted long strings.
+
+Base-IRI resolution (S8, RiotParserUtil.scala:14-40): relative IRIs
+resolve against the innermost @base (or a caller-supplied base), using
+RFC 3986 joining.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+from urllib.parse import urljoin
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, TRIPLE_COLS, _escape
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_PN_LOCAL = r"[A-Za-z0-9_\-.%]*"
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<iri><[^>]*>)
+    | (?P<literal>"(?:[^"\\]|\\.)*")
+    | (?P<bnode>_:[A-Za-z0-9][A-Za-z0-9_\-.]*)
+    | (?P<pname>[A-Za-z][A-Za-z0-9_\-.]*?:%s|:%s)
+    | (?P<keyword>@prefix|@base|(?i:PREFIX|BASE|GRAPH)\b|\ba\b|true\b|false\b)
+    | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<langtag>@[A-Za-z0-9\-]+)
+    | (?P<dtmark>\^\^)
+    | (?P<punct>[;,.{}])
+    """
+    % (_PN_LOCAL, _PN_LOCAL),
+    re.VERBOSE,
+)
+
+_UNESC = {"t": "\t", "r": "\r", "n": "\n", '"': '"', "\\": "\\"}
+
+
+def _unescape_py(lex: str) -> str:
+    out, i = [], 0
+    while i < len(lex):
+        c = lex[i]
+        if c == "\\" and i + 1 < len(lex):
+            nxt = lex[i + 1]
+            if nxt in _UNESC:
+                out.append(_UNESC[nxt])
+                i += 2
+                continue
+            if nxt in "uU":
+                width = 4 if nxt == "u" else 8
+                out.append(chr(int(lex[i + 2 : i + 2 + width], 16)))
+                i += 2 + width
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class _TurtleParser:
+    """Recursive-descent statement parser for the Turtle/TriG subset.
+    One instance per document (directives are document-scoped state,
+    mirroring the reference's sequential RIOT parse)."""
+
+    def __init__(self, text: str, base: str | None = None):
+        self.toks: list[tuple[str, str]] = [
+            (m.lastgroup, m.group())
+            for m in _TOKEN_RE.finditer(text)
+            if m.lastgroup not in ("ws", "comment")
+        ]
+        # tokenizer completeness check: anything unmatched is an error
+        consumed = sum(len(m.group()) for m in _TOKEN_RE.finditer(text))
+        if consumed != len(text):
+            residue = re.sub(_TOKEN_RE, "", text).strip()
+            if residue:
+                raise ValueError(f"unsupported Turtle syntax near: {residue[:40]!r}")
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = base
+        self.graph: str | None = None
+        self.out: list[tuple] = []
+
+    def _peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.pos += 1
+        return t
+
+    def _expect(self, value: str):
+        kind, tok = self._next()
+        if tok != value:
+            raise ValueError(f"expected {value!r}, got {tok!r}")
+
+    def _resolve(self, iri: str) -> str:
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return urljoin(self.base, iri)
+        return iri
+
+    def _term(self):
+        """→ (kind, value, datatype, lang)."""
+        kind, tok = self._next()
+        if kind == "iri":
+            return (KIND_IRI, self._resolve(tok[1:-1]), None, None)
+        if kind == "pname":
+            pfx, _, local = tok.partition(":")
+            if pfx not in self.prefixes:
+                raise ValueError(f"undeclared prefix {pfx!r}:")
+            return (KIND_IRI, self.prefixes[pfx] + local, None, None)
+        if kind == "bnode":
+            return (KIND_BNODE, tok[2:], None, None)
+        if kind == "literal":
+            value = _unescape_py(tok[1:-1])
+            nk, nt = self._peek()
+            if nk == "langtag":
+                self._next()
+                return (KIND_LITERAL, value, None, nt[1:])
+            if nk == "dtmark":
+                self._next()
+                dt_kind, dt_val, _, _ = self._term()
+                if dt_kind != KIND_IRI:
+                    raise ValueError("datatype must be an IRI")
+                return (KIND_LITERAL, value, dt_val, None)
+            return (KIND_LITERAL, value, None, None)
+        if kind == "number":
+            dt = (
+                XSD + "integer"
+                if re.fullmatch(r"[+-]?\d+", tok)
+                else (XSD + "double" if "e" in tok.lower() else XSD + "decimal")
+            )
+            return (KIND_LITERAL, tok, dt, None)
+        if kind == "keyword" and tok in ("true", "false"):
+            return (KIND_LITERAL, tok, XSD + "boolean", None)
+        if kind == "keyword" and tok == "a":
+            return (KIND_IRI, RDF_TYPE, None, None)
+        raise ValueError(f"unexpected token {tok!r} in term position")
+
+    def _statement(self):
+        s_kind, s_val, _, _ = self._term()
+        while True:
+            nk, nt = self._peek()
+            if nt == "a":
+                self._next()
+                p_kind, p_val = KIND_IRI, RDF_TYPE
+            else:
+                p_kind, p_val, _, _ = self._term()
+            while True:
+                o_kind, o_val, o_dt, o_lang = self._term()
+                self.out.append(
+                    (
+                        s_val, s_kind, p_val, p_kind, o_val, o_kind, o_dt, o_lang,
+                        self.graph, KIND_IRI if self.graph is not None else None,
+                    )
+                )
+                if self._peek()[1] == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek()[1] == ";":
+                self._next()
+                # trailing ';' before '.' is legal
+                if self._peek()[1] in (".", "}"):
+                    break
+                continue
+            break
+        if self._peek()[1] == ".":
+            self._next()
+
+    def parse(self) -> list[tuple]:
+        while True:
+            kind, tok = self._peek()
+            if kind is None:
+                return self.out
+            low = (tok or "").lower()
+            if low in ("@prefix", "prefix"):
+                self._next()
+                _, pname = self._next()
+                pfx = pname[:-1] if pname.endswith(":") else pname.partition(":")[0]
+                _, iri = self._next()
+                self.prefixes[pfx] = self._resolve(iri[1:-1])
+                if self._peek()[1] == ".":
+                    self._next()
+            elif low in ("@base", "base"):
+                self._next()
+                _, iri = self._next()
+                self.base = self._resolve(iri[1:-1])
+                if self._peek()[1] == ".":
+                    self._next()
+            elif low == "graph" or (
+                kind in ("iri", "pname") and self._peek_ahead_is_block()
+            ):
+                if low == "graph":
+                    self._next()
+                g_kind, g_val, _, _ = self._term()
+                self._expect("{")
+                prev, self.graph = self.graph, g_val
+                while self._peek()[1] != "}":
+                    self._statement()
+                self._expect("}")
+                self.graph = prev
+                if self._peek()[1] == ".":
+                    self._next()
+            else:
+                self._statement()
+
+    def _peek_ahead_is_block(self) -> bool:
+        return self.pos + 1 < len(self.toks) and self.toks[self.pos + 1][1] == "{"
+
+
+def parse_turtle_document(text: str, base: str | None = None) -> list[tuple]:
+    """One document → rows in the shared term-model column order
+    (nquads.TRIPLE_COLS)."""
+    return _TurtleParser(text, base).parse()
+
+
+def read_turtle(spark: SparkSession, path: str, base: str | None = None) -> DataFrame:
+    """Turtle/TriG files → term-model triples, one task per FILE (the
+    scalable unit: a single document is a sequential grammar, the corpus
+    is not). ``base`` seeds @base resolution (S8)."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for content in pdf["content"]:
+                rows.extend(
+                    parse_turtle_document(bytes(content).decode("utf-8"), base)
+                )
+            yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+
+    return raw.mapInPandas(parse, schema)
+
+
+def parse_turtle_lines(
+    lines: DataFrame, prefixes: dict[str, str], text_col: str = "line"
+) -> DataFrame:
+    """Line-parallel parse for line-per-statement Turtle (the shape this
+    module's own writer emits): every line is an independent statement
+    against a broadcast prefix map — fully distributed, no file-level
+    sequencing."""
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for line in pdf[text_col]:
+                if not line or line.startswith(("@prefix", "@base", "#", "PREFIX", "BASE")):
+                    continue
+                p = _TurtleParser(line)
+                p.prefixes = dict(prefixes)
+                rows.extend(p.parse())
+            yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+
+    return lines.mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def derive_prefixes(triples: DataFrame, max_prefixes: int = 16) -> dict[str, str]:
+    """Top-N IRI prefixes by frequency (greedy last-/# split, the q43 /
+    prefix-table rule) → {p0: iri, p1: iri, ...}. Driver-side dict —
+    the prefix map is broadcast state, inherently small."""
+    iris = triples.select(F.col("subj").alias("iri")).unionAll(
+        triples.select("pred")
+    )
+    if "obj_kind" in triples.columns:
+        iris = iris.unionAll(
+            triples.filter(F.col("obj_kind") == KIND_IRI).select("obj")
+        )
+    top = (
+        iris.select(F.regexp_extract("iri", r"^(.*[/#])", 1).alias("prefix"))
+        .filter((F.col("prefix") != "") & ~F.col("prefix").rlike(r"[{}|^`\"<>\\ ]"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prefix")
+        .limit(max_prefixes)
+        .collect()
+    )
+    return {f"p{i}": r.prefix for i, r in enumerate(top)}
+
+
+def _compact(value: Column, kind: Column, prefixes: dict[str, str]) -> Column:
+    """IRI → prefixed name when a prefix matches and the local part is
+    PN_LOCAL-safe; else <IRI>. Longest prefix wins (fixed unrolled
+    chain — the prefix map is bounded broadcast state)."""
+    expr = F.concat(F.lit("<"), value, F.lit(">"))
+    for pfx, iri in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        local = value.substr(F.lit(len(iri) + 1), F.length(value))
+        ok = value.startswith(iri) & local.rlike(r"^[A-Za-z0-9_\-.%]*$") & ~local.contains(".")
+        expr = F.when(ok, F.concat(F.lit(pfx + ":"), local)).otherwise(expr)
+    # flat extraction schemas store bnodes as "_:x" (kind inferred); the
+    # parsed term model stores the bare label — normalize either way
+    bnode = F.concat(F.lit("_:"), F.regexp_replace(value, "^_:", ""))
+    return F.when(kind == KIND_BNODE, bnode).otherwise(expr)
+
+
+def _render_object(triples_cols: set, prefixes: dict[str, str]) -> Column:
+    dt = F.col("obj_datatype") if "obj_datatype" in triples_cols else F.lit(None).cast("string")
+    lang = F.col("obj_lang") if "obj_lang" in triples_cols else F.lit(None).cast("string")
+    lit_suffix = (
+        F.when(lang.isNotNull(), F.concat(F.lit("@"), lang))
+        .when(
+            dt.isNotNull(),
+            F.concat(F.lit("^^"), _compact(dt, F.lit(KIND_IRI), prefixes)),
+        )
+        .otherwise(F.lit(""))
+    )
+    return (
+        F.when(
+            F.col("obj_kind") == KIND_LITERAL,
+            F.concat(F.lit('"'), _escape(F.col("obj")), F.lit('"'), lit_suffix),
+        )
+        .otherwise(_compact(F.col("obj"), F.col("obj_kind").cast("int"), prefixes))
+    )
+
+
+def render_turtle(
+    triples: DataFrame, prefixes: dict[str, str] | None = None
+) -> tuple[list[str], DataFrame]:
+    """→ (header_lines, body DataFrame['line']): line-per-statement
+    Turtle. Statement rendering is one columnar concat; the header is
+    the @prefix block."""
+    if prefixes is None:
+        prefixes = derive_prefixes(triples)
+    cols = set(triples.columns)
+    header = [f"@prefix {p}: <{iri}> ." for p, iri in sorted(prefixes.items())]
+    infer = lambda c: F.when(  # noqa: E731
+        F.col(c).startswith("_:"), F.lit(KIND_BNODE)
+    ).otherwise(F.lit(KIND_IRI))
+    s_kind = F.col("subj_kind") if "subj_kind" in cols else infer("subj")
+    s = _compact(F.col("subj"), s_kind.cast("int"), prefixes)
+    p = F.when(F.col("pred") == RDF_TYPE, F.lit("a")).otherwise(
+        _compact(F.col("pred"), F.lit(KIND_IRI), prefixes)
+    )
+    o = _render_object(cols, prefixes)
+    stmt = F.concat(s, F.lit(" "), p, F.lit(" "), o, F.lit(" ."))
+    if "graph" in cols:
+        # TriG: named-graph statements wrap in a one-line GRAPH block
+        # (the parser accepts per-line blocks — stays line-parallel)
+        g = _compact(F.col("graph"), F.lit(KIND_IRI), prefixes)
+        stmt = F.when(
+            F.col("graph").isNotNull(),
+            F.concat(F.lit("GRAPH "), g, F.lit(" { "), stmt, F.lit(" }")),
+        ).otherwise(stmt)
+    body = triples.select(stmt.alias("line"))
+    return header, body
+
+
+def write_turtle(
+    triples: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    single_file: bool = False,
+) -> None:
+    """Turtle sink: parallel text parts (or coalesce(1)); the @prefix
+    header rides in part-00000 via an orderBy on a header sort key."""
+    header, body = render_turtle(triples, prefixes)
+    spark = triples.sparkSession
+    hdr = spark.createDataFrame([(0, line) for line in header], "k int, line string")
+    out = hdr.unionByName(body.select(F.lit(1).alias("k"), "line"))
+    if single_file:
+        out = out.coalesce(1).sortWithinPartitions("k")
+    else:
+        out = out.sortWithinPartitions("k")
+    out.select("line").write.mode("overwrite").text(path)

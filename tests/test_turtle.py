@@ -1,0 +1,148 @@
+"""Turtle/TriG subset reader + writer: document parsing (directives,
+prefixed names, literals, continuation lists, TriG graphs), base-IRI
+resolution (S8), render∘parse identity, and the file-parallel reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cli_spark import turtle as T
+from cli_spark.nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+DOC = """
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+# a comment
+ex:alice a ex:Person ;
+    ex:name "Alice" ;
+    ex:age 30 ;
+    ex:score 4.5 ;
+    ex:active true ;
+    ex:knows ex:bob , _:b1 .
+_:b1 ex:name "Bob \\"the\\" builder"@en .
+ex:bob ex:height "1.85"^^xsd:decimal .
+"""
+
+
+def test_parse_document_core():
+    rows = T.parse_turtle_document(DOC)
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r[2], []).append(r)
+    assert by_pred[T.RDF_TYPE][0][0] == "http://example.org/alice"
+    assert by_pred[T.RDF_TYPE][0][4] == "http://example.org/Person"
+    name_rows = {r[4]: r for r in by_pred["http://example.org/name"]}
+    assert name_rows["Alice"][5] == KIND_LITERAL
+    assert 'Bob "the" builder' in name_rows
+    assert name_rows['Bob "the" builder'][7] == "en"  # langtag
+    age = by_pred["http://example.org/age"][0]
+    assert age[4] == "30" and age[6] == T.XSD + "integer"
+    score = by_pred["http://example.org/score"][0]
+    assert score[6] == T.XSD + "decimal"
+    active = by_pred["http://example.org/active"][0]
+    assert active[6] == T.XSD + "boolean"
+    knows = {(r[4], r[5]) for r in by_pred["http://example.org/knows"]}
+    assert knows == {("http://example.org/bob", KIND_IRI), ("b1", KIND_BNODE)}
+    height = by_pred["http://example.org/height"][0]
+    assert height[6] == T.XSD + "decimal" and height[4] == "1.85"
+
+
+def test_base_iri_resolution():
+    """S8 (RiotParserUtil.scala:14-40): relative IRIs resolve against
+    @base / the caller-supplied base."""
+    doc = "@base <http://example.org/dir/> .\n<item1> <rel> <../up> ."
+    rows = T.parse_turtle_document(doc)
+    assert rows[0][0] == "http://example.org/dir/item1"
+    assert rows[0][4] == "http://example.org/up"
+    rows2 = T.parse_turtle_document(
+        "<x> <p> <y> .", base="http://base.example/root/"
+    )
+    assert rows2[0][0] == "http://base.example/root/x"
+
+
+def test_sparql_style_directives():
+    doc = "PREFIX ex: <http://e.org/>\nBASE <http://b.org/>\nex:s ex:p <rel> ."
+    rows = T.parse_turtle_document(doc)
+    assert rows[0][0] == "http://e.org/s"
+    assert rows[0][4] == "http://b.org/rel"
+
+
+def test_trig_graph_blocks():
+    doc = """
+@prefix ex: <http://e.org/> .
+ex:s1 ex:p ex:o1 .
+GRAPH ex:g1 { ex:s2 ex:p ex:o2 . ex:s3 ex:p "lit" . }
+ex:g2 { ex:s4 ex:p ex:o4 . }
+"""
+    rows = T.parse_turtle_document(doc)
+    graphs = {(r[0], r[8]) for r in rows}
+    assert ("http://e.org/s1", None) in graphs
+    assert ("http://e.org/s2", "http://e.org/g1") in graphs
+    assert ("http://e.org/s3", "http://e.org/g1") in graphs
+    assert ("http://e.org/s4", "http://e.org/g2") in graphs
+
+
+def test_unsupported_syntax_errors():
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        T.parse_turtle_document("nope:s <p> <o> .")
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("http://example.org/e/1", "http://example.org/v#knows", "http://example.org/e/2", 0),
+        ("http://example.org/e/2", "http://example.org/v#name", 'say "hi"\n', 2),
+        ("http://example.org/e/3", "http://example.org/v#name", "plain", 2),
+        ("_:b7", "http://example.org/v#name", "blank", 2),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind int"
+    ).cache()
+
+
+def test_render_parse_identity(spark, triples):
+    prefixes = T.derive_prefixes(triples)
+    assert len(prefixes) >= 2  # e/ and v# prefixes found
+    header, body = T.render_turtle(triples, prefixes)
+    assert any(line.startswith("@prefix") for line in header)
+    # prefixed names actually used (compaction worked)
+    sample = [r.line for r in body.collect()]
+    assert any(":" in line and "<" not in line.split(" ")[0] for line in sample)
+    back = T.parse_turtle_lines(body, prefixes)
+    got = {
+        (r.subj, r.pred, r.obj, 2 if r.obj_kind == 2 else 0)
+        for r in back.select("subj", "pred", "obj", "obj_kind").collect()
+    }
+    want = {
+        (s if not s.startswith("_:") else s[2:], p, o, k)
+        for s, p, o, k in [tuple(r) for r in triples.collect()]
+    }
+    assert got == want
+
+
+def test_write_read_file_roundtrip(spark, triples, tmp_path):
+    p = str(tmp_path / "out.ttl")
+    T.write_turtle(triples, p, single_file=True)
+    back = T.read_turtle(spark, p)
+    assert back.count() == triples.count()
+    got = {(r.subj, r.pred, r.obj) for r in back.collect()}
+    want = {
+        (s[2:] if s.startswith("_:") else s, p, o)
+        for s, p, o, _ in [tuple(r) for r in triples.collect()]
+    }
+    assert got == want
+
+
+def test_read_turtle_file_parallel(spark, tmp_path):
+    """Reader parallelizes per file: two documents with different
+    directive scopes parse independently."""
+    (tmp_path / "a.ttl").write_text(
+        "@prefix x: <http://a.example/> .\nx:s x:p x:o ."
+    )
+    (tmp_path / "b.ttl").write_text(
+        "@prefix x: <http://b.example/> .\nx:s x:p x:o ."
+    )
+    back = T.read_turtle(spark, str(tmp_path / "*.ttl"))
+    subs = {r.subj for r in back.collect()}
+    assert subs == {"http://a.example/s", "http://b.example/s"}
