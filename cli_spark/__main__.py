@@ -105,7 +105,9 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("inputs", nargs="+")
     tc.add_argument("--to", required=True)
     tc.add_argument("--rows-per-frame", type=int, default=256)
-    tc.add_argument("--max-name-table", type=int, default=4096)
+    tc.add_argument("--max-name-table", type=int, default=None,
+                    help="output table size; must be >= the entries the "
+                    "inputs carry (default: computed)")
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--n-files", type=int, default=1000)
@@ -148,6 +150,7 @@ def _dispatch(spark, args) -> int:
             workdir=args.workdir,
             engine=args.engine,
             link_threshold=args.link_threshold,
+            check_input=True,
         )
         print(f"triples: {n}")
         return 0
@@ -204,6 +207,20 @@ def _dispatch(spark, args) -> int:
             derived=derived,
         )
         prefix_table = not args.no_prefix_table
+        # P11 type-clash warning (RdfToJelly.scala:230-248): an
+        # incompatible logical/physical pair is a warning at encode
+        # time, an error at validate time
+        if (
+            opts.logical_type
+            and opts.logical_type in J.LOGICAL_COMPAT
+            and opts.physical_type not in J.LOGICAL_COMPAT[opts.logical_type]
+        ):
+            print(
+                f"warning: logical type "
+                f"{J.LOGICAL_NAMES.get(opts.logical_type)} is not "
+                f"compatible with physical type {opts.physical_type}",
+                file=sys.stderr,
+            )
         if opts.physical_type == J.PHYSICAL_QUADS:
             quads = stmts if "graph" in stmts.columns else stmts.withColumn(
                 "graph", F.lit(None).cast("string")
@@ -234,9 +251,13 @@ def _dispatch(spark, args) -> int:
                 rows_per_frame=args.rows_per_frame, options=opts,
                 prefix_table=prefix_table,
             )
-        J.write_jelly_file(
-            frames, args.to, delimited=not args.non_delimited, append=args.append
-        )
+        if args.to.endswith(".jelly.txt"):
+            # S10 jelly-text sink: human-readable TextFormat-style rows
+            J.write_jelly_text_file(J.decode_frames(frames), args.to)
+        else:
+            J.write_jelly_file(
+                frames, args.to, delimited=not args.non_delimited, append=args.append
+            )
         return 0
 
     if args.rdf_cmd == "from-jelly":
@@ -250,9 +271,11 @@ def _dispatch(spark, args) -> int:
             out_fmt = _FMT["nq"]  # extensionless output dir → N-Quads parts
         if out_fmt.write is None:
             raise ValueError(f"{out_fmt.full_name} is not a writable output format")
-        frames = J.read_jelly_file(spark, args.input)
         take = _parse_range(args.take_frames) if args.take_frames else None
-        rows = J.decode_frames(frames).cache()
+        if args.input.endswith(".jelly.txt"):
+            rows = J.read_jelly_text_file(spark, args.input).cache()
+        else:
+            rows = J.decode_frames(J.read_jelly_file(spark, args.input)).cache()
         phys = J.stream_physical_types(rows)
         if phys <= {J.PHYSICAL_TRIPLES}:
             stmts = J.decode_triples(rows, take_frames=take, strict=False)
@@ -333,16 +356,13 @@ def _dispatch(spark, args) -> int:
         return 0
 
     if args.rdf_cmd == "transcode":
-        # U1/§2.11: frames from all inputs form one concatenated stream;
-        # decode refs, re-encode against one merged output dictionary.
-        triples = None
-        for path in args.inputs:
-            t = J.decode_triples(J.decode_frames(J.read_jelly_file(spark, path)))
-            t = t.select("subj", "pred", "obj", "obj_kind")
-            triples = t if triples is None else triples.unionByName(t)
-        frames = J.encode_triples(
+        # U1/§2.11 fast path (RdfTranscode.scala:57-82): frames from all
+        # inputs form one output stream by pure dictionary-id remap —
+        # no RDF decode, no string joins; statement refs shift by
+        # per-block integer offsets.
+        frames = J.transcode_frames(
             spark,
-            triples,
+            [J.read_jelly_file(spark, p) for p in args.inputs],
             rows_per_frame=args.rows_per_frame,
             max_name_table=args.max_name_table,
         )

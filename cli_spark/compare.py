@@ -45,9 +45,16 @@ def ordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
     def with_idx(df):
         if "idx" in df.columns:
             return df
-        return df.withColumn(
-            "idx", F.row_number().over(W.orderBy(F.lit(1)))  # stream order as given
-        )
+        # "stream order as given": source-layout order via the partition-
+        # indexed monotonic id, ranked with the partition-offset technique
+        # (parallel AND deterministic w.r.t. the source layout — the old
+        # row_number-over-lit(1) fallback was a single task whose order
+        # was undefined after a shuffle). Callers that shuffled upstream
+        # must pass an explicit idx column.
+        from .order import global_row_number
+
+        tagged = df.withColumn("_src_pos", F.monotonically_increasing_id())
+        return global_row_number(tagged, ["_src_pos"], rn_col="idx").drop("_src_pos")
 
     e, a = with_idx(expected).alias("e"), with_idx(actual).alias("a")
     ne, na = e.count(), a.count()

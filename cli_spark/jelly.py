@@ -1162,6 +1162,333 @@ def validate_options(rows: DataFrame) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# Jelly-text format (S10, RdfToJelly.scala:207-228,261-291 /
+# RdfFromJelly.scala:182-203): a human-readable TextFormat-style
+# rendering of the row stream. One row message per LINE with its
+# (seg, frame, pos) coordinates inline, which makes the text form
+# line-splittable — render AND parse are single columnar expressions
+# (format_string / regexp_extract), no Python in the row path.
+# ---------------------------------------------------------------------------
+
+
+def _text_escape(c):
+    # Java replacement strings treat '\' specially: r'\\"' emits \" and
+    # r"\\\\" emits two literal backslashes.
+    return F.regexp_replace(
+        F.regexp_replace(F.coalesce(c, F.lit("")), F.lit(r"\\"), F.lit(r"\\\\")),
+        F.lit('"'),
+        F.lit(r"\\\""),
+    )
+
+
+def _text_unescape(c):
+    return F.regexp_replace(
+        F.regexp_replace(c, F.lit(r'\\"'), F.lit('"')),
+        F.lit(r"\\\\"),
+        F.lit("\\\\"),
+    )
+
+
+def render_jelly_text(rows: DataFrame) -> DataFrame:
+    """rows table → (seg, frame_index, row_pos, line) jelly-text lines."""
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    k = F.col("row_kind")
+    payload = (
+        F.when(
+            k == KIND_OPTIONS,
+            F.format_string(
+                'options { version: %d physical: %d logical: %d flags: %d '
+                "max_name: %d max_prefix: %d max_dt: %d name: \"%s\" }",
+                z("opt_version"), z("opt_physical"), z("opt_logical"),
+                z("opt_flags"), z("opt_max_name"), z("opt_max_prefix"),
+                z("opt_max_dt"), _text_escape(F.col("aux")),
+            ),
+        )
+        .when(
+            k == KIND_TRIPLE,
+            F.format_string(
+                'triple { s: %d p: %d o: %d kind: %d dt: %d lang: "%s" }',
+                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("dt_id"),
+                _text_escape(F.col("lang")),
+            ),
+        )
+        .when(
+            k == KIND_QUAD,
+            F.format_string(
+                'quad { s: %d p: %d o: %d kind: %d g: %d dt: %d lang: "%s" }',
+                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("g_id"),
+                z("dt_id"), _text_escape(F.col("lang")),
+            ),
+        )
+        .when(
+            k == KIND_NAME,
+            F.format_string(
+                'name { id: %d prefix: %d value: "%s" }',
+                z("name_id"), z("prefix_id"), _text_escape(F.col("name")),
+            ),
+        )
+        .when(
+            k == KIND_PREFIX,
+            F.format_string(
+                'prefix { id: %d value: "%s" }', z("name_id"),
+                _text_escape(F.col("name")),
+            ),
+        )
+        .when(
+            k == KIND_DATATYPE,
+            F.format_string(
+                'datatype { id: %d value: "%s" }', z("name_id"),
+                _text_escape(F.col("name")),
+            ),
+        )
+        .when(k == KIND_GRAPH_START, F.format_string("graph_start { g: %d }", z("name_id")))
+        .when(k == KIND_GRAPH_END, F.lit("graph_end { }"))
+        .when(
+            k == KIND_NAMESPACE,
+            F.format_string(
+                'namespace { name: "%s" iri: "%s" }',
+                _text_escape(F.col("name")), _text_escape(F.col("aux")),
+            ),
+        )
+    )
+    return rows.select(
+        "seg",
+        "frame_index",
+        "row_pos",
+        F.format_string(
+            "row { seg: %d frame: %d pos: %d %s }",
+            F.greatest(F.col("seg"), F.lit(0)), F.col("frame_index"),
+            F.col("row_pos"), payload,
+        ).alias("line"),
+    )
+
+
+def parse_jelly_text(lines: DataFrame, text_col: str = "line") -> DataFrame:
+    """jelly-text lines → rows table (inverse of render_jelly_text); one
+    pass of regexp extraction per field, line-parallel."""
+    line = F.col(text_col)
+    num = lambda field: F.regexp_extract(  # noqa: E731
+        line, rf"\b{field}: (-?\d+)", 1
+    )
+    lnum = lambda field: F.nullif(num(field), F.lit("")).cast("long")  # noqa: E731
+    inum = lambda field: F.nullif(num(field), F.lit("")).cast("int")  # noqa: E731
+    sfield = lambda field: _text_unescape(  # noqa: E731
+        F.regexp_extract(line, rf'{field}: "((?:[^"\\]|\\.)*)"', 1)
+    )
+    kind_word = F.regexp_extract(line, r"row \{ seg: \d+ frame: \d+ pos: \d+ (\w+)", 1)
+    kind = (
+        F.when(kind_word == "options", KIND_OPTIONS)
+        .when(kind_word == "triple", KIND_TRIPLE)
+        .when(kind_word == "quad", KIND_QUAD)
+        .when(kind_word == "name", KIND_NAME)
+        .when(kind_word == "prefix", KIND_PREFIX)
+        .when(kind_word == "datatype", KIND_DATATYPE)
+        .when(kind_word == "graph_start", KIND_GRAPH_START)
+        .when(kind_word == "graph_end", KIND_GRAPH_END)
+        .when(kind_word == "namespace", KIND_NAMESPACE)
+    )
+    zero_null = lambda c: F.nullif(c, F.lit(0))  # noqa: E731
+    empty_null = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    is_stmt = kind.isin(KIND_TRIPLE, KIND_QUAD)
+    return (
+        lines.filter(line.rlike(r"^row \{"))
+        .select(
+            lnum("seg").alias("seg"),
+            lnum("frame").alias("frame_index"),
+            inum("pos").alias("row_pos"),
+            kind.alias("row_kind"),
+            F.when(is_stmt, lnum("s")).alias("s_id"),
+            F.when(is_stmt, lnum("p")).alias("p_id"),
+            F.when(is_stmt, lnum("o")).alias("o_id"),
+            F.when(is_stmt, inum("kind")).alias("o_kind"),
+            F.when(kind == KIND_QUAD, zero_null(lnum("g"))).alias("g_id"),
+            F.when(
+                kind.isin(KIND_NAME, KIND_PREFIX, KIND_DATATYPE), lnum("id")
+            )
+            .when(kind == KIND_GRAPH_START, lnum("g"))
+            .alias("name_id"),
+            F.when(kind == KIND_NAME, zero_null(lnum("prefix"))).alias("prefix_id"),
+            F.when(kind.isin(KIND_NAME, KIND_PREFIX, KIND_DATATYPE), sfield("value"))
+            .when(kind == KIND_NAMESPACE, sfield("name"))
+            .alias("name"),
+            F.when(is_stmt, zero_null(lnum("dt"))).alias("dt_id"),
+            F.when(is_stmt, empty_null(sfield("lang"))).alias("lang"),
+            F.when(kind == KIND_OPTIONS, sfield("name"))
+            .when(kind == KIND_NAMESPACE, sfield("iri"))
+            .alias("aux"),
+            F.when(kind == KIND_OPTIONS, inum("version")).alias("opt_version"),
+            F.when(kind == KIND_OPTIONS, inum("physical")).alias("opt_physical"),
+            F.when(kind == KIND_OPTIONS, inum("logical")).alias("opt_logical"),
+            F.when(kind == KIND_OPTIONS, inum("flags")).alias("opt_flags"),
+            F.when(kind == KIND_OPTIONS, inum("max_name")).alias("opt_max_name"),
+            F.when(kind == KIND_OPTIONS, inum("max_prefix")).alias("opt_max_prefix"),
+            F.when(kind == KIND_OPTIONS, inum("max_dt")).alias("opt_max_dt"),
+        )
+    )
+
+
+def write_jelly_text_file(rows: DataFrame, path: str) -> None:
+    """Jelly-text sink: one ordered text file (bounded-artifact path,
+    like write_jelly_file)."""
+    out = render_jelly_text(rows).orderBy("seg", "frame_index", "row_pos")
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in out.select("line").toLocalIterator():
+            fh.write(r.line + "\n")
+
+
+def read_jelly_text_file(spark: SparkSession, path: str) -> DataFrame:
+    """Jelly-text source → rows table (line-parallel text scan)."""
+    return parse_jelly_text(spark.read.text(path), "value")
+
+
+# ---------------------------------------------------------------------------
+# transcode fast path (§2.11, RdfTranscode.scala:57-82): pure integer
+# dictionary-id remap — no term decode, no string joins anywhere
+# ---------------------------------------------------------------------------
+
+
+def transcode_frames(
+    spark: SparkSession,
+    frames_list: list[DataFrame],
+    rows_per_frame: int = ROWS_PER_FRAME,
+    max_name_table: int | None = None,
+) -> DataFrame:
+    """Concatenate N Jelly streams into ONE output stream by remapping
+    lookup-table ids, the reference's transcode fast path: each input
+    (stream, seg) block keeps its entry rows verbatim; output ids are
+    ``old_id + block_offset`` per table (name/prefix/datatype), and
+    statement refs shift by the same arithmetic — a broadcast join on
+    the tiny (stream, seg) offset table, never a string comparison.
+
+    The output declares ``max(required, max_name_table)`` table sizes;
+    an explicit ``max_name_table`` smaller than required raises,
+    mirroring the output-size ≥ input-size precondition
+    (RdfTranscodeSpec.scala:86)."""
+    rows = None
+    for i, frames in enumerate(frames_list):
+        r = decode_frames(frames)
+        if r.filter(F.col("seg") < 0).limit(1).count() > 0:
+            r = assign_segments(r)
+        r = r.withColumn("stream", F.lit(i))
+        rows = r if rows is None else rows.unionByName(r)
+    rows = rows.persist()
+
+    phys = stream_physical_types(rows) - {None}
+    if len(phys) > 1:
+        raise ValueError(
+            f"cannot transcode streams of mixed physical types {sorted(phys)}"
+        )
+    physical = next(iter(phys), PHYSICAL_TRIPLES)
+
+    # per-block table maxima → running offsets (blocks are per-segment
+    # metadata: a driver-side handful, like the reference's frame loop)
+    maxima = {
+        (r["stream"], r["seg"]): r
+        for r in rows.groupBy("stream", "seg")
+        .agg(
+            F.max(F.when(F.col("row_kind") == KIND_NAME, F.col("name_id"))).alias("mn"),
+            F.max(F.when(F.col("row_kind") == KIND_PREFIX, F.col("name_id"))).alias("mp"),
+            F.max(F.when(F.col("row_kind") == KIND_DATATYPE, F.col("name_id"))).alias("md"),
+        )
+        .collect()
+    }
+    offsets, name_off, prefix_off, dt_off = [], 0, 0, 0
+    for key in sorted(maxima):
+        r = maxima[key]
+        offsets.append((key[0], key[1], name_off, prefix_off, dt_off))
+        name_off += r["mn"] or 0
+        prefix_off += r["mp"] or 0
+        dt_off += r["md"] or 0
+    required = name_off
+    out_max = max(required, max_name_table or MAX_NAME_TABLE)
+    if max_name_table is not None and max_name_table < required:
+        raise ValueError(
+            f"output name table size {max_name_table} is smaller than the "
+            f"{required} entries the inputs carry (output table must be at "
+            f"least as large as every input's — RdfTranscodeSpec.scala:86)"
+        )
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets, "stream int, seg long, name_off long, prefix_off long, dt_off long"
+        )
+    )
+    joined = rows.filter(F.col("row_kind") != KIND_OPTIONS).join(
+        off, ["stream", "seg"]
+    )
+    k = F.col("row_kind")
+    shifted = joined.select(
+        F.lit(0).cast("long").alias("seg"),
+        F.col("stream"),
+        F.col("seg").alias("in_seg"),
+        F.col("frame_index").alias("in_frame"),
+        F.col("row_pos"),
+        "row_kind",
+        (F.col("s_id") + F.col("name_off")).alias("s_id"),
+        (F.col("p_id") + F.col("name_off")).alias("p_id"),
+        (F.col("o_id") + F.col("name_off")).alias("o_id"),
+        F.col("o_kind"),
+        (F.col("g_id") + F.col("name_off")).alias("g_id"),
+        F.when(k.isin(KIND_NAME, KIND_GRAPH_START), F.col("name_id") + F.col("name_off"))
+        .when(k == KIND_PREFIX, F.col("name_id") + F.col("prefix_off"))
+        .when(k == KIND_DATATYPE, F.col("name_id") + F.col("dt_off"))
+        .otherwise(F.col("name_id"))
+        .alias("name_id"),
+        (F.col("prefix_id") + F.col("prefix_off")).alias("prefix_id"),
+        F.col("name"),
+        (F.col("dt_id") + F.col("dt_off")).alias("dt_id"),
+        F.col("lang"),
+        F.col("aux"),
+    )
+    from .order import global_row_number
+
+    ordered = global_row_number(
+        shifted, ["stream", "in_seg", "in_frame", "row_pos"]
+    ).withColumn("frame_index", F.floor(F.col("rn") / rows_per_frame).cast("long"))
+    out_opts = StreamOptions(
+        physical_type=physical, max_name_table=out_max, max_dt_table=out_max,
+        max_prefix_table=max(MAX_PREFIX_TABLE, prefix_off),
+    )
+    body = ordered.select(
+        "seg",
+        "frame_index",
+        F.col("rn").alias("sort_key"),
+        F.lit(_MINOR_STATEMENT).alias("minor"),
+        "row_kind", "s_id", "p_id", "o_id", "o_kind", "g_id",
+        "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
+        *_null_row_cols(
+            "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id", "o_kind",
+            "g_id", "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
+            "row_pos",
+        ),
+    ).select(*_frame_row_order())
+    opt_row = spark.createDataFrame(
+        [(0, 0)], "seg long, frame_index long"
+    ).select(
+        "seg",
+        "frame_index",
+        F.lit(0).cast("long").alias("sort_key"),
+        F.lit(_MINOR_OPTIONS).alias("minor"),
+        F.lit(KIND_OPTIONS).alias("row_kind"),
+        F.lit(out_opts.version).alias("opt_version"),
+        F.lit(out_opts.physical_type).alias("opt_physical"),
+        F.lit(out_opts.logical_type).alias("opt_logical"),
+        F.lit(out_opts.flags).alias("opt_flags"),
+        F.lit(out_opts.max_name_table).alias("opt_max_name"),
+        F.lit(out_opts.max_prefix_table).alias("opt_max_prefix"),
+        F.lit(out_opts.max_dt_table).alias("opt_max_dt"),
+        F.lit(out_opts.stream_name).alias("aux"),
+        *_null_row_cols(
+            "sort_key", "minor", "row_kind", "opt_version", "opt_physical",
+            "opt_logical", "opt_flags", "opt_max_name", "opt_max_prefix",
+            "opt_max_dt", "aux", "row_pos",
+        ),
+    ).select(*_frame_row_order())
+    return opt_row.unionByName(body).groupBy("seg", "frame_index").applyInPandas(
+        _encode_group_fn(), FRAME_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # GRAPHS physical type (S16): graph-run boundary encoding
 # ---------------------------------------------------------------------------
 

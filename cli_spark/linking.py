@@ -148,9 +148,13 @@ def _sig_arrow_kernel(num_perm: int):
             hs = batch.column("hs")
             if isinstance(hs, pa.ChunkedArray):
                 hs = hs.combine_chunks()
+            # slice-safe: keep the FULL offsets array (k+1 entries) and
+            # bound the values buffer by offsets[0]..offsets[-1] — a
+            # sliced ListArray's `values` is the unsliced buffer, so
+            # absolute offsets on len(values) would bleed across rows.
             flat = hs.values.to_numpy(zero_copy_only=False).astype(np.uint64)
-            offs = hs.offsets.to_numpy(zero_copy_only=False)[:-1].astype(np.int64)
-            k = len(offs)
+            all_offs = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            k = len(all_offs) - 1
             mins = np.empty((num_perm, k), dtype=np.int64)
             # Cache-blocked: process ~512 rows (~a few hundred KB) at a
             # time so the 32 permutation passes read the chunk from L2,
@@ -161,10 +165,10 @@ def _sig_arrow_kernel(num_perm: int):
             ROWS = 512
             for r0 in range(0, k, ROWS):
                 r1 = min(r0 + ROWS, k)
-                e0 = offs[r0]
-                e1 = offs[r1] if r1 < k else len(flat)
+                e0 = all_offs[r0]
+                e1 = all_offs[r1]
                 seg = flat[e0:e1]
-                loffs = offs[r0:r1] - e0
+                loffs = all_offs[r0:r1] - e0
                 for j in range(num_perm):
                     m = ((A[j] * seg + B[j]) % P).view(np.int64)
                     mins[j, r0:r1] = np.minimum.reduceat(m, loffs)
@@ -206,11 +210,19 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, band_rows: int = BAND_ROWS, id_col: str = "file_iri"
+    sigs: DataFrame,
+    band_rows: int = BAND_ROWS,
+    id_col: str = "file_iri",
+    report: dict | None = None,
 ) -> DataFrame:
     """(left_id, right_id) candidates sharing >=1 LSH band bucket,
     named (left_<id_col suffix>): pass ``id_col="fid"`` to band/join on
-    dense long ids (8-byte shuffle keys) instead of IRI strings."""
+    dense long ids (8-byte shuffle keys) instead of IRI strings.
+
+    Pass ``report={}`` to have the (otherwise silent) MAX_BUCKET cap
+    counted: ``report["dropped_band_members"]`` receives the number of
+    bucket members excluded from banding (costs one extra count job, so
+    it is opt-in, not hot-path default)."""
     num_perm = NUM_PERM
     n_bands = num_perm // band_rows
     left_col = "left_iri" if id_col == "file_iri" else "left_fid"
@@ -234,9 +246,20 @@ def lsh_candidate_pairs(
     from pyspark.sql.window import Window as W
 
     wb = W.partitionBy("band_id", "band_hash").orderBy(id_col)
-    capped = bands.withColumn("rk", F.row_number().over(wb)).filter(
-        F.col("rk") <= MAX_BUCKET
-    )
+    ranked = bands.withColumn("rk", F.row_number().over(wb))
+    if report is not None:
+        import logging
+
+        dropped = ranked.filter(F.col("rk") > MAX_BUCKET).count()
+        report["dropped_band_members"] = dropped
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "LSH banding: %d bucket members beyond MAX_BUCKET=%d were "
+                "not banded (transitive closure reconnects them through "
+                "the kept representatives)",
+                dropped, MAX_BUCKET,
+            )
+    capped = ranked.filter(F.col("rk") <= MAX_BUCKET)
     left = capped.select("band_id", "band_hash", F.col(id_col).alias(left_col))
     right = capped.select("band_id", "band_hash", F.col(id_col).alias(right_col))
     return (

@@ -67,13 +67,33 @@ def run_kg_pipeline(
     link_threshold: float = 0.7,
     engine: str = "sql",
     check_lineage: bool = True,
+    check_input: bool = False,
 ) -> int:
     """extract → link → canonicalize; returns total triples produced
-    (canonical triples + sameAs edges), the north-rule throughput unit."""
+    (canonical triples + sameAs edges), the north-rule throughput unit.
+
+    ``check_input`` verifies the documented input contract — one row per
+    (repo, path, commit) — which extraction's row-local dedup relies on
+    (duplicate source rows would emit duplicate triples). One cheap
+    aggregate job; off by default in the bench hot path, on in the CLI."""
     # The source table feeds extract, both linkers, and the lineage
     # check — persist it once (the cluster analog is the Iceberg scan's
     # data locality; recomputing a synthetic generator 3× is pure waste).
     repos = repos.persist()
+    if check_input:
+        dup = (
+            repos.groupBy("repo", "path", "commit")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "input contract violated: duplicate (repo, path, commit) "
+                "rows in the source table — deduplicate upstream or "
+                "extraction will emit duplicate triples"
+            )
     triples = run_stage(
         spark,
         workdir,
@@ -101,6 +121,11 @@ def run_kg_pipeline(
     canon = run_stage(
         spark, workdir, "30_canonicalize", _canon, lineage_cols=["subj", "pred", "obj"]
     )
+    if workdir is None:
+        # canon feeds both the lineage check and the final count — with
+        # no parquet checkpoint to re-read, persist so the canonicalize
+        # joins run once
+        canon = canon.persist()
 
     if check_lineage:
         assert lineage_violations(repos, canon) == 0, "lineage invariant violated"

@@ -991,7 +991,10 @@ def q33_simhash(spark, sf_dir):
     "pruned shingle intersection (candidate-bounded explosion).",
 )
 def q34_ngram_jaccard(spark, sf_dir):
-    sh = doc_shingles(spark, sf_dir).persist()
+    # no persist: the battery runs 50 queries back-to-back and a cached
+    # plan with no unpersist point is a storage leak; the shingle scan
+    # recomputes (cheap, columnar) in each of its three uses
+    sh = doc_shingles(spark, sf_dir)
     cands = q31_lsh_candidate_pairs(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -1322,51 +1325,28 @@ def q09_product_profit(spark, sf_dir):
     )
 
 
-# S10: jelly-text chunking — lines accumulate into a frame until a line
-# starting the frame-close marker; boundary line belongs to the chunk it
-# closes (RdfToJelly.scala:261-291). Boundary proxy: the kg:inLang line.
-_CHUNKS_SQL = f"""
-    WITH triples AS ({TRIPLES_SQL}),
-    lines AS (
-      SELECT subj, pred, obj, obj_kind,
-             CASE WHEN pred = 'kg:inLang' THEN 1 ELSE 0 END AS boundary,
-             ROW_NUMBER() OVER (ORDER BY subj, pred, obj, obj_kind) AS rn
-      FROM triples
-    ),
-    chunked AS (
-      SELECT boundary,
-             CAST(SUM(boundary) OVER (ORDER BY rn
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - boundary AS BIGINT) AS chunk_id
-      FROM lines
-    )
-    SELECT chunk_id, COUNT(*) AS n_lines,
-           CAST(SUM(boundary) AS BIGINT) AS n_boundaries
-    FROM chunked GROUP BY chunk_id
-"""
-
-
 @query(
-    "q25_jellytext_chunks",
-    oracle=_CHUNKS_SQL,
-    doc="Jelly-text frame chunking (S10, RdfToJelly.scala:261-291): "
-    "cumulative-sum window over an ordered boundary flag assigns each "
-    "line to its enclosing frame — gaps-and-islands with the boundary "
-    "line closing its own chunk.",
+    "q25_jellytext_roundtrip",
+    oracle=TRIPLES_SQL,
+    doc="Jelly-text format (S10, RdfToJelly.scala:207-228,261-291 / "
+    "RdfFromJelly.scala:182-203): binary rows → TextFormat-style lines "
+    "(one columnar format_string) → line-parallel regexp parse → decode "
+    "= identity; oracle is the original triple set.",
 )
-def q25_jellytext_chunks(spark, sf_dir):
-    from cli_spark.order import global_prefix_sum
+def q25_jellytext_roundtrip(spark, sf_dir):
+    from cli_spark.jelly import (
+        decode_frames,
+        decode_triples,
+        encode_triples,
+        parse_jelly_text,
+        render_jelly_text,
+    )
 
     t = doc_triples(spark, sf_dir)
-    boundary = F.when(F.col("pred") == "kg:inLang", 1).otherwise(0)
-    lines = t.withColumn("boundary", boundary)
-    # distributed running boundary count (no single-task global window)
-    chunked = global_prefix_sum(
-        lines, ["subj", "pred", "obj", "obj_kind"], "boundary", out_col="cum"
-    ).withColumn("chunk_id", F.col("cum") - F.col("boundary"))
-    return chunked.groupBy("chunk_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum("boundary").alias("n_boundaries"),
+    rows = decode_frames(encode_triples(spark, t, prefix_table=True))
+    text = render_jelly_text(rows).select("line")
+    return decode_triples(parse_jelly_text(text)).select(
+        "subj", "pred", "obj", "obj_kind"
     )
 
 

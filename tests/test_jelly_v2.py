@@ -318,3 +318,77 @@ def test_version_rejection():
     buf.write(payload)
     with pytest.raises(ValueError, match="unsupported stream version 1"):
         J.decode_frame(buf.getvalue())
+
+
+def test_transcode_fast_path(spark, iri_triples, quads):
+    """§2.11 fast path: id-remap transcode of two streams decodes to the
+    union, entry strings pass through verbatim (no re-parse)."""
+    a = iri_triples.limit(50)
+    b = spark.createDataFrame(
+        [("kg:x", "kg:p", "kg:y", 0), ("kg:x", "kg:p", "lit", 2)],
+        "subj string, pred string, obj string, obj_kind int",
+    )
+    fa = J.encode_triples(spark, a, prefix_table=True)
+    fb = J.encode_triples(spark, b)
+    out = J.transcode_frames(spark, [fa, fb], rows_per_frame=64)
+    back = J.decode_triples(J.decode_frames(out))
+    key = ["subj", "pred", "obj", "obj_kind"]
+    assert _set(back, key) == _set(a, key) | _set(b, key)
+    # exactly one options row in the merged stream, ids disjoint
+    rows = J.decode_frames(out)
+    assert rows.filter(F.col("row_kind") == J.KIND_OPTIONS).count() == 1
+    dup = (
+        rows.filter(F.col("row_kind") == J.KIND_NAME)
+        .groupBy("name_id").count().filter("count > 1").count()
+    )
+    assert dup == 0
+
+
+def test_transcode_size_precondition(spark, iri_triples):
+    fa = J.encode_triples(spark, iri_triples)
+    with pytest.raises(ValueError, match="at least as large"):
+        J.transcode_frames(spark, [fa, fa], max_name_table=8)
+
+
+def test_transcode_mixed_physical_rejected(spark, iri_triples, quads):
+    fa = J.encode_triples(spark, iri_triples)
+    fq = J.encode_quads(spark, quads)
+    with pytest.raises(ValueError, match="mixed physical"):
+        J.transcode_frames(spark, [fa, fq])
+
+
+def test_transcode_quads_streams(spark, quads):
+    f1 = J.encode_quads(spark, quads)
+    f2 = J.encode_quads(spark, quads.limit(2))
+    out = J.transcode_frames(spark, [f1, f2])
+    back = J.decode_quads(J.decode_frames(out))
+    assert _set(back, QKEY) == _set(quads, QKEY)
+
+
+def test_jelly_text_roundtrip(spark, quads, tmp_path):
+    """S10: binary rows → text lines → parse → identical rows table,
+    through the file path too."""
+    rows = J.decode_frames(J.encode_quads(spark, quads, prefix_table=True))
+    text = J.render_jelly_text(rows)
+    back_rows = J.parse_jelly_text(text.select("line"))
+    back = J.decode_quads(back_rows)
+    assert _set(back, QKEY) == _set(quads, QKEY)
+    # file round-trip
+    p = str(tmp_path / "stream.jelly.txt")
+    J.write_jelly_text_file(rows, p)
+    with open(p) as fh:
+        first = fh.readline()
+    assert first.startswith("row { seg: 0 frame: 0 pos: 0 options {")
+    back2 = J.decode_quads(J.read_jelly_text_file(spark, p))
+    assert _set(back2, QKEY) == _set(quads, QKEY)
+
+
+def test_jelly_text_escaping(spark):
+    t = spark.createDataFrame(
+        [('he said "hi\\there"', "kg:p", 'v "x" \\ y', 2)],
+        "subj string, pred string, obj string, obj_kind int",
+    )
+    rows = J.decode_frames(J.encode_triples(spark, t))
+    back = J.decode_triples(J.parse_jelly_text(J.render_jelly_text(rows).select("line")))
+    got = {(r.subj, r.obj) for r in back.collect()}
+    assert got == {('he said "hi\\there"', 'v "x" \\ y')}
