@@ -171,9 +171,23 @@ def _dispatch(spark, args) -> int:
         if args.base is not None and not in_fmt.supports_base_iri:
             raise ValueError(f"{in_fmt.full_name} does not support --base (S8)")
         stmts = in_fmt.read(spark, args.input, base=args.base)
-        has_graph = "graph" in stmts.columns and (
-            stmts.filter(F.col("graph").isNotNull()).limit(1).count() > 0
-        )
+        # one derivation pass: named graphs (physical type), RDF-star and
+        # generalized-RDF statement flags (P6/P7 over the term kinds)
+        cols = set(stmts.columns)
+        kind = lambda c: F.col(c) if c in cols else F.lit(None)  # noqa: E731
+        flag = lambda c: F.max(F.when(c, 1).otherwise(0))  # noqa: E731
+        caps = stmts.agg(
+            flag(kind("graph").isNotNull()).alias("g"),
+            flag(
+                (kind("subj_kind") == 3) | (kind("obj_kind") == 3)
+                | (kind("graph_kind") == 3)
+            ).alias("star"),
+            flag(
+                (kind("subj_kind") == 2) | (kind("pred_kind") != 0)
+                | (kind("graph_kind") == 2)
+            ).alias("gen"),
+        ).first()
+        has_graph = bool(caps["g"])
         # option cascade (P13): CLI flags > --options-from file > derived
         logical = None
         if args.logical_type:
@@ -190,7 +204,9 @@ def _dispatch(spark, args) -> int:
             None: None,
         }[args.physical_type]
         derived = J.StreamOptions(
-            physical_type=J.PHYSICAL_QUADS if has_graph else J.PHYSICAL_TRIPLES
+            physical_type=J.PHYSICAL_QUADS if has_graph else J.PHYSICAL_TRIPLES,
+            rdf_star=bool(caps["star"]),
+            generalized=bool(caps["gen"]),
         )
         from_file = J.options_from_file(args.options_from) if args.options_from else None
         opts = J.options_cascade(

@@ -61,21 +61,46 @@ def ordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
     if ne != na:
         return CompareResult(False, f"size mismatch: expected {ne} != actual {na}")
     j = e.join(a, "idx")
-    # non-bnode terms: exact positional equality
+
+    # Positional equality with bnode labels MASKED — this recurses into
+    # RDF-star quoted-triple terms for free (OrderedRdfCompare.scala:45-51):
+    # a "<< _:x <p> _:y >>" term masks to "<< _:ω <p> _:ω >>", so two
+    # quoted terms are position-equal iff their non-bnode structure is
+    # identical; their inner labels feed the same bijection as top-level
+    # bnodes. Masking applies only to bnode terms and quoted-triple
+    # terms, so literals containing the text "_:" are untouched.
+    _LABEL_RX = "_:[A-Za-z0-9][A-Za-z0-9_\\-.]*"
+
+    def masked(col):
+        needs = _is_bnode(col) | col.startswith("<<")
+        return F.when(
+            needs, F.regexp_replace(col, _LABEL_RX, "_:ω")
+        ).otherwise(col)
+
     for c in ("subj", "pred", "obj"):
-        both_not_bnode = ~_is_bnode(F.col(f"e.{c}")) & ~_is_bnode(F.col(f"a.{c}"))
-        kind_mismatch = _is_bnode(F.col(f"e.{c}")) != _is_bnode(F.col(f"a.{c}"))
         bad = j.filter(
-            kind_mismatch | (both_not_bnode & (F.col(f"e.{c}") != F.col(f"a.{c}")))
+            masked(F.col(f"e.{c}")) != masked(F.col(f"a.{c}"))
         ).count()
         if bad:
             return CompareResult(False, f"{bad} positions differ in {c}")
     # bnode bijection (functional e→a): every expected label pairs with
-    # exactly one actual label across all positions
+    # exactly one actual label across all positions, including labels
+    # inside quoted triples (zipped in source order — masked equality
+    # above guarantees equal counts and matching positions)
     pairs = None
     for c in ("subj", "pred", "obj"):
-        p = j.filter(_is_bnode(F.col(f"e.{c}"))).select(
-            F.col(f"e.{c}").alias("e_label"), F.col(f"a.{c}").alias("a_label")
+        has_labels = _is_bnode(F.col(f"e.{c}")) | F.col(f"e.{c}").startswith("<<")
+        p = (
+            j.filter(has_labels)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.regexp_extract_all(F.col(f"e.{c}"), F.lit(_LABEL_RX), F.lit(0)),
+                        F.regexp_extract_all(F.col(f"a.{c}"), F.lit(_LABEL_RX), F.lit(0)),
+                    )
+                ).alias("z")
+            )
+            .select(F.col("z.0").alias("e_label"), F.col("z.1").alias("a_label"))
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     if pairs is None:

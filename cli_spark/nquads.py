@@ -21,12 +21,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# one term: IRI | bnode | literal with optional datatype/langtag
-TERM_RX = r'(<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'
+# one term: quoted triple (RDF-star, one nesting level — inner terms are
+# IRIs/bnodes/literals) | IRI | bnode | literal with optional datatype/langtag
+_QT_RX = r'<<(?:[^"<>]|<[^>]*>|"(?:[^"\\]|\\.)*")*>>'
+TERM_RX = (
+    r"(" + _QT_RX + r'|<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"'
+    r"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)"
+)
 
 KIND_IRI = 0
 KIND_BNODE = 1
 KIND_LITERAL = 2
+KIND_QUOTED = 3  # RDF-star quoted triple (StatementUtils.scala:23-25);
+# the term VALUE is the self-delimiting "<< ... >>" source text
 
 TRIPLE_COLS = [
     "subj", "subj_kind", "pred", "pred_kind",
@@ -52,10 +59,12 @@ def _escape(c: Column) -> Column:
 
 def _classify(term: Column, prefix: str):
     """term string → (kind, value, datatype, lang) columns."""
-    is_iri = term.startswith("<")
+    is_qt = term.startswith("<<")
+    is_iri = term.startswith("<") & ~is_qt
     is_bnode = term.startswith("_:")
     kind = (
-        F.when(is_iri, F.lit(KIND_IRI))
+        F.when(is_qt, F.lit(KIND_QUOTED))
+        .when(is_iri, F.lit(KIND_IRI))
         .when(is_bnode, F.lit(KIND_BNODE))
         .otherwise(F.lit(KIND_LITERAL))
     )
@@ -63,17 +72,19 @@ def _classify(term: Column, prefix: str):
     datatype = F.regexp_extract(term, r"\^\^<([^>]*)>$", 1)
     lang = F.regexp_extract(term, r"@([A-Za-z0-9-]+)$", 1)
     value = (
-        F.when(is_iri, F.expr(f"substring({prefix}_raw, 2, length({prefix}_raw) - 2)"))
+        F.when(is_qt, term)  # quoted triple: keep the "<< ... >>" source
+        .when(is_iri, F.expr(f"substring({prefix}_raw, 2, length({prefix}_raw) - 2)"))
         .when(is_bnode, term.substr(F.lit(3), F.length(term)))
         .otherwise(_unescape(lex))
     )
+    is_lit = ~is_qt & ~is_iri & ~is_bnode
     return (
         kind.alias(f"{prefix}_kind"),
         value.alias(prefix),
-        F.when(~is_iri & ~is_bnode & (datatype != ""), datatype)
+        F.when(is_lit & (datatype != ""), datatype)
         .otherwise(F.lit(None))
         .alias(f"{prefix}_datatype"),
-        F.when(~is_iri & ~is_bnode & (lang != ""), lang)
+        F.when(is_lit & (lang != ""), lang)
         .otherwise(F.lit(None))
         .alias(f"{prefix}_lang"),
     )
@@ -119,7 +130,8 @@ def _render_term(value: Column, kind: Column, datatype: Column, lang: Column) ->
         .otherwise(F.lit(""))
     )
     return (
-        F.when(kind == KIND_IRI, F.concat(F.lit("<"), value, F.lit(">")))
+        F.when(kind == KIND_QUOTED, value)  # self-delimiting "<< ... >>"
+        .when(kind == KIND_IRI, F.concat(F.lit("<"), value, F.lit(">")))
         # flat extraction schemas store bnodes as "_:x" (kind inferred);
         # the parsed term model stores the bare label — accept either
         .when(kind == KIND_BNODE, F.concat(F.lit("_:"), F.regexp_replace(value, "^_:", "")))
