@@ -280,7 +280,9 @@ def validate_stream(rows: DataFrame) -> list[str]:
     d = rows.filter(F.col("row_kind") == KIND_NAME).select(
         "seg", F.col("name_id").alias("ref")
     )
-    trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
+    from .jelly import KIND_QUAD
+
+    trips = rows.filter(F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
     dangling = 0
     for c in ("s_id", "p_id", "o_id"):
         dangling += (
@@ -290,4 +292,35 @@ def validate_stream(rows: DataFrame) -> list[str]:
         )
     if dangling:
         problems.append(f"{dangling} dangling dictionary references")
+    # P8 flag conformance (RdfValidate.scala:159-182): RDF-star usage in
+    # a stream whose options do not declare the rdf-star flag. Star terms
+    # surface as o_kind 3 statements or "<<"-prefixed dictionary terms;
+    # the first offending frame is named, like the reference's error.
+    # (Generalized-RDF conformance is partial: literal subjects are not
+    # distinguishable from IRIs in the flat term model.)
+    if "opt_flags" in rows.columns:
+        star_declared = (
+            rows.filter(F.col("row_kind") == KIND_OPTIONS)
+            .filter(F.col("opt_flags").bitwiseAND(2) != 0)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if not star_declared:
+            offender = (
+                rows.filter(
+                    (F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
+                    & (F.col("o_kind") == 3)
+                    | ((F.col("row_kind") == KIND_NAME) & F.col("name").startswith("<<"))
+                )
+                .orderBy("seg", "frame_index", "row_pos")
+                .select("frame_index")
+                .limit(1)
+                .collect()
+            )
+            if offender:
+                problems.append(
+                    f"RDF-star statement in frame {offender[0].frame_index} "
+                    f"but the stream options do not declare the rdf-star flag"
+                )
     return problems

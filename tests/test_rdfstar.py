@@ -81,3 +81,18 @@ def test_literal_with_bnode_text_not_masked(spark):
     )
     assert ordered_compare(mk("see _:b1"), mk("see _:b1")).equal
     assert not ordered_compare(mk("see _:b1"), mk("see _:b2")).equal
+
+
+def test_p8_flag_conformance(spark, star_df):
+    """P8 (RdfValidate.scala:159-182): star statements in a stream whose
+    options lack the rdf-star flag are a validation error; declaring the
+    flag clears it."""
+    from cli_spark.compare import validate_stream
+
+    t = star_df.select("subj", "pred", "obj", "obj_kind")
+    plain = J.decode_frames(J.encode_triples(spark, t))  # flags off
+    problems = validate_stream(plain)
+    assert any("rdf-star" in p for p in problems)
+    opts = J.StreamOptions(rdf_star=True)
+    declared = J.decode_frames(J.encode_triples(spark, t, options=opts))
+    assert validate_stream(declared) == []
