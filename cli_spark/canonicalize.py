@@ -129,7 +129,13 @@ def canonical_map(same_as: DataFrame) -> DataFrame:
 
 def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite subj and obj through the canonical map (left joins keep
-    unmapped IRIs); literals (obj_kind != 0) are never rewritten."""
+    unmapped IRIs); literals (obj_kind != 0) are never rewritten.
+
+    No broadcast hint: on a near-dup-heavy corpus the non-trivial
+    canonical map is unbounded (tens of GB at 100 TB), so forcing a
+    broadcast risks executor OOM. AQE picks broadcast at runtime when
+    the map's actual size is under autoBroadcastJoinThreshold, and a
+    shuffle hash join otherwise — the safe default at every scale."""
     m_subj = mapping.select(
         F.col("iri").alias("subj"), F.col("canonical_iri").alias("subj_canon")
     )
@@ -137,8 +143,8 @@ def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         F.col("iri").alias("obj"), F.col("canonical_iri").alias("obj_canon")
     )
     out = (
-        triples.join(F.broadcast(m_subj), "subj", "left")
-        .join(F.broadcast(m_obj), "obj", "left")
+        triples.join(m_subj, "subj", "left")
+        .join(m_obj, "obj", "left")
         .select(
             F.coalesce(F.col("subj_canon"), F.col("subj")).alias("subj"),
             F.col("pred"),

@@ -109,6 +109,22 @@ REGISTRY: dict[str, RdfFormatSpec] = {
             supports_generalized=False,
             read=_unsupported("JSON-LD"), write=_unsupported("JSON-LD"),
         ),
+        # reference: cli/command/rdf/util/RdfFormat.scala:69-88 — Jena's
+        # binary formats; it infers generalizedStatements=true for them
+        # (RdfJellySerializationOptions.scala:60-67). Registered so
+        # resolve() names them in errors instead of "unknown format".
+        RdfFormatSpec(
+            "jenaproto", "RDF Protobuf", ("jenaproto", "jena-proto"), (".rpb",),
+            supports_quads=True, supports_base_iri=False,
+            supports_generalized=True,
+            read=_unsupported("RDF Protobuf"), write=_unsupported("RDF Protobuf"),
+        ),
+        RdfFormatSpec(
+            "jenathrift", "RDF Thrift", ("jenathrift", "jena-thrift"), (".rt", ".trdf"),
+            supports_quads=True, supports_base_iri=False,
+            supports_generalized=True,
+            read=_unsupported("RDF Thrift"), write=_unsupported("RDF Thrift"),
+        ),
     ]
 }
 

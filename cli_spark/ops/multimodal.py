@@ -132,15 +132,23 @@ def sample_frames(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        import numpy as np
+
         for pdf in it:
             if not decode_stub:
                 raise NotImplementedError("frame sampling requires ffmpeg")
-            rows = []
-            for _, r in pdf.iterrows():
-                blob = r["blob"]
-                step = max(1, len(blob) // n_frames)
-                for i in range(n_frames):
-                    rows.append((r["id"], i, blob[i * step : (i + 1) * step]))
-            yield pd.DataFrame(rows, columns=["id", "frame_index", "frame_bytes"])
+            # vectorized explode: repeat ids/blobs n_frames times, slice
+            # each blob by its per-row stride — no per-row Python loop
+            ids = pdf["id"].to_numpy().repeat(n_frames)
+            blobs_rep = pdf["blob"].to_numpy().repeat(n_frames)
+            idx = np.tile(np.arange(n_frames, dtype=np.int32), len(pdf))
+            steps = np.maximum(
+                1, pdf["blob"].map(len).to_numpy() // n_frames
+            ).repeat(n_frames)
+            lo = idx * steps
+            frames = [b[l : l + s] for b, l, s in zip(blobs_rep, lo, steps)]
+            yield pd.DataFrame(
+                {"id": ids, "frame_index": idx, "frame_bytes": frames}
+            )
 
     return blobs.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -247,15 +247,23 @@ def seeded_centroids(
     n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    oracle_parity: bool = False,
 ) -> DataFrame:
     """Deterministic centroid init: the n_cells corpus vectors with the
-    smallest xxhash64(id) — a seeded uniform sample with zero driver
-    state, computed as a scalable TakeOrdered (no global window)."""
+    smallest hash(id) — a seeded uniform sample with zero driver
+    state, computed as a scalable TakeOrdered (no global window).
+    ``oracle_parity=True`` orders by md5 (reproducible in DuckDB SQL);
+    the default xxhash64 is the cheaper engine path."""
+    key = (
+        F.md5(F.col("cell_id").cast("string"))
+        if oracle_parity
+        else F.xxhash64(F.col("cell_id").cast("string"))
+    )
     return (
         corpus.select(
             F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
         )
-        .orderBy(F.xxhash64(F.col("cell_id").cast("string")), F.col("cell_id"))
+        .orderBy(key, F.col("cell_id"))
         .limit(n_cells)
     )
 

@@ -1473,9 +1473,32 @@ def q43_prefix_split(spark, sf_dir):
     )
 
 
-_CELLS_SQL = """
+_CENTROIDS_SQL = """
+      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR), vec_id
+      LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)
+"""
+
+
+def _sqrt_centroids(emb: DataFrame) -> DataFrame:
+    """ceil(√n) seeded centroids, md5-ordered for DuckDB parity.
+
+    |cells| grows as √corpus (not ∝ n as the old `vec_id % 100` rule
+    did), so the assign cross-score is O(n^1.5) and a within-cell
+    self-join is O(n^1.5) too — survives a 100× scale-up. The one
+    driver `.count()` sizes the TakeOrdered limit (parquet counts are
+    metadata-cheap)."""
+    import math
+
+    from cli_spark.ops.simsearch import seeded_centroids
+
+    n_cells = int(math.ceil(math.sqrt(emb.count())))
+    return seeded_centroids(emb, n_cells, oracle_parity=True)
+
+
+_CELLS_SQL = f"""
     centroids AS (
-      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 7
+{_CENTROIDS_SQL}
     ),
     cell_assign AS (
       SELECT e.vec_id, c.cell_id,
@@ -1510,9 +1533,7 @@ def q44_embedding_neardup(spark, sf_dir):
     from cli_spark.ops.simsearch import _dot, assign_cells, with_norm
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
-    )
+    cents = _sqrt_centroids(emb)
     cells = assign_cells(emb, cents).select("vec_id", "cell_id")
     l = with_norm(
         emb.join(cells, "vec_id").select(
@@ -1539,9 +1560,9 @@ def q44_embedding_neardup(spark, sf_dir):
     )
 
 
-_IVF_SQL = """
+_IVF_SQL = f"""
     WITH centroids AS (
-      SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id % 100 = 7
+{_CENTROIDS_SQL}
     ),
     assign AS (
       SELECT e.vec_id, c.cell_id,
@@ -1568,9 +1589,7 @@ def q45_ivf_assign(spark, sf_dir):
     from cli_spark.ops.simsearch import assign_cells
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
-    )
+    cents = _sqrt_centroids(emb)
     # assign_cells clamps cosines like DuckDB's list_cosine_similarity
     # (the self-pair's sqrt(n)*sqrt(n) can exceed the dot by 1 ulp)
     return assign_cells(emb, cents).select(
@@ -1616,9 +1635,7 @@ def q62_ivf_topk(spark, sf_dir):
     from cli_spark.ops.simsearch import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
-    )
+    cents = _sqrt_centroids(emb)
     return ivf_topk(
         emb.filter(F.col("vec_id") < 5), emb, k=5, n_probe=2,
         centroids=cents, exact_fold=True,

@@ -86,7 +86,9 @@ def test_cosine_topk_exact(spark, vectors):
 
 def test_lsh_topk_recall(spark, vectors):
     exact = S.cosine_topk(vectors.filter("vec_id < 5"), vectors, k=3)
-    approx = S.lsh_topk(vectors.filter("vec_id < 5"), vectors, k=3, bits=6)
+    # dim passed explicitly: inference via .first() is a driver action
+    # per call — callers in composed pipelines should always pass it
+    approx = S.lsh_topk(vectors.filter("vec_id < 5"), vectors, k=3, bits=6, dim=8)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
