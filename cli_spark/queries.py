@@ -1879,11 +1879,75 @@ def q55_graphset_diff(spark, sf_dir):
     )
 
 
+def _q56_oracle() -> str:
+    """Unroll the fixed-k hash refinement of compare.canonical_bnode_labels
+    in DuckDB SQL: per round, label = md5 of the '|'-joined sorted multiset
+    of dir:pred:neighbor-signature strings (string_agg ORDER BY == Spark's
+    sort_array(collect_list)); round 0 masks bnode neighbors as '?'."""
+    from cli_spark.compare import REFINE_ROUNDS
+
+    sig0 = (
+        "dir || ':' || pred || ':' || "
+        "(CASE WHEN starts_with(neighbor, '_:') THEN '?' ELSE neighbor END)"
+    )
+    parts = [
+        f"""
+    WITH t AS (
+      SELECT '' AS graph, '_:d' || doc_id::VARCHAR AS subj,
+             'kg:inLang' AS pred, lang AS obj, 2 AS obj_kind
+      FROM documents
+      UNION ALL
+      SELECT '' AS graph, '_:d' || doc_id::VARCHAR AS subj,
+             'kg:near' AS pred, '_:d' || (doc_id + 1)::VARCHAR AS obj,
+             0 AS obj_kind
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    occ AS (
+      SELECT graph, subj AS label, 's' AS dir, pred, obj AS neighbor
+      FROM t WHERE starts_with(subj, '_:')
+      UNION ALL
+      SELECT graph, obj AS label, 'o' AS dir, pred, subj AS neighbor
+      FROM t WHERE starts_with(obj, '_:')
+    ),
+    l0 AS (
+      SELECT graph, label,
+             md5(string_agg({sig0}, '|' ORDER BY {sig0})) AS h
+      FROM occ GROUP BY graph, label
+    )"""
+    ]
+    sig = "o.dir || ':' || o.pred || ':' || coalesce(n.h, o.neighbor)"
+    for i in range(1, REFINE_ROUNDS + 1):
+        parts.append(
+            f""",
+    l{i} AS (
+      SELECT o.graph, o.label,
+             md5(string_agg({sig}, '|' ORDER BY {sig})) AS h
+      FROM occ o
+      LEFT JOIN l{i - 1} n ON n.graph = o.graph AND n.label = o.neighbor
+      GROUP BY o.graph, o.label
+    )"""
+        )
+    parts.append(
+        f""",
+    canon AS (
+      SELECT graph, label, '_:c' || h AS canon FROM l{REFINE_ROUNDS}
+    )
+    SELECT t.graph,
+           coalesce(sc.canon, t.subj) AS subj,
+           t.pred,
+           coalesce(oc.canon, t.obj) AS obj,
+           t.obj_kind
+    FROM t
+    LEFT JOIN canon sc ON sc.graph = t.graph AND sc.label = t.subj
+    LEFT JOIN canon oc ON oc.graph = t.graph AND oc.label = t.obj
+    """
+    )
+    return "".join(parts)
+
+
 @query(
     "q56_bnode_canonical",
-    oracle=None,  # iterative hash refinement — not SQL-expressible (driver
-    # records the rows-only check; full semantics pytest-covered in
-    # tests/test_compare.py against hand-built isomorphic graphs)
+    oracle=_q56_oracle(),
     doc="Canonical blank-node labeling by iterative hash refinement (J2, "
     "UnorderedRdfCompare.scala:10-34): synthesize bnode-subject triples "
     "from the documents table, run the refinement, return stable labels. "
