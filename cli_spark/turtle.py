@@ -20,11 +20,15 @@ Design for Spark's execution model:
 
 Supported subset (documented descope — the reference delegates to Jena
 RIOT): @prefix/@base + SPARQL-style PREFIX/BASE directives, IRIs,
-prefixed names, blank nodes, `a` keyword, literals with language tags /
-datatypes / numeric+boolean shorthand, `;` and `,` continuation lists,
-TriG `GRAPH <g> { ... }` / `<g> { ... }` blocks, comments. Not
-supported: collections `(...)`, anonymous bnode property lists
-`[...]`, and triple-quoted long strings.
+prefixed names, blank nodes, anonymous blank-node property lists
+`[ p o ; ... ]` (nested, as subject or object), collections `( ... )`
+(rdf:first/rest/nil chains), `a` keyword, literals with language tags /
+datatypes / numeric+boolean shorthand, single-quoted `'...'` and
+triple-quoted long strings (`\"\"\"...\"\"\"` / `'''...'''`, raw
+newlines allowed), `;` and `,` continuation lists, TriG
+`GRAPH <g> { ... }` / `<g> { ... }` blocks, comments. Not supported:
+`@`-less bare-word booleans inside collections of mixed directives,
+and RDF-star annotation syntax `{| ... |}`.
 
 Base-IRI resolution (S8, RiotParserUtil.scala:14-40): relative IRIs
 resolve against the innermost @base (or a caller-supplied base), using
@@ -55,18 +59,25 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+)
     | (?P<comment>\#[^\n]*)
     | (?P<iri><[^>]*>)
-    | (?P<literal>"(?:[^"\\]|\\.)*")
+    | (?P<longlit>\"\"\"(?:[^"\\]|\\.|"{1,2}(?!"))*\"\"\"
+                 |'''(?:[^'\\]|\\.|'{1,2}(?!'))*''')
+    | (?P<literal>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
     | (?P<bnode>_:[A-Za-z0-9][A-Za-z0-9_\-.]*)
     | (?P<pname>[A-Za-z][A-Za-z0-9_\-.]*?:%s|:%s)
     | (?P<keyword>@prefix|@base|(?i:PREFIX|BASE|GRAPH)\b|\ba\b|true\b|false\b)
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<langtag>@[A-Za-z0-9\-]+)
     | (?P<dtmark>\^\^)
-    | (?P<punct>[;,.{}])
+    | (?P<punct>[;,.{}\[\]()])
     """
     % (_PN_LOCAL, _PN_LOCAL),
     re.VERBOSE,
 )
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
 
 _UNESC = {"t": "\t", "r": "\r", "n": "\n", '"': '"', "\\": "\\"}
 
@@ -113,6 +124,7 @@ class _TurtleParser:
         self.base = base
         self.graph: str | None = None
         self.out: list[tuple] = []
+        self._genid = 0  # fresh labels for [...] / (...) blank nodes
 
     def _peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
@@ -132,8 +144,61 @@ class _TurtleParser:
             return urljoin(self.base, iri)
         return iri
 
+    def _fresh_bnode(self) -> str:
+        """Parser-generated label for an anonymous node. The `genid-`
+        namespace mirrors Jena's convention; a document that declares
+        its own `_:genid-N` labels could collide (same caveat as any
+        label-generating parser without a global relabel pass)."""
+        self._genid += 1
+        return f"genid-{self._genid}"
+
+    def _emit(self, s_val, s_kind, p_val, o_term):
+        o_kind, o_val, o_dt, o_lang = o_term
+        self.out.append(
+            (
+                s_val, s_kind, p_val, KIND_IRI, o_val, o_kind, o_dt, o_lang,
+                self.graph, KIND_IRI if self.graph is not None else None,
+            )
+        )
+
+    def _bnode_property_list(self) -> str:
+        """`[ p o ; ... ]` → fresh bnode + its emitted triples."""
+        self._expect("[")
+        label = self._fresh_bnode()
+        if self._peek()[1] != "]":
+            self._pred_obj_list(label, KIND_BNODE)
+        self._expect("]")
+        return label
+
+    def _collection(self):
+        """`( t1 t2 ... )` → rdf:first/rdf:rest chain of fresh bnodes;
+        `()` is rdf:nil (Turtle §2.8)."""
+        self._expect("(")
+        items = []
+        while self._peek()[1] != ")":
+            if self._peek()[0] is None:
+                raise ValueError("unterminated collection '('")
+            items.append(self._term())
+        self._next()  # ')'
+        if not items:
+            return (KIND_IRI, RDF_NIL, None, None)
+        nodes = [self._fresh_bnode() for _ in items]
+        for i, (node, item) in enumerate(zip(nodes, items)):
+            self._emit(node, KIND_BNODE, RDF_FIRST, item)
+            rest = (
+                (KIND_BNODE, nodes[i + 1], None, None)
+                if i + 1 < len(nodes)
+                else (KIND_IRI, RDF_NIL, None, None)
+            )
+            self._emit(node, KIND_BNODE, RDF_REST, rest)
+        return (KIND_BNODE, nodes[0], None, None)
+
     def _term(self):
         """→ (kind, value, datatype, lang)."""
+        if self._peek()[1] == "[":
+            return (KIND_BNODE, self._bnode_property_list(), None, None)
+        if self._peek()[1] == "(":
+            return self._collection()
         kind, tok = self._next()
         if kind == "iri":
             return (KIND_IRI, self._resolve(tok[1:-1]), None, None)
@@ -144,8 +209,9 @@ class _TurtleParser:
             return (KIND_IRI, self.prefixes[pfx] + local, None, None)
         if kind == "bnode":
             return (KIND_BNODE, tok[2:], None, None)
-        if kind == "literal":
-            value = _unescape_py(tok[1:-1])
+        if kind in ("literal", "longlit"):
+            width = 3 if kind == "longlit" else 1
+            value = _unescape_py(tok[width:-width])
             nk, nt = self._peek()
             if nk == "langtag":
                 self._next()
@@ -170,8 +236,7 @@ class _TurtleParser:
             return (KIND_IRI, RDF_TYPE, None, None)
         raise ValueError(f"unexpected token {tok!r} in term position")
 
-    def _statement(self):
-        s_kind, s_val, _, _ = self._term()
+    def _pred_obj_list(self, s_val, s_kind):
         while True:
             nk, nt = self._peek()
             if nt == "a":
@@ -193,11 +258,20 @@ class _TurtleParser:
                 break
             if self._peek()[1] == ";":
                 self._next()
-                # trailing ';' before '.' is legal
-                if self._peek()[1] in (".", "}"):
+                # trailing ';' before '.' / block or list close is legal
+                if self._peek()[1] in (".", "}", "]", None):
                     break
                 continue
             break
+
+    def _statement(self):
+        was_bnode_list = self._peek()[1] == "["
+        s_kind, s_val, _, _ = self._term()
+        # `[ p o ] .` — a blankNodePropertyList subject may stand alone
+        # (Turtle grammar: triples ::= blankNodePropertyList
+        # predicateObjectList?)
+        if not (was_bnode_list and self._peek()[1] in (".", "}", None)):
+            self._pred_obj_list(s_val, s_kind)
         if self._peek()[1] == ".":
             self._next()
 

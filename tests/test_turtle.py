@@ -146,3 +146,97 @@ def test_read_turtle_file_parallel(spark, tmp_path):
     back = T.read_turtle(spark, str(tmp_path / "*.ttl"))
     subs = {r.subj for r in back.collect()}
     assert subs == {"http://a.example/s", "http://b.example/s"}
+
+
+# --- round-3 grammar extensions: [...] property lists, (...) collections,
+# --- long/single-quoted strings (reference gets these via Jena RIOT,
+# --- RdfFormat.scala:48-54; format-sweep shape RdfToJellySpec.scala:537-615)
+
+
+def test_bnode_property_lists_nested():
+    doc = """
+@prefix ex: <http://e.org/> .
+ex:alice ex:knows [ ex:name "Bob" ; ex:age 30 ; ex:pet [ a ex:Dog ] ] .
+[ ex:label "standalone" ] .
+"""
+    rows = T.parse_turtle_document(doc)
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r[2], []).append(r)
+    knows = by_pred["http://e.org/knows"][0]
+    assert knows[5] == KIND_BNODE
+    inner = knows[4]
+    name = by_pred["http://e.org/name"][0]
+    assert name[0] == inner and name[1] == KIND_BNODE and name[4] == "Bob"
+    pet = by_pred["http://e.org/pet"][0]
+    assert pet[0] == inner and pet[5] == KIND_BNODE
+    dog = by_pred[T.RDF_TYPE][0]
+    assert dog[0] == pet[4] and dog[4] == "http://e.org/Dog"
+    # standalone [ ... ] . subject with no outer predicateObjectList
+    label = by_pred["http://e.org/label"][0]
+    assert label[1] == KIND_BNODE and label[4] == "standalone"
+
+
+def test_collections():
+    doc = """
+@prefix ex: <http://e.org/> .
+ex:s ex:list (1 "two" ex:three) .
+ex:s ex:empty () .
+"""
+    rows = T.parse_turtle_document(doc)
+    firsts = {r[0]: r for r in rows if r[2] == T.RDF_FIRST}
+    rests = {r[0]: r for r in rows if r[2] == T.RDF_REST}
+    head = next(r for r in rows if r[2] == "http://e.org/list")
+    assert head[5] == KIND_BNODE
+    # walk the chain: 1 -> "two" -> ex:three -> rdf:nil
+    n1 = head[4]
+    assert firsts[n1][4] == "1" and firsts[n1][6] == T.XSD + "integer"
+    n2 = rests[n1][4]
+    assert firsts[n2][4] == "two" and firsts[n2][5] == KIND_LITERAL
+    n3 = rests[n2][4]
+    assert firsts[n3][4] == "http://e.org/three" and firsts[n3][5] == KIND_IRI
+    assert rests[n3][4] == T.RDF_NIL and rests[n3][5] == KIND_IRI
+    empty = next(r for r in rows if r[2] == "http://e.org/empty")
+    assert empty[4] == T.RDF_NIL and empty[5] == KIND_IRI
+
+
+def test_long_and_single_quoted_strings():
+    doc = (
+        '@prefix ex: <http://e.org/> .\n'
+        'ex:s ex:note """multi\nline "quoted" text""" .\n'
+        "ex:s ex:note2 '''tri'ple''' .\n"
+        "ex:s ex:note3 'single quoted'@en .\n"
+        "ex:s ex:note4 '1.5'^^ex:dt .\n"
+    )
+    rows = {r[2]: r for r in T.parse_turtle_document(doc)}
+    assert rows["http://e.org/note"][4] == 'multi\nline "quoted" text'
+    assert rows["http://e.org/note2"][4] == "tri'ple"
+    assert rows["http://e.org/note3"][4] == "single quoted"
+    assert rows["http://e.org/note3"][7] == "en"
+    assert rows["http://e.org/note4"][6] == "http://e.org/dt"
+
+
+def test_nested_syntax_roundtrip(spark):
+    """parse nested doc → columnar writer (flat lines) → line-parallel
+    reparse → identical triple multiset (genid labels survive verbatim)."""
+    doc = """
+@prefix ex: <http://e.org/> .
+ex:alice ex:knows [ ex:name "Bob" ; ex:likes (ex:x ex:y) ] .
+"""
+    rows = T.parse_turtle_document(doc)
+    from cli_spark.nquads import TRIPLE_COLS
+
+    df = spark.createDataFrame(
+        rows,
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int",
+    )
+    prefixes = {"ex": "http://e.org/"}
+    header, body = T.render_turtle(df, prefixes)
+    reparsed = T.parse_turtle_lines(body, prefixes, text_col="line")
+    orig = {tuple(r) for r in rows}
+    back = {
+        tuple(getattr(r, c) for c in TRIPLE_COLS) for r in reparsed.collect()
+    }
+    assert {t[:8] for t in orig} == {t[:8] for t in back}
