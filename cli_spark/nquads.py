@@ -21,9 +21,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# one term: quoted triple (RDF-star, one nesting level — inner terms are
-# IRIs/bnodes/literals) | IRI | bnode | literal with optional datatype/langtag
-_QT_RX = r'<<(?:[^"<>]|<[^>]*>|"(?:[^"\\]|\\.)*")*>>'
+# one term: quoted triple (RDF-star) | IRI | bnode | literal with
+# optional datatype/langtag. Quoted triples nest recursively in the
+# reference (OrderedRdfCompare.scala:45-51); a regular expression cannot
+# count brackets, so the tokenizer unrolls the recursion to
+# QT_MAX_DEPTH levels (raise for deeper data — each level adds ~60
+# chars of pattern). Downstream is depth-independent: the term value
+# stays the self-delimiting "<< ... >>" source text, render passes it
+# through, and compare masks bnode labels textually at any depth.
+QT_MAX_DEPTH = 6
+# the IRI atom is <[^<>]*> (not <[^>]*>) so it cannot swallow the
+# opening "<<" of a nested quoted triple; the nested-QT alternative is
+# tried first at every level
+_QT_ATOM = r'[^"<>]|<[^<>]*>|"(?:[^"\\]|\\.)*"'
+
+
+def _qt_rx(depth: int) -> str:
+    rx = rf"<<(?:{_QT_ATOM})*>>"
+    for _ in range(depth - 1):
+        rx = rf"<<(?:{rx}|{_QT_ATOM})*>>"
+    return rx
+
+
+_QT_RX = _qt_rx(QT_MAX_DEPTH)
 TERM_RX = (
     r"(" + _QT_RX + r'|<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"'
     r"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)"

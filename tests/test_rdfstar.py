@@ -96,3 +96,52 @@ def test_p8_flag_conformance(spark, star_df):
     opts = J.StreamOptions(rdf_star=True)
     declared = J.decode_frames(J.encode_triples(spark, t, options=opts))
     assert validate_stream(declared) == []
+
+
+# --- round-3: arbitrary (depth-bounded unrolled) nesting ---
+
+DEEP_LINES = [
+    '<< << <kg:s> <kg:p> <kg:o> >> <kg:certainty> "0.9" >> <kg:statedBy> <kg:bob> .',
+    '<kg:eve> <kg:doubts> << << << _:x <kg:p> _:y >> <kg:by> _:x >> <kg:at> "t1" >> .',
+]
+
+
+def test_parse_nested_quoted_terms(spark):
+    df = parse_lines(
+        spark.createDataFrame([(ln,) for ln in DEEP_LINES], "value string")
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    by_pred = {r.pred: r for r in rows}
+    deep2 = by_pred["kg:statedBy"]
+    assert deep2.subj_kind == KIND_QUOTED
+    assert deep2.subj == '<< << <kg:s> <kg:p> <kg:o> >> <kg:certainty> "0.9" >>'
+    deep3 = by_pred["kg:doubts"]
+    assert deep3.obj_kind == KIND_QUOTED
+    assert deep3.obj.count("<<") == 3 and deep3.obj.count(">>") == 3
+
+
+def test_render_parse_identity_nested(spark):
+    df = parse_lines(
+        spark.createDataFrame([(ln,) for ln in DEEP_LINES], "value string")
+    )
+    back = parse_lines(render_lines(df), "line")
+    key = ["subj", "subj_kind", "pred", "obj", "obj_kind"]
+    assert {tuple(r) for r in back.select(*key).collect()} == {
+        tuple(r) for r in df.select(*key).collect()
+    }
+
+
+def test_ordered_compare_nested_bijection(spark):
+    """Bnode bijection holds at nesting depth 3: relabeling _:x/_:y
+    consistently compares equal; an inconsistent relabel (same inner
+    label mapping to two targets) fails."""
+    base = ['<kg:eve> <kg:doubts> << << << _:x <kg:p> _:y >> <kg:by> _:x >> <kg:at> "t1" >> .']
+    relabeled = ['<kg:eve> <kg:doubts> << << << _:a <kg:p> _:b >> <kg:by> _:a >> <kg:at> "t1" >> .']
+    broken = ['<kg:eve> <kg:doubts> << << << _:a <kg:p> _:b >> <kg:by> _:b >> <kg:at> "t1" >> .']
+    mk = lambda lines: parse_lines(
+        spark.createDataFrame([(ln,) for ln in lines], "value string")
+    )
+    assert ordered_compare(mk(base), mk(relabeled)).equal
+    res = ordered_compare(mk(base), mk(broken))
+    assert not res.equal
