@@ -3,11 +3,11 @@ RdfFormat.scala:48-105): one row per supported format with its CLI
 names, extensions, capabilities, and reader/writer entry points.
 
 Coverage vs the reference's ten formats: N-Triples, N-Quads, Turtle,
-TriG, Jelly binary, and Jelly text are implemented; RDF/XML, JSON-LD,
-RDF Protobuf, and RDF Thrift are declared unsupported (their
-parsers are Jena-internal in the reference; a from-scratch XML/JSON-LD
-algorithm is out of scope and raises a clear error instead of
-pretending)."""
+TriG, Jelly binary, Jelly text, and JSON-LD (flat expanded form,
+cli_spark.jsonld) are implemented; RDF/XML, RDF Protobuf, and RDF
+Thrift are declared unsupported (their parsers are Jena-internal in
+the reference; a from-scratch implementation is out of scope and
+raises a clear error instead of pretending)."""
 
 from __future__ import annotations
 
@@ -52,6 +52,20 @@ def _write_ttl(df, path, single_file=False):
     from .turtle import write_turtle
 
     write_turtle(df, path, single_file=single_file)
+
+
+def _read_jsonld(spark, path, base=None):
+    from .jsonld import read_jsonld
+
+    if base is not None:
+        raise ValueError("expanded JSON-LD carries absolute IRIs; --base unused")
+    return read_jsonld(spark, path)
+
+
+def _write_jsonld(df, path, single_file=False):
+    from .jsonld import write_jsonld
+
+    write_jsonld(df, path, single_file=single_file)
 
 
 def _unsupported(name: str):
@@ -107,7 +121,7 @@ REGISTRY: dict[str, RdfFormatSpec] = {
             "jsonld", "JSON-LD", ("jsonld", "json-ld"), (".jsonld",),
             supports_quads=True, supports_base_iri=True,
             supports_generalized=False,
-            read=_unsupported("JSON-LD"), write=_unsupported("JSON-LD"),
+            read=_read_jsonld, write=_write_jsonld,
         ),
         # reference: cli/command/rdf/util/RdfFormat.scala:69-88 — Jena's
         # binary formats; it infers generalizedStatements=true for them

@@ -1,0 +1,357 @@
+"""Flat expanded-form JSON-LD reader + writer (SURVEY.md §2.1 S4;
+reference format registry RdfFormat.scala:90-96 — Jena's JSONLD,
+`supportsQuads`, batch-writeable; format sweep RdfToJellySpec.scala:537-615).
+
+Supported subset (documented descope — the reference delegates all
+JSON-LD processing to Jena/Titanium): **expanded form** documents — a
+top-level array of node objects (or an object with a top-level
+``@graph``), node objects with ``@id`` / ``@type`` / full-IRI property
+keys, value objects (``@value`` + ``@type``/``@language``), node
+references (``@id``), ``@list`` arrays, nested node objects, and named
+graphs (``@id`` + ``@graph``). NOT supported: ``@context`` processing
+(compaction/expansion) — a document carrying ``@context`` raises a
+typed error telling the user to expand first.
+
+Design for Spark's execution model:
+
+- **Reader** is file-parallel (one task per document via ``binaryFile``
+  + ``mapInPandas``), exactly like the Turtle reader: a JSON document
+  is one parse unit; the 100 TB parallelism axis is the corpus of
+  millions of documents. A newline-delimited variant (one node object
+  per line — the shape this module's writer emits in distributed mode)
+  parses line-parallel.
+- **Writer** is fully columnar — zero Python in the row path. Value
+  objects are null-sparse structs serialized by ``to_json`` (Spark
+  drops null fields by default), per-subject property maps are
+  ``map_from_entries(collect_list(...))``, and the node line is a
+  string concat. Two hash aggregations ((graph,subj,pred) then
+  (graph,subj)), no window, no driver collect in the distributed path.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, TRIPLE_COLS
+from .turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, XSD
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+
+class JsonLdUnsupportedError(ValueError):
+    """Typed error for documents outside the supported subset."""
+
+
+def _as_list(v):
+    return v if isinstance(v, list) else [v]
+
+
+class _JsonLdReader:
+    """One instance per document (fresh-bnode counter is doc-scoped)."""
+
+    def __init__(self):
+        self.rows: list[tuple] = []
+        self._genid = 0
+
+    def _fresh(self) -> str:
+        self._genid += 1
+        return f"genid-jl-{self._genid}"
+
+    def _emit(self, s, s_kind, p, o_term, graph, graph_kind):
+        o_kind, o_val, o_dt, o_lang = o_term
+        self.rows.append(
+            (s, s_kind, p, KIND_IRI, o_val, o_kind, o_dt, o_lang, graph, graph_kind)
+        )
+
+    def _subject_of(self, obj) -> tuple[str, int]:
+        nid = obj.get("@id")
+        if nid is None:
+            return self._fresh(), KIND_BNODE
+        if nid.startswith("_:"):
+            return nid[2:], KIND_BNODE
+        return nid, KIND_IRI
+
+    def _value_term(self, v, graph, graph_kind):
+        """expanded-form value → (kind, value, datatype, lang); nested
+        node objects / lists emit their own triples."""
+        if isinstance(v, dict):
+            if "@value" in v:
+                raw = v["@value"]
+                dt = v.get("@type")
+                lang = v.get("@language")
+                if isinstance(raw, bool):
+                    return (KIND_LITERAL, "true" if raw else "false",
+                            dt or XSD + "boolean", None)
+                if isinstance(raw, int):
+                    return (KIND_LITERAL, str(raw), dt or XSD + "integer", None)
+                if isinstance(raw, float):
+                    return (KIND_LITERAL, repr(raw), dt or XSD + "double", None)
+                return (KIND_LITERAL, raw, dt, lang)
+            if "@list" in v:
+                items = [
+                    self._value_term(x, graph, graph_kind) for x in v["@list"]
+                ]
+                if not items:
+                    return (KIND_IRI, RDF_NIL, None, None)
+                nodes = [self._fresh() for _ in items]
+                for i, (node, item) in enumerate(zip(nodes, items)):
+                    self._emit(node, KIND_BNODE, RDF_FIRST, item, graph, graph_kind)
+                    rest = (
+                        (KIND_BNODE, nodes[i + 1], None, None)
+                        if i + 1 < len(nodes)
+                        else (KIND_IRI, RDF_NIL, None, None)
+                    )
+                    self._emit(node, KIND_BNODE, RDF_REST, rest, graph, graph_kind)
+                return (KIND_BNODE, nodes[0], None, None)
+            # node object (reference or inline): recurse
+            label, kind = self.node(v, graph, graph_kind)
+            return (kind, label, None, None)
+        if isinstance(v, str):
+            return (KIND_LITERAL, v, None, None)
+        if isinstance(v, bool):
+            return (KIND_LITERAL, "true" if v else "false", XSD + "boolean", None)
+        if isinstance(v, int):
+            return (KIND_LITERAL, str(v), XSD + "integer", None)
+        if isinstance(v, float):
+            return (KIND_LITERAL, repr(v), XSD + "double", None)
+        raise JsonLdUnsupportedError(f"unsupported JSON-LD value: {v!r}")
+
+    def node(self, obj, graph=None, graph_kind=None) -> tuple[str, int]:
+        if "@context" in obj:
+            raise JsonLdUnsupportedError(
+                "JSON-LD @context processing is not supported by this "
+                "engine (descoped: the reference delegates to Jena/"
+                "Titanium) — expand the document first (flat expanded "
+                "form is accepted)"
+            )
+        label, kind = self._subject_of(obj)
+        for t in _as_list(obj.get("@type", [])):
+            self._emit(label, kind, RDF_TYPE, (KIND_IRI, t, None, None),
+                       graph, graph_kind)
+        for key, vals in obj.items():
+            if key.startswith("@"):
+                if key == "@graph":
+                    # named graph: children scoped to this node's id
+                    for child in _as_list(vals):
+                        self.node(child, label,
+                                  KIND_IRI if kind == KIND_IRI else KIND_BNODE)
+                continue
+            for v in _as_list(vals):
+                term = self._value_term(v, graph, graph_kind)
+                self._emit(label, kind, key, term, graph, graph_kind)
+        return label, kind
+
+
+def parse_jsonld_document(text: str) -> list[tuple]:
+    """One expanded-form document (JSON array / @graph object / NDJSON
+    lines of node objects) → rows in nquads.TRIPLE_COLS order."""
+    text = text.strip()
+    reader = _JsonLdReader()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # newline-delimited node objects (this module's distributed sink)
+        doc = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
+    if isinstance(doc, dict):
+        if set(doc) <= {"@graph", "@context"} and "@graph" in doc:
+            if "@context" in doc:
+                reader.node(doc)  # raises the typed @context error
+            doc = doc["@graph"]
+        else:
+            doc = [doc]
+    for obj in doc:
+        if not isinstance(obj, dict):
+            raise JsonLdUnsupportedError(
+                f"expanded JSON-LD node object expected, got: {obj!r}"
+            )
+        reader.node(obj)
+    return reader.rows
+
+
+def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
+    """Expanded JSON-LD files → term-model triples, one task per FILE
+    (the scalable unit, same as the Turtle reader)."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for content in pdf["content"]:
+                rows.extend(parse_jsonld_document(bytes(content).decode("utf-8")))
+            yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+
+    return raw.mapInPandas(parse, schema)
+
+
+def parse_jsonld_lines(lines: DataFrame, text_col: str = "line") -> DataFrame:
+    """Line-parallel parse for newline-delimited node objects (the shape
+    this module's distributed writer emits): every line is a complete
+    expanded node object — fully distributed, no document sequencing."""
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for ln in pdf[text_col]:
+                if ln and ln.strip():
+                    rows.extend(parse_jsonld_document(ln))
+            yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+
+    return lines.mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# writer — fully columnar
+# ---------------------------------------------------------------------------
+
+
+def _norm_id(value, kind):
+    """Term-model id → JSON-LD @id string ('_:' prefix for bnodes;
+    accepts both bare labels and pre-prefixed '_:x' flat-schema values)."""
+    bnode = F.concat(F.lit("_:"), F.regexp_replace(value, "^_:", ""))
+    return F.when(kind == KIND_BNODE, bnode).otherwise(value)
+
+
+def _json_str(col):
+    """JSON-encode a string column (quotes + escapes) by round-tripping
+    through to_json(struct(...)) and trimming the {"k": ... } wrapper —
+    keeps escaping JVM-side, no Python in the row path."""
+    j = F.to_json(F.struct(col.alias("k")))
+    # j == '{"k":<encoded>}' — strip the 5-char prefix and 1-char suffix
+    return j.substr(F.lit(6), F.length(j) - F.lit(6))
+
+
+def _node_lines(triples: DataFrame) -> DataFrame:
+    """Per-(graph, subj) flat expanded node object as a JSON line.
+
+    Null struct fields are dropped by to_json (Spark default
+    jsonGenerator.ignoreNullFields=true), so one sparse struct covers
+    IRI refs and plain / typed / language literals. Two hash
+    aggregations, no window, no driver collect."""
+    cols = set(triples.columns)
+    get = lambda c: F.col(c) if c in cols else F.lit(None).cast("string")  # noqa: E731
+    infer = lambda c: F.when(  # noqa: E731
+        F.col(c).startswith("_:"), F.lit(KIND_BNODE)
+    ).otherwise(F.lit(KIND_IRI))
+    s_kind = (F.col("subj_kind") if "subj_kind" in cols else infer("subj")).cast("int")
+    o_kind = F.col("obj_kind").cast("int")
+    vo = F.struct(
+        F.when(o_kind != KIND_LITERAL, _norm_id(F.col("obj"), o_kind)).alias("@id"),
+        F.when(o_kind == KIND_LITERAL, F.col("obj")).alias("@value"),
+        F.when(o_kind == KIND_LITERAL, get("obj_datatype")).alias("@type"),
+        F.when(o_kind == KIND_LITERAL, get("obj_lang")).alias("@language"),
+    )
+    per_pred = (
+        triples.select(
+            get("graph").alias("graph"),
+            _norm_id(F.col("subj"), s_kind).alias("sid"),
+            F.col("pred"),
+            vo.alias("vo"),
+        )
+        .groupBy("graph", "sid", "pred")
+        .agg(
+            F.concat(
+                _json_str(F.col("pred")), F.lit(":"), F.to_json(F.collect_list("vo"))
+            ).alias("entry")
+        )
+    )
+    return (
+        per_pred.groupBy("graph", "sid")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("entry"))).alias("entries"))
+        .select(
+            "graph",
+            F.concat(
+                F.lit('{"@id":'),
+                _json_str(F.col("sid")),
+                F.lit(","),
+                F.col("entries"),
+                F.lit("}"),
+            ).alias("node"),
+        )
+    )
+
+
+def render_jsonld(triples: DataFrame) -> DataFrame:
+    """→ DataFrame['line']: default-graph node objects one per line;
+    each named graph collapsed to one ``{"@id": g, "@graph":[...]}``
+    line."""
+    nodes = _node_lines(triples)
+    default = nodes.filter(F.col("graph").isNull()).select(
+        F.col("node").alias("line")
+    )
+    named = (
+        nodes.filter(F.col("graph").isNotNull())
+        .groupBy("graph")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("body"))
+        .select(
+            F.concat(
+                F.lit('{"@id":'),
+                _json_str(F.col("graph")),
+                F.lit(',"@graph":['),
+                F.col("body"),
+                F.lit("]}"),
+            ).alias("line")
+        )
+    )
+    return default.unionByName(named)
+
+
+def write_jsonld(triples: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-LD sink. Distributed mode writes one node object per line
+    (newline-delimited flat expanded form — the reader accepts it);
+    ``single_file`` assembles a standard JSON array document via
+    coalesce(1) with header/footer rows (the bounded artifact path,
+    same contract as the Turtle single-file sink)."""
+    lines = render_jsonld(triples)
+    if not single_file:
+        lines.write.mode("overwrite").text(path)
+        return
+    spark = triples.sparkSession
+    hdr = spark.createDataFrame([(0, "[")], "k int, line string")
+    ftr = spark.createDataFrame([(2, "]")], "k int, line string")
+    body = lines.select(
+        F.lit(1).alias("k"),
+        F.concat(F.col("line"), F.lit(",")).alias("line"),
+    )
+    # trailing comma before ']' is invalid JSON — drop it from the last
+    # body row by sorting and rewriting in the single output partition
+    out = (
+        hdr.unionByName(body)
+        .unionByName(ftr)
+        .coalesce(1)
+        .sortWithinPartitions("k", "line")
+    )
+
+    def fix(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            s = pdf["line"].tolist()
+            for i in range(len(s) - 1, -1, -1):
+                if s[i].endswith(","):
+                    s[i] = s[i][:-1]
+                    break
+            yield pd.DataFrame({"line": s})
+
+    out.select("line").mapInPandas(fix, "line string").write.mode(
+        "overwrite"
+    ).text(path)

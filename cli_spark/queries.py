@@ -1792,54 +1792,98 @@ def q49_salted_agg(spark, sf_dir):
 
 
 @query(
-    "q52_json_extract",
+    "q52_scalar_battery",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-           length(props) AS props_len
+    SELECT 'json' AS family, event_id AS id, 'k_val' AS metric,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) AS VARCHAR) AS val
     FROM events
+    UNION ALL
+    SELECT 'json', event_id, 'k_bucket',
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'json', event_id, 'props_len', CAST(length(props) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'date', o_orderkey, 'y',
+           CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'date', o_orderkey, 'm',
+           CAST(CAST(EXTRACT(month FROM o_orderdate) AS INT) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'date', o_orderkey, 'd',
+           CAST(CAST(EXTRACT(day FROM o_orderdate) AS INT) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'date', o_orderkey, 'q',
+           CAST(CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'date', o_orderkey, 'month_start',
+           CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'date', o_orderkey, 'days_to_y2k',
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS VARCHAR)
+    FROM orders
     """,
-    doc="Semi-structured extraction (F9 family): JSON path → typed column, "
-    "fully JVM-side (get_json_object), no Python in the row path.",
+    doc="F9 scalar battery, long format (family, id, metric, val): JSON "
+    "path extraction (get_json_object, JVM-side) over events + date "
+    "extract/trunc/diff over orders — the former q52_json_extract and "
+    "q53_date_battery merged into one driver row (the battery cap is 50).",
 )
-def q52_json_extract(spark, sf_dir):
+def q52_scalar_battery(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return ev.select(
-        "event_id",
-        k.alias("k_val"),
-        (k % 10).alias("k_bucket"),
-        F.length("props").alias("props_len"),
+    mk = lambda name, col: F.struct(  # noqa: E731
+        F.lit(name).alias("metric"), col.cast("string").alias("val")
     )
+    jsonb = ev.select(
+        F.lit("json").alias("family"),
+        F.col("event_id").cast("long").alias("id"),
+        F.explode(
+            F.array(
+                mk("k_val", k),
+                mk("k_bucket", k % 10),
+                mk("props_len", F.length("props")),
+            )
+        ).alias("x"),
+    ).select("family", "id", "x.metric", "x.val")
+    o = load(spark, sf_dir, "orders")
+    dateb = o.select(
+        F.lit("date").alias("family"),
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.explode(
+            F.array(
+                mk("y", F.year("o_orderdate")),
+                mk("m", F.month("o_orderdate")),
+                mk("d", F.dayofmonth("o_orderdate")),
+                mk("q", F.quarter("o_orderdate")),
+                mk("month_start", F.date_trunc("month", F.col("o_orderdate"))),
+                mk(
+                    "days_to_y2k",
+                    F.datediff(
+                        F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")
+                    ),
+                ),
+            )
+        ).alias("x"),
+    ).select("family", "id", "x.metric", "x.val")
+    return jsonb.unionByName(dateb)
 
 
 @query(
-    "q53_date_battery",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
-           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
-           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
-           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INT) AS days_to_y2k
-    FROM orders
-    """,
-    doc="Date/time scalar battery (F9 family): extract/trunc/diff as "
-    "codegen-friendly column exprs.",
+    "q53_jsonld_roundtrip",
+    oracle=TRIPLES_SQL,
+    doc="S4 JSON-LD (RdfFormat.scala:90-96): flat expanded render "
+    "(fully columnar to_json assembly, cli_spark.jsonld) ∘ line-parallel "
+    "parse = identity; oracle is the original triple set, same gate "
+    "shape as q12/q63.",
 )
-def q53_date_battery(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        F.quarter("o_orderdate").alias("q"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_y2k"),
-    )
+def q53_jsonld_roundtrip(spark, sf_dir):
+    from cli_spark.jsonld import parse_jsonld_lines, render_jsonld
+
+    t = doc_triples(spark, sf_dir)
+    lines = render_jsonld(t)
+    back = parse_jsonld_lines(lines)
+    return back.select("subj", "pred", "obj", "obj_kind")
 
 
 @query(

@@ -1,0 +1,134 @@
+"""Flat expanded JSON-LD reader + writer (S4, RdfFormat.scala:90-96):
+document parsing (value objects, node refs, lists, named graphs, typed
+@context error), columnar render ∘ parse identity, single-file sink."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cli_spark import jsonld as JL
+from cli_spark.nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL
+from cli_spark.turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, XSD
+
+DOC = [
+    {
+        "@id": "http://e.org/alice",
+        "@type": ["http://e.org/Person"],
+        "http://e.org/name": [{"@value": "Alice"}],
+        "http://e.org/age": [{"@value": 30}],
+        "http://e.org/score": [{"@value": 4.5}],
+        "http://e.org/active": [{"@value": True}],
+        "http://e.org/knows": [{"@id": "_:b1"}, {"@id": "http://e.org/bob"}],
+        "http://e.org/motto": [{"@value": "hi", "@language": "en"}],
+    },
+    {"@id": "_:b1", "http://e.org/name": [{"@value": "Bob"}]},
+    {
+        "@id": "http://e.org/g1",
+        "@graph": [
+            {
+                "@id": "http://e.org/s",
+                "http://e.org/p": [
+                    {"@value": "1.5", "@type": XSD + "decimal"}
+                ],
+            }
+        ],
+    },
+    {"http://e.org/anon": [{"http://e.org/inner": [{"@value": "deep"}]}]},
+    {
+        "@id": "http://e.org/l",
+        "http://e.org/list": [{"@list": [{"@value": 1}, {"@id": "http://e.org/x"}]}],
+    },
+]
+
+
+def test_parse_expanded_document():
+    rows = JL.parse_jsonld_document(json.dumps(DOC))
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r[2], []).append(r)
+    assert by_pred[RDF_TYPE][0][4] == "http://e.org/Person"
+    age = by_pred["http://e.org/age"][0]
+    assert age[4] == "30" and age[6] == XSD + "integer"
+    score = by_pred["http://e.org/score"][0]
+    assert score[6] == XSD + "double"
+    active = by_pred["http://e.org/active"][0]
+    assert active[4] == "true" and active[6] == XSD + "boolean"
+    knows = {(r[4], r[5]) for r in by_pred["http://e.org/knows"]}
+    assert knows == {("b1", KIND_BNODE), ("http://e.org/bob", KIND_IRI)}
+    motto = by_pred["http://e.org/motto"][0]
+    assert motto[7] == "en" and motto[5] == KIND_LITERAL
+    # named graph scoping
+    p = by_pred["http://e.org/p"][0]
+    assert p[8] == "http://e.org/g1" and p[9] == KIND_IRI
+    # nested anonymous node
+    inner = by_pred["http://e.org/inner"][0]
+    anon = by_pred["http://e.org/anon"][0]
+    assert anon[5] == KIND_BNODE and anon[4] == inner[0]
+    # @list chain
+    head = by_pred["http://e.org/list"][0]
+    firsts = {r[0]: r for r in by_pred.get(RDF_FIRST, [])}
+    rests = {r[0]: r for r in by_pred.get(RDF_REST, [])}
+    n1 = head[4]
+    assert firsts[n1][4] == "1"
+    n2 = rests[n1][4]
+    assert firsts[n2][4] == "http://e.org/x"
+    assert rests[n2][4] == RDF_NIL
+
+
+def test_context_raises_typed_error():
+    with pytest.raises(JL.JsonLdUnsupportedError, match="@context"):
+        JL.parse_jsonld_document('{"@context": {}, "@graph": []}')
+    with pytest.raises(JL.JsonLdUnsupportedError, match="@context"):
+        JL.parse_jsonld_document('[{"@context": "http://x", "@id": "http://s"}]')
+
+
+def test_ndjson_fallback():
+    nd = '\n'.join(
+        json.dumps(o) for o in [
+            {"@id": "http://e.org/a", "http://e.org/p": [{"@value": "1"}]},
+            {"@id": "http://e.org/b", "http://e.org/p": [{"@value": "2"}]},
+        ]
+    )
+    rows = JL.parse_jsonld_document(nd)
+    assert {r[0] for r in rows} == {"http://e.org/a", "http://e.org/b"}
+
+
+def test_render_parse_identity(spark):
+    rows = JL.parse_jsonld_document(json.dumps(DOC[:3]))
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    back = JL.parse_jsonld_lines(JL.render_jsonld(df))
+    key = lambda t: (t[0], t[1], t[2], t[4], t[5], t[6], t[7], t[8])  # noqa: E731
+    assert {key(tuple(r)) for r in back.collect()} == {key(t) for t in rows}
+
+
+def test_single_file_sink_is_valid_json(spark, tmp_path):
+    rows = JL.parse_jsonld_document(json.dumps(DOC[:2]))
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "out.jsonld")
+    JL.write_jsonld(df, out, single_file=True)
+    import glob
+
+    text = open(glob.glob(out + "/part-*")[0]).read()
+    doc = json.loads(text)
+    assert isinstance(doc, list) and len(doc) == 2
+
+
+def test_format_registry_resolution():
+    from cli_spark.formats import resolve
+
+    spec = resolve("data.jsonld")
+    assert spec.key == "jsonld" and spec.read is not None
+    spec2 = resolve("x", explicit="json-ld")
+    assert spec2.key == "jsonld"
