@@ -292,35 +292,71 @@ def validate_stream(rows: DataFrame) -> list[str]:
         )
     if dangling:
         problems.append(f"{dangling} dangling dictionary references")
-    # P8 flag conformance (RdfValidate.scala:159-182): RDF-star usage in
-    # a stream whose options do not declare the rdf-star flag. Star terms
-    # surface as o_kind 3 statements or "<<"-prefixed dictionary terms;
-    # the first offending frame is named, like the reference's error.
-    # (Generalized-RDF conformance is partial: literal subjects are not
-    # distinguishable from IRIs in the flat term model.)
+    # P8 flag conformance (RdfValidate.scala:159-182, isGeneralized /
+    # isRdfStar in StatementUtils.scala:14-25): statements whose term
+    # kinds exceed what the stream options declare. The spg field packs
+    # the subject/predicate/graph kinds (2 bits each), so literal
+    # subjects, bnode/literal predicates, and literal graph names are
+    # exact — no "_:"-prefix inference. The first offending frame is
+    # named, like the reference's CriticalException.
     if "opt_flags" in rows.columns:
-        star_declared = (
-            rows.filter(F.col("row_kind") == KIND_OPTIONS)
-            .filter(F.col("opt_flags").bitwiseAND(2) != 0)
-            .limit(1)
-            .count()
-            > 0
-        )
-        if not star_declared:
-            offender = (
-                rows.filter(
-                    (F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
-                    & (F.col("o_kind") == 3)
-                    | ((F.col("row_kind") == KIND_NAME) & F.col("name").startswith("<<"))
-                )
+        stmts = rows.filter(F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
+        s_kind = F.col("spg").bitwiseAND(F.lit(3))
+        p_kind = F.shiftright(F.col("spg"), 2).bitwiseAND(F.lit(3))
+        g_kind = F.shiftright(F.col("spg"), 4).bitwiseAND(F.lit(3))
+
+        def _declared(bit: int) -> bool:
+            return (
+                rows.filter(F.col("row_kind") == KIND_OPTIONS)
+                .filter(F.col("opt_flags").bitwiseAND(bit) != 0)
+                .limit(1)
+                .count()
+                > 0
+            )
+
+        def _first_frame(pred):
+            hit = (
+                stmts.filter(pred)
                 .orderBy("seg", "frame_index", "row_pos")
                 .select("frame_index")
                 .limit(1)
                 .collect()
             )
-            if offender:
+            return hit[0].frame_index if hit else None
+
+        if not _declared(1):
+            # isGeneralized: literal subject, non-IRI predicate, or (quad)
+            # literal graph name (StatementUtils.scala:14-21)
+            frame = _first_frame(
+                (s_kind == 2)
+                | (p_kind != 0)
+                | ((F.col("row_kind") == KIND_QUAD) & (g_kind == 2))
+            )
+            if frame is not None:
                 problems.append(
-                    f"RDF-star statement in frame {offender[0].frame_index} "
+                    f"generalized statement in frame {frame} but the "
+                    f"stream options do not declare the generalized-RDF flag"
+                )
+        if not _declared(2):
+            # isRdfStar: any quoted-triple term (StatementUtils.scala:23-25)
+            frame = _first_frame(
+                (F.col("o_kind") == 3) | (s_kind == 3) | (p_kind == 3) | (g_kind == 3)
+            )
+            if frame is None:
+                hit = (
+                    rows.filter(
+                        (F.col("row_kind") == KIND_NAME)
+                        & F.col("name").startswith("<<")
+                    )
+                    .orderBy("seg", "frame_index", "row_pos")
+                    .select("frame_index")
+                    .limit(1)
+                    .collect()
+                )
+                frame = hit[0].frame_index if hit else None
+            if frame is not None:
+                problems.append(
+                    f"RDF-star statement in frame {frame} "
                     f"but the stream options do not declare the rdf-star flag"
                 )
     return problems

@@ -30,9 +30,14 @@ Wire format v2 (field numbers follow the reference's row-kind order):
       kind 1 OPTIONS  : version, physical, logical, flags,
                         max_name, max_prefix, max_dt, stream_name
                         (flags bit0 = generalized, bit1 = rdf-star)
-      kind 2 TRIPLE   : s_id, p_id, o_id, o_kind, dt_id, langtag
-      kind 3 QUAD     : s_id, p_id, o_id, o_kind, g_id, dt_id, langtag
-                        (g_id 0 = default graph)
+      kind 2 TRIPLE   : s_id, p_id, o_id, o_kind, spg, dt_id, langtag
+      kind 3 QUAD     : s_id, p_id, o_id, o_kind, spg, g_id, dt_id,
+                        langtag (g_id 0 = default graph)
+                        spg packs the subject/predicate/graph term kinds
+                        (2 bits each: s | p<<2 | g<<4) so generalized-RDF
+                        statements (literal subject, bnode predicate,
+                        literal graph — StatementUtils.scala:14-21) are
+                        exact on decode, not inferred from "_:" prefixes
       kind 4 NAME     : id, prefix_id, local-utf8  (prefix_id 0 = none;
                         decoded term = prefix[prefix_id] || local — the
                         prefix lookup table makes repeated long IRI
@@ -46,8 +51,9 @@ Wire format v2 (field numbers follow the reference's row-kind order):
              | frame_bytes                    if non-delimited
 
 Version note: v1 (round 1) had a 3-field options row and no
-prefix/quad/namespace kinds; v2 streams carry version=2 and the decoder
-rejects any other version with a clear error instead of a byte-level
+prefix/quad/namespace kinds; v2 lacked the statement spg field. v3
+streams carry version=3 and the decoder rejects any other version with
+a clear error instead of a byte-level
 overrun (the options row is the first row of every segment).
 """
 
@@ -69,7 +75,7 @@ if TYPE_CHECKING:
 ROWS_PER_FRAME = 256  # reference default, RdfToJelly.scala:53-56
 MAX_NAME_TABLE = 4096  # BIG-ish default; min 8 per reference tests
 MAX_PREFIX_TABLE = 1024
-VERSION = 2
+VERSION = 3
 
 PHYSICAL_TRIPLES = 1
 PHYSICAL_QUADS = 2
@@ -113,7 +119,7 @@ DEFAULT_GRAPH = ""  # GRAPHS type encodes the default graph as "" term
 FRAME_SCHEMA = "seg long, frame_index long, n_rows int, frame_bytes binary"
 ROW_SCHEMA = (
     "seg long, frame_index long, row_pos int, row_kind int, "
-    "s_id long, p_id long, o_id long, o_kind int, g_id long, "
+    "s_id long, p_id long, o_id long, o_kind int, spg int, g_id long, "
     "name_id long, prefix_id long, name string, dt_id long, lang string, "
     "aux string, opt_version int, opt_physical int, opt_logical int, "
     "opt_flags int, opt_max_name int, opt_max_prefix int, opt_max_dt int"
@@ -267,6 +273,7 @@ def encode_rows_to_frame(rows: list[dict]) -> bytes:
             _write_varint(body, row["p_id"])
             _write_varint(body, row["o_id"])
             _write_varint(body, row["o_kind"])
+            _write_varint(body, row.get("spg") or 0)
             if kind == KIND_QUAD:
                 _write_varint(body, row.get("g_id") or 0)
             _write_varint(body, row.get("dt_id") or 0)
@@ -329,6 +336,7 @@ def decode_frame(data: bytes) -> list[dict]:
             row["p_id"], pos = _read_varint(data, pos)
             row["o_id"], pos = _read_varint(data, pos)
             row["o_kind"], pos = _read_varint(data, pos)
+            row["spg"], pos = _read_varint(data, pos)
             if kind == KIND_QUAD:
                 g_id, pos = _read_varint(data, pos)
                 row["g_id"] = g_id or None  # 0 = default graph
@@ -435,7 +443,7 @@ def _encode_group_fn():
             else:
                 row.update(
                     s_id=val(r.s_id), p_id=val(r.p_id), o_id=val(r.o_id),
-                    o_kind=val(r.o_kind), g_id=val(r.g_id),
+                    o_kind=val(r.o_kind), spg=val(r.spg), g_id=val(r.g_id),
                     name_id=val(r.name_id), prefix_id=val(r.prefix_id),
                     name=r.name if isinstance(r.name, str) else None,
                     dt_id=val(r.dt_id),
@@ -467,6 +475,46 @@ _MINOR_STATEMENT = 6
 _MINOR_GRAPH_END = 7
 
 _PREFIX_RE = r"^(.*[/#])"
+
+
+def _infer_kind(col):
+    """Flat-model term kind inference: "<<"->quoted, "_:"->bnode, else
+    IRI. Explicit *_kind columns (the full term model) override this."""
+    return (
+        F.when(col.startswith("<<"), F.lit(3))
+        .when(col.startswith("_:"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _spg_col(columns, is_quads: bool):
+    """Packed subject/predicate/graph kinds (2 bits each): the wire
+    statement field that makes generalized RDF exact (P6/P8,
+    StatementUtils.scala:14-21). Explicit subj_kind/pred_kind/graph_kind
+    columns win; otherwise kinds are inferred from term syntax (which
+    cannot represent literal subjects/predicates — exactly the gap the
+    explicit columns close)."""
+    s_kind = (
+        F.col("subj_kind").cast("int")
+        if "subj_kind" in columns
+        else _infer_kind(F.col("subj"))
+    )
+    p_kind = (
+        F.col("pred_kind").cast("int")
+        if "pred_kind" in columns
+        else _infer_kind(F.col("pred"))
+    )
+    if is_quads and "graph_kind" in columns:
+        g_kind = F.coalesce(F.col("graph_kind").cast("int"), F.lit(0))
+    elif is_quads:
+        g_kind = F.when(
+            F.col("graph").isNull(), F.lit(0)
+        ).otherwise(_infer_kind(F.col("graph")))
+    else:
+        g_kind = F.lit(0)
+    return (
+        s_kind.bitwiseOR(F.shiftleft(p_kind, 2)).bitwiseOR(F.shiftleft(g_kind, 4))
+    ).cast("int")
 
 
 def _encode_statements(
@@ -504,6 +552,7 @@ def _encode_statements(
         F.col("pred"),
         F.col("obj"),
         F.col("obj_kind"),
+        _spg_col(statements.columns, is_quads).alias("spg"),
         (F.col("obj_datatype") if has_dt else F.lit(None).cast("string")).alias(
             "obj_datatype"
         ),
@@ -511,7 +560,7 @@ def _encode_statements(
             "obj_lang"
         ),
     ]
-    keys = ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"]
+    keys = ["subj", "pred", "obj", "obj_kind", "spg", "obj_datatype", "obj_lang"]
     if is_quads:
         cols.append(F.col("graph"))
         keys = ["graph"] + keys
@@ -625,6 +674,7 @@ def _encode_statements(
         F.col("p_id"),
         F.col("o_id"),
         F.col("obj_kind").alias("o_kind"),
+        F.col("spg"),
         (F.col("gid") if is_quads else F.lit(None).cast("long")).alias("g_id"),
         F.lit(None).cast("long").alias("name_id"),
         F.lit(None).cast("long").alias("prefix_id"),
@@ -633,7 +683,8 @@ def _encode_statements(
         F.col("obj_lang").alias("lang"),
         *_null_row_cols(
             "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id", "o_kind",
-            "g_id", "name_id", "prefix_id", "name", "dt_id", "lang", "row_pos",
+            "spg", "g_id", "name_id", "prefix_id", "name", "dt_id", "lang",
+            "row_pos",
         ),
     )
     name_rows = name_entries.select(
@@ -730,7 +781,7 @@ def _frame_row_order() -> list[str]:
     """Canonical column order for the pre-encode row table."""
     return [
         "seg", "frame_index", "sort_key", "minor", "row_kind",
-        "s_id", "p_id", "o_id", "o_kind", "g_id",
+        "s_id", "p_id", "o_id", "o_kind", "spg", "g_id",
         "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
         "opt_version", "opt_physical", "opt_logical", "opt_flags",
         "opt_max_name", "opt_max_prefix", "opt_max_dt",
@@ -1038,6 +1089,8 @@ def decode_triples(
             F.col("o_kind").alias("obj_kind"),
             "obj_datatype",
             F.col("lang").alias("obj_lang"),
+            F.col("spg").bitwiseAND(F.lit(3)).alias("subj_kind"),
+            F.shiftright(F.col("spg"), 2).bitwiseAND(F.lit(3)).alias("pred_kind"),
             "frame_index",
         )
     )
@@ -1085,6 +1138,12 @@ def decode_quads(
             "graph",
             "obj_datatype",
             F.col("lang").alias("obj_lang"),
+            F.col("spg").bitwiseAND(F.lit(3)).alias("subj_kind"),
+            F.shiftright(F.col("spg"), 2).bitwiseAND(F.lit(3)).alias("pred_kind"),
+            F.when(
+                F.col("graph").isNotNull(),
+                F.shiftright(F.col("spg"), 4).bitwiseAND(F.lit(3)),
+            ).alias("graph_kind"),
             "frame_index",
         )
     )
@@ -1207,17 +1266,17 @@ def render_jelly_text(rows: DataFrame) -> DataFrame:
         .when(
             k == KIND_TRIPLE,
             F.format_string(
-                'triple { s: %d p: %d o: %d kind: %d dt: %d lang: "%s" }',
-                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("dt_id"),
-                _text_escape(F.col("lang")),
+                'triple { s: %d p: %d o: %d kind: %d spg: %d dt: %d lang: "%s" }',
+                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("spg"),
+                z("dt_id"), _text_escape(F.col("lang")),
             ),
         )
         .when(
             k == KIND_QUAD,
             F.format_string(
-                'quad { s: %d p: %d o: %d kind: %d g: %d dt: %d lang: "%s" }',
-                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("g_id"),
-                z("dt_id"), _text_escape(F.col("lang")),
+                'quad { s: %d p: %d o: %d kind: %d spg: %d g: %d dt: %d lang: "%s" }',
+                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("spg"),
+                z("g_id"), z("dt_id"), _text_escape(F.col("lang")),
             ),
         )
         .when(
@@ -1301,6 +1360,7 @@ def parse_jelly_text(lines: DataFrame, text_col: str = "line") -> DataFrame:
             F.when(is_stmt, lnum("p")).alias("p_id"),
             F.when(is_stmt, lnum("o")).alias("o_id"),
             F.when(is_stmt, inum("kind")).alias("o_kind"),
+            F.when(is_stmt, inum("spg")).alias("spg"),
             F.when(kind == KIND_QUAD, zero_null(lnum("g"))).alias("g_id"),
             F.when(
                 kind.isin(KIND_NAME, KIND_PREFIX, KIND_DATATYPE), lnum("id")
@@ -1427,6 +1487,7 @@ def transcode_frames(
         (F.col("p_id") + F.col("name_off")).alias("p_id"),
         (F.col("o_id") + F.col("name_off")).alias("o_id"),
         F.col("o_kind"),
+        F.col("spg"),
         (F.col("g_id") + F.col("name_off")).alias("g_id"),
         F.when(k.isin(KIND_NAME, KIND_GRAPH_START), F.col("name_id") + F.col("name_off"))
         .when(k == KIND_PREFIX, F.col("name_id") + F.col("prefix_off"))
@@ -1453,12 +1514,12 @@ def transcode_frames(
         "frame_index",
         F.col("rn").alias("sort_key"),
         F.lit(_MINOR_STATEMENT).alias("minor"),
-        "row_kind", "s_id", "p_id", "o_id", "o_kind", "g_id",
+        "row_kind", "s_id", "p_id", "o_id", "o_kind", "spg", "g_id",
         "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
         *_null_row_cols(
             "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id", "o_kind",
-            "g_id", "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
-            "row_pos",
+            "spg", "g_id", "name_id", "prefix_id", "name", "dt_id", "lang",
+            "aux", "row_pos",
         ),
     ).select(*_frame_row_order())
     opt_row = spark.createDataFrame(
@@ -1523,10 +1584,12 @@ def encode_quads_graphs(
 
     g = F.coalesce(F.col("graph"), F.lit(DEFAULT_GRAPH))
     base = quads.select(
-        "subj", "pred", "obj", "obj_kind", g.alias("graph")
+        "subj", "pred", "obj", "obj_kind",
+        _spg_col(quads.columns, is_quads=False).alias("spg"),
+        g.alias("graph"),
     ).dropDuplicates()
     ordered = global_row_number(
-        base, ["graph", "subj", "pred", "obj", "obj_kind"]
+        base, ["graph", "subj", "pred", "obj", "obj_kind", "spg"]
     ).withColumn("seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long"))
 
     # dictionary covers graph names too (4 terms per statement)
@@ -1568,9 +1631,10 @@ def encode_quads_graphs(
             "p_id",
             "o_id",
             F.col("obj_kind").alias("o_kind"),
+            F.col("spg"),
             *_null_row_cols(
                 "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id",
-                "o_kind", "row_pos",
+                "o_kind", "spg", "row_pos",
             ),
         )
         .select(*_frame_row_order())

@@ -392,3 +392,74 @@ def test_jelly_text_escaping(spark):
     back = J.decode_triples(J.parse_jelly_text(J.render_jelly_text(rows).select("line")))
     got = {(r.subj, r.obj) for r in back.collect()}
     assert got == {('he said "hi\\there"', 'v "x" \\ y')}
+
+
+def test_p8_conformance_grid(spark):
+    """Allowed/forbidden x generalized/star grid (P8 exact via the spg
+    term-kind field; RdfValidateSpec.scala:169-338, StatementUtils.scala:
+    14-25): literal-subject and bnode-predicate streams are flagged iff
+    the generalized flag is absent; quoted-object streams iff the
+    rdf-star flag is absent; plain streams (incl. bnode subjects) never."""
+    from cli_spark.compare import validate_stream
+
+    def probs(rows_df):
+        return validate_stream(rows_df)
+
+    def enc(df, **opt_kw):
+        opts = J.StreamOptions(**opt_kw)
+        return J.decode_frames(J.encode_triples(spark, df, options=opts))
+
+    generalized = spark.createDataFrame(
+        [
+            ("a literal subject", 2, "kg:p", 0, "kg:o", 0),
+            ("kg:s", 0, "bnodepred", 1, "kg:o", 0),
+        ],
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int",
+    )
+    star = spark.createDataFrame(
+        [("kg:s", "kg:says", "<< <kg:a> <kg:b> <kg:c> >>", 3)],
+        "subj string, pred string, obj string, obj_kind int",
+    )
+    plain = spark.createDataFrame(
+        [("_:b1", "kg:p", "kg:o", 0), ("kg:s", "kg:p", "a literal", 2)],
+        "subj string, pred string, obj string, obj_kind int",
+    )
+
+    # forbidden: flags unset
+    p = probs(enc(generalized))
+    assert any("generalized statement in frame 0" in x for x in p), p
+    p = probs(enc(star))
+    assert any("RDF-star statement in frame 0" in x for x in p), p
+    # allowed: matching flag set
+    assert not [x for x in probs(enc(generalized, generalized=True)) if "generalized" in x]
+    assert not [x for x in probs(enc(star, rdf_star=True)) if "RDF-star" in x]
+    # plain stream: bnode subject / literal object never flagged
+    p = probs(enc(plain))
+    assert not [x for x in p if "generalized" in x or "RDF-star" in x], p
+
+
+def test_spg_roundtrip_kinds(spark):
+    """Literal subjects and bnode predicates survive encode->decode with
+    exact kinds (the v2 flat model inferred kinds from '_:' prefixes and
+    could not represent them)."""
+    t = spark.createDataFrame(
+        [
+            ("a literal subject", 2, "bnodepred", 1, "kg:o", 0),
+            ("_:b", 1, "kg:p", 0, "val", 2),
+        ],
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int",
+    )
+    opts = J.StreamOptions(generalized=True)
+    back = J.decode_triples(
+        J.decode_frames(J.encode_triples(spark, t, options=opts))
+    )
+    got = {
+        (r.subj, r.subj_kind, r.pred, r.pred_kind, r.obj, r.obj_kind)
+        for r in back.collect()
+    }
+    assert got == {
+        ("a literal subject", 2, "bnodepred", 1, "kg:o", 0),
+        ("_:b", 1, "kg:p", 0, "val", 2),
+    }
