@@ -68,6 +68,18 @@ def _write_jsonld(df, path, single_file=False):
     write_jsonld(df, path, single_file=single_file)
 
 
+def _read_rdfxml(spark, path, base=None):
+    from .rdfxml import read_rdfxml
+
+    return read_rdfxml(spark, path, base=base)
+
+
+def _write_rdfxml(df, path, single_file=False):
+    from .rdfxml import write_rdfxml
+
+    write_rdfxml(df, path, single_file=single_file)
+
+
 def _unsupported(name: str):
     def fail(*_a, **_k):
         raise ValueError(
@@ -115,7 +127,7 @@ REGISTRY: dict[str, RdfFormatSpec] = {
             "rdfxml", "RDF/XML", ("rdfxml", "rdf-xml"), (".rdf", ".xml"),
             supports_quads=False, supports_base_iri=True,
             supports_generalized=False,
-            read=_unsupported("RDF/XML"), write=_unsupported("RDF/XML"),
+            read=_read_rdfxml, write=_write_rdfxml,
         ),
         RdfFormatSpec(
             "jsonld", "JSON-LD", ("jsonld", "json-ld"), (".jsonld",),
