@@ -80,6 +80,34 @@ def _write_rdfxml(df, path, single_file=False):
     write_rdfxml(df, path, single_file=single_file)
 
 
+def _read_rdfproto(spark, path, base=None):
+    from .rdfproto import read_rdfproto
+
+    if base is not None:
+        raise ValueError("RDF Protobuf carries absolute IRIs; --base unused")
+    return read_rdfproto(spark, path)
+
+
+def _write_rdfproto(df, path, single_file=False):
+    from .rdfproto import write_rdfproto
+
+    write_rdfproto(df, path, single_file=single_file)
+
+
+def _read_rdfthrift(spark, path, base=None):
+    from .rdfthrift import read_rdfthrift
+
+    if base is not None:
+        raise ValueError("RDF Thrift carries absolute IRIs; --base unused")
+    return read_rdfthrift(spark, path)
+
+
+def _write_rdfthrift(df, path, single_file=False):
+    from .rdfthrift import write_rdfthrift
+
+    write_rdfthrift(df, path, single_file=single_file)
+
+
 def _unsupported(name: str):
     def fail(*_a, **_k):
         raise ValueError(
@@ -143,13 +171,13 @@ REGISTRY: dict[str, RdfFormatSpec] = {
             "jenaproto", "RDF Protobuf", ("jenaproto", "jena-proto"), (".rpb",),
             supports_quads=True, supports_base_iri=False,
             supports_generalized=True,
-            read=_unsupported("RDF Protobuf"), write=_unsupported("RDF Protobuf"),
+            read=_read_rdfproto, write=_write_rdfproto,
         ),
         RdfFormatSpec(
             "jenathrift", "RDF Thrift", ("jenathrift", "jena-thrift"), (".rt", ".trdf"),
             supports_quads=True, supports_base_iri=False,
             supports_generalized=True,
-            read=_unsupported("RDF Thrift"), write=_unsupported("RDF Thrift"),
+            read=_read_rdfthrift, write=_write_rdfthrift,
         ),
     ]
 }

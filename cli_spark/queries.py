@@ -1869,20 +1869,51 @@ def q52_scalar_battery(spark, sf_dir):
     return jsonb.unionByName(dateb)
 
 
+def _codec_roundtrip(df: DataFrame, encode_statement, parse_stream) -> DataFrame:
+    """Batch-local encode→parse identity through a binary RDF codec
+    (the same functions the file sink/source use), evidencing the codec
+    on the driver battery without touching disk. Zero shuffle: each
+    Arrow batch encodes to one blob and parses straight back."""
+    from cli_spark.nquads import TRIPLE_COLS
+
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+
+    def rt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blob = b"".join(
+                encode_statement(tuple(None if pd.isna(v) else v for v in row))
+                for row in pdf.itertuples(index=False, name=None)
+            )
+            yield pd.DataFrame(parse_stream(blob), columns=TRIPLE_COLS)
+
+    return df.select(*TRIPLE_COLS).mapInPandas(rt, schema)
+
+
 @query(
-    "q53_jsonld_roundtrip",
+    "q53_format_roundtrips",
     oracle=TRIPLES_SQL,
-    doc="S4 JSON-LD (RdfFormat.scala:90-96): flat expanded render "
-    "(fully columnar to_json assembly, cli_spark.jsonld) ∘ line-parallel "
-    "parse = identity; oracle is the original triple set, same gate "
-    "shape as q12/q63.",
+    doc="S4 format registry, binary + JSON-LD legs (RdfFormat.scala:63-105): "
+    "flat-expanded JSON-LD render (columnar to_json assembly) ∘ parse, then "
+    "RDF Protobuf encode ∘ parse, then RDF Thrift (compact protocol) "
+    "encode ∘ parse — three distinct wire formats chained, identity "
+    "overall; oracle is the original triple set, same gate shape as "
+    "q12/q63.",
 )
-def q53_jsonld_roundtrip(spark, sf_dir):
+def q53_format_roundtrips(spark, sf_dir):
+    from cli_spark import rdfproto, rdfthrift
     from cli_spark.jsonld import parse_jsonld_lines, render_jsonld
 
     t = doc_triples(spark, sf_dir)
     lines = render_jsonld(t)
     back = parse_jsonld_lines(lines)
+    back = _codec_roundtrip(back, rdfproto.encode_statement, rdfproto.parse_stream)
+    back = _codec_roundtrip(back, rdfthrift.encode_statement, rdfthrift.parse_stream)
     return back.select("subj", "pred", "obj", "obj_kind")
 
 
