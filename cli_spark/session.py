@@ -30,14 +30,22 @@ def get_spark(
     (master comes from the submit command, not from here).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")  # host saturates ~16 runners (BENCH.md)
-    master = master or f"local[{cpus}]"
+    # Under spark-submit the gateway JVM already carries --master (and
+    # executor sizing); forcing local[] here would silently override it.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    builder = (
+        builder
         # AQE: coalesce small shuffle partitions, split skewed ones at
         # runtime — the skew story for mega-repo keys (SURVEY.md §2.3 J4).
         .config("spark.sql.adaptive.enabled", "true")

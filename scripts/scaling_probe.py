@@ -33,6 +33,26 @@ if __name__ == "__main__":
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"
     )
+    # Merge under a per-mode key so executor-mode (separate JVMs, the
+    # cluster-faithful probe) and thread-mode (single shared JVM, the
+    # local[N] comparison the north rule names) coexist in one file.
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "executors")
+    if mode == "executors":
+        key = "executor_mode"
+    else:
+        legs = os.environ.get("SPARK_GRAFT_SCALE_LEGS", "1,4").replace(",", "_")
+        key = f"thread_mode_{legs}"
+    existing: dict = {}
+    if os.path.isfile(out):
+        try:
+            with open(out) as f:
+                existing = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            existing = {}
+    if "executor_mode" not in existing and "thread_mode" not in existing:
+        # migrate a legacy flat file (pre-merge layout) to executor_mode
+        existing = {"executor_mode": existing} if existing else {}
+    existing[key] = result
     with open(out, "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(existing, f, indent=2)
     print(json.dumps(result))
