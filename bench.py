@@ -90,7 +90,11 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
-    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
+    # 500k files (same corpus as the scaling probe): keeps per-stage
+    # compute dominant over the ~15-25 s fixed driver latency, which is
+    # what a long-lived cluster job looks like; throughput is data-linear
+    # from 100k to 2.5M files (BENCH.md), so this measures rate, not size.
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "500000"))
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     spark = get_spark("bench", master=master or f"local[{cpus}]")
 

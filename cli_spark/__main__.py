@@ -114,6 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--workdir", default=None)
     pl.add_argument("--engine", choices=["sql", "pandas"], default="sql")
     pl.add_argument("--link-threshold", type=float, default=0.7)
+    pl.add_argument("--extract-chunks", type=int, default=1,
+                    help="hash-split extraction into N per-chunk-committed "
+                    "pieces for mid-stage resume (requires --workdir)")
 
     args = p.parse_args(argv)
     if args.cmd == "version":
@@ -151,6 +154,7 @@ def _dispatch(spark, args) -> int:
             engine=args.engine,
             link_threshold=args.link_threshold,
             check_input=True,
+            extract_chunks=args.extract_chunks,
         )
         print(f"triples: {n}")
         return 0

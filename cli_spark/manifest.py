@@ -106,3 +106,87 @@ def run_stage(
 def read_manifest(workdir: str, stage: str) -> dict:
     with open(manifest_path(workdir, stage)) as fh:
         return json.load(fh)
+
+
+# ------------------------------------------------------------- chunked stages
+
+
+def _chunk_manifest_path(workdir: str, stage: str, chunk: int) -> str:
+    return os.path.join(_stage_dir(workdir, stage), f"manifest_chunk_{chunk:05d}.json")
+
+
+def run_stage_chunked(
+    spark: SparkSession,
+    workdir: str | None,
+    stage: str,
+    source: DataFrame,
+    compute,
+    n_chunks: int,
+    chunk_cols: list[str],
+    lineage_cols: list[str] | None = None,
+) -> DataFrame:
+    """MID-STAGE resume (north rule): split the stage's input into
+    ``n_chunks`` deterministic hash chunks over ``chunk_cols``, run
+    ``compute(chunk_df)`` per chunk, write each chunk's output under
+    ``data/chunk=<i>`` with its own manifest (parquet first, manifest
+    last — same atomic-commit discipline as :func:`write_stage`). A
+    killed run resumes at the first incomplete CHUNK, not the top of
+    the stage; the stage-level manifest is written only when every
+    chunk manifest exists, so downstream stage-skip semantics are
+    unchanged.
+
+    On a cluster each chunk is a full distributed job over 1/n_chunks
+    of the input — chunking bounds re-lost work, it does not serialize
+    execution within a chunk. The per-chunk filter re-evaluates the
+    hash over the (persisted or columnar) source; at 10^12-file scale
+    you would persist the chunk id as a partition column of the source
+    table instead, which this layout mirrors.
+    """
+    def _read_all() -> DataFrame:
+        # partition discovery surfaces chunk= dirs as a column; drop it
+        # so the stage schema matches the unchunked layout exactly
+        df = spark.read.parquet(data_path(workdir, stage))
+        return df.drop("chunk") if "chunk" in df.columns else df
+
+    if workdir is None:
+        return compute(source)
+    if is_complete(workdir, stage):
+        return _read_all()
+    os.makedirs(_stage_dir(workdir, stage), exist_ok=True)
+    chunk_id = F.pmod(
+        F.xxhash64(*[F.col(c) for c in chunk_cols]), F.lit(n_chunks)
+    )
+    chunk_metas: list[dict] = []
+    for i in range(n_chunks):
+        cpath = _chunk_manifest_path(workdir, stage, i)
+        out_i = os.path.join(data_path(workdir, stage), f"chunk={i}")
+        if os.path.exists(cpath):
+            with open(cpath) as fh:
+                chunk_metas.append(json.load(fh))
+            continue
+        df_i = compute(source.filter(chunk_id == i))
+        df_i.write.mode("overwrite").parquet(out_i)
+        meta_i = {
+            "stage": stage,
+            "chunk": i,
+            **stage_metrics(spark.read.parquet(out_i), lineage_cols),
+        }
+        fd, tmp = tempfile.mkstemp(dir=_stage_dir(workdir, stage), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta_i, fh)
+        os.replace(tmp, cpath)  # atomic per-chunk commit point
+        chunk_metas.append(meta_i)
+    meta = {
+        "stage": stage,
+        "chunked": n_chunks,
+        "row_count": int(sum(m["row_count"] for m in chunk_metas)),
+        "chunks": [
+            {"chunk": m["chunk"], "rows": m["row_count"], "partitions": m["partitions"]}
+            for m in chunk_metas
+        ],
+    }
+    fd, tmp = tempfile.mkstemp(dir=_stage_dir(workdir, stage), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, manifest_path(workdir, stage))
+    return _read_all()

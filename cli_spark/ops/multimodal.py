@@ -2,17 +2,24 @@
 columns with typed metadata structs.
 
 The Spark-side machinery — schemas, partitioning, Arrow batch shapes,
-``mapInPandas`` UDF signatures — is real and tested. The actual media
-decode is STUBBED (`decode_stub=True` produces a deterministic fake;
-``decode_stub=False`` raises NotImplementedError) because the codec
-libraries (Pillow/ffmpeg/librosa) are not in this container; swapping
-the stub for a real decoder changes only the body of the batch
-function, never the pipeline.
+``mapInPandas`` UDF signatures — is real and tested. Decode comes in
+two tiers:
+
+- **Real decoders** (``decode_stub=False``) for the uncompressed
+  containers — 24-bit BMP, binary PPM (P6, incl. concatenated-P6
+  "video"), PCM-16 WAV — via the pure-numpy codecs in
+  :mod:`cli_spark.ops.media_codecs`. No new dependencies.
+- **Deterministic stubs** (``decode_stub=True``, the default) for
+  everything else: the codec libraries for JPEG/PNG/MP3/H.264
+  (Pillow/ffmpeg/librosa) are not in this container, so compressed
+  blobs under ``decode_stub=False`` raise ``NotImplementedError``.
+  Swapping in a real codec changes only the per-blob decode dispatch,
+  never the pipeline.
 
 Ops:
 - :func:`attach_metadata`   binary → (n_bytes, sha256, magic sniff)
-- :func:`decode_features`   binary → fixed-dim float feature vector (stubbed)
-- :func:`resize_images`     binary → binary (stub passthrough with target dims)
+- :func:`decode_features`   binary → fixed-dim float feature vector
+- :func:`resize_images`     binary → binary (nearest-neighbor for BMP/PPM)
 - :func:`sample_frames`     binary "video" → N frame rows (UDTF-shaped explode)
 """
 
@@ -75,10 +82,21 @@ def decode_features(blobs: DataFrame, decode_stub: bool = True) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from . import media_codecs as mc
+
         def _featurize(blob: bytes) -> list[float]:
             if not decode_stub:
+                # real decode for the uncompressed containers
+                if blob[:2] == b"BM":
+                    return mc.image_features(mc.decode_bmp(blob), grid=4).tolist()
+                if blob[:2] == b"P6":
+                    return mc.image_features(mc.decode_ppm(blob), grid=4).tolist()
+                if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                    _, pcm = mc.decode_wav(blob)
+                    return mc.audio_features(pcm, bands=FEATURE_DIM).tolist()
                 raise NotImplementedError(
-                    "media decode requires codec libs absent from this image"
+                    "compressed-media decode requires codec libs absent "
+                    "from this image (real paths: BMP / PPM / PCM WAV)"
                 )
             d = hashlib.sha256(blob).digest()
             return [
@@ -101,19 +119,28 @@ def decode_features(blobs: DataFrame, decode_stub: bool = True) -> DataFrame:
 def resize_images(
     blobs: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True
 ) -> DataFrame:
-    """binary → binary resize. Stub keeps bytes, records target dims —
-    the batch contract (binary in/out through Arrow) is the tested part."""
+    """binary → binary resize. Real nearest-neighbor resample for
+    BMP/PPM (``decode_stub=False``); the stub keeps bytes and records
+    target dims (the Arrow binary-in/binary-out contract)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        from . import media_codecs as mc
+
+        def _resize(blob: bytes) -> bytes:
+            if blob[:2] == b"BM":
+                return mc.encode_bmp(mc.resize_nearest(mc.decode_bmp(blob), width, height))
+            if blob[:2] == b"P6":
+                return mc.encode_ppm(mc.resize_nearest(mc.decode_ppm(blob), width, height))
+            raise NotImplementedError("compressed-image resize requires Pillow")
+
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError("image resize requires Pillow")
+            out = pdf["blob"] if decode_stub else pdf["blob"].map(_resize)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "blob": pdf["blob"],
+                    "blob": out,
                     "width": width,
                     "height": height,
                 }
@@ -126,17 +153,44 @@ def sample_frames(
     blobs: DataFrame, n_frames: int = 4, decode_stub: bool = True
 ) -> DataFrame:
     """'video' → N frames (UDTF-shaped: one input row → n output rows).
-    Stub slices the blob into n_frames byte windows — the explode shape,
-    schema, and batch iteration are the real contract."""
+
+    Real path (``decode_stub=False``): concatenated-P6 containers are
+    split on their embedded headers and n_frames are sampled evenly
+    (each re-encoded as a standalone PPM); WAV audio is cut into
+    n_frames equal PCM windows (each a standalone WAV). The stub slices
+    the blob into n_frames byte windows — the explode shape, schema,
+    and batch iteration are the same contract either way."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         import numpy as np
 
+        from . import media_codecs as mc
+
+        def _real_frames(blob: bytes) -> list[bytes]:
+            if blob[:2] == b"P6":
+                frames = mc.split_ppm_frames(blob)
+                take = np.linspace(0, len(frames) - 1, min(n_frames, len(frames)))
+                return [mc.encode_ppm(frames[i]) for i in take.astype(int)]
+            if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                sr, pcm = mc.decode_wav(blob)
+                edges = (np.arange(n_frames + 1) * len(pcm)) // n_frames
+                return [
+                    mc.encode_wav(pcm[edges[i] : edges[i + 1]], sr)
+                    for i in range(n_frames)
+                ]
+            raise NotImplementedError("compressed-video frame sampling requires ffmpeg")
+
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError("frame sampling requires ffmpeg")
+                rows = [
+                    (i, j, fb)
+                    for i, blob in zip(pdf["id"], pdf["blob"])
+                    for j, fb in enumerate(_real_frames(blob))
+                ]
+                yield pd.DataFrame(rows, columns=["id", "frame_index", "frame_bytes"])
+                continue
             # vectorized explode: repeat ids/blobs n_frames times, slice
             # each blob by its per-row stride — no per-row Python loop
             ids = pdf["id"].to_numpy().repeat(n_frames)

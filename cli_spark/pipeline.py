@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .canonicalize import canonical_map, rewrite_triples
 from .extract import extract_triples
 from .linking import link_modules_cross_lang, link_near_dup_files
-from .manifest import run_stage
+from .manifest import run_stage, run_stage_chunked
 
 N_BUCKETS = 64
 
@@ -68,6 +68,7 @@ def run_kg_pipeline(
     engine: str = "sql",
     check_lineage: bool = True,
     check_input: bool = False,
+    extract_chunks: int = 1,
 ) -> int:
     """extract → link → canonicalize; returns total triples produced
     (canonical triples + sameAs edges), the north-rule throughput unit.
@@ -75,7 +76,14 @@ def run_kg_pipeline(
     ``check_input`` verifies the documented input contract — one row per
     (repo, path, commit) — which extraction's row-local dedup relies on
     (duplicate source rows would emit duplicate triples). One cheap
-    aggregate job; off by default in the bench hot path, on in the CLI."""
+    aggregate job; off by default in the bench hot path, on in the CLI.
+
+    ``extract_chunks > 1`` (with a workdir) runs the extraction stage —
+    the long leg on a real corpus — through
+    :func:`manifest.run_stage_chunked`: the input is hash-split into
+    that many chunks, each committed with its own manifest, so a killed
+    run resumes MID-STAGE at the first incomplete chunk instead of
+    re-extracting everything."""
     # The source table feeds extract, both linkers, and the lineage
     # check — persist it once (the cluster analog is the Iceberg scan's
     # data locality; recomputing a synthetic generator 3× is pure waste).
@@ -94,13 +102,25 @@ def run_kg_pipeline(
                 "rows in the source table — deduplicate upstream or "
                 "extraction will emit duplicate triples"
             )
-    triples = run_stage(
-        spark,
-        workdir,
-        "10_extract",
-        lambda: extract_triples(repos, engine=engine),
-        lineage_cols=["subj", "pred", "obj"],
-    )
+    if extract_chunks > 1 and workdir is not None:
+        triples = run_stage_chunked(
+            spark,
+            workdir,
+            "10_extract",
+            repos,
+            lambda df: extract_triples(df, engine=engine),
+            n_chunks=extract_chunks,
+            chunk_cols=["repo", "path", "commit"],
+            lineage_cols=["subj", "pred", "obj"],
+        )
+    else:
+        triples = run_stage(
+            spark,
+            workdir,
+            "10_extract",
+            lambda: extract_triples(repos, engine=engine),
+            lineage_cols=["subj", "pred", "obj"],
+        )
     if workdir is None:
         # no parquet checkpoint to re-read — persist across the 3 uses
         triples = triples.persist()
@@ -140,4 +160,33 @@ def run_kg_pipeline(
     final = canon.unionByName(same_as_triples)
     if workdir is not None:
         materialize_triples(final, f"{workdir}/40_materialize/data")
+        materialize_jelly_frames(spark, final, f"{workdir}/40_materialize/frames")
     return final.count()
+
+
+def materialize_jelly_frames(
+    spark: SparkSession, triples: DataFrame, out_path: str
+) -> None:
+    """The north star's second graph artifact: Jelly-style delimited
+    stream frames alongside the triple table. The frames table
+    (seg, frame_index, n_rows, frame_bytes) written as parquet IS the
+    cluster-scale representation — each row a complete wire frame, so a
+    single delimited .jelly file is one ordered concatenation away
+    (``jelly.write_jelly_file``, the bounded single-artifact path),
+    and concatenated per-segment streams are themselves legal input
+    (U1 stream concatenation).
+
+    Semantics: the frames carry the DISTINCT graph (an RDF graph is a
+    set of triples; the encoder dedups after provenance columns are
+    projected away). Per-row provenance stays in the triple table,
+    where (triple, src) rows are genuinely distinct."""
+    from .jelly import encode_quads
+
+    quads = triples.select(
+        "subj", "pred", "obj", "obj_kind",
+        *(["obj_datatype"] if "obj_datatype" in triples.columns else []),
+        *(["obj_lang"] if "obj_lang" in triples.columns else []),
+        "graph",
+    )
+    frames = encode_quads(spark, quads, prefix_table=True)
+    frames.write.mode("overwrite").parquet(out_path)

@@ -1,0 +1,132 @@
+"""Pure-numpy media codecs (BMP / PPM / WAV) + the real decode paths
+of the multimodal ops (Spark-side)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cli_spark.ops import media_codecs as mc
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+# ------------------------------------------------------------ round trips
+
+
+@pytest.mark.parametrize("h,w", [(7, 5), (16, 16), (3, 9)])  # odd widths hit BMP row padding
+def test_bmp_roundtrip(h, w):
+    img = _img(h, w)
+    np.testing.assert_array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        mc.decode_bmp(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+@pytest.mark.parametrize("h,w", [(4, 6), (11, 3)])
+def test_ppm_roundtrip(h, w):
+    img = _img(h, w, seed=1)
+    np.testing.assert_array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+
+
+def test_ppm_comment_header():
+    img = _img(2, 2, seed=2)
+    blob = b"P6\n# a comment\n2 2\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(mc.decode_ppm(blob), img)
+
+
+def test_wav_roundtrip():
+    pcm = np.random.default_rng(3).integers(-32768, 32768, 1000).astype(np.int16)
+    sr, back = mc.decode_wav(mc.encode_wav(pcm, 8000))
+    assert sr == 8000
+    np.testing.assert_array_equal(back, pcm)
+
+
+def test_split_ppm_frames():
+    frames = [_img(4, 4, seed=i) for i in range(5)]
+    blob = b"".join(mc.encode_ppm(f) for f in frames)
+    out = mc.split_ppm_frames(blob)
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------------ transforms
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = _img(8, 8, seed=4)
+    np.testing.assert_array_equal(mc.resize_nearest(img, 8, 8), img)
+    half = mc.resize_nearest(img, 4, 4)
+    assert half.shape == (4, 4, 3)
+    # pixel-center convention: output (0,0) samples input (1,1)
+    np.testing.assert_array_equal(half[0, 0], img[1, 1])
+
+
+def test_image_features_shape_and_range():
+    f = mc.image_features(_img(10, 14, seed=5), grid=4)
+    assert f.shape == (16,)
+    assert (0 <= f).all() and (f <= 1).all()
+    # constant image → constant features
+    const = np.full((6, 6, 3), 128, dtype=np.uint8)
+    np.testing.assert_allclose(mc.image_features(const), mc.image_features(const)[0])
+
+
+def test_audio_features_envelope():
+    # silence then full-scale: energy must land in the later bands
+    pcm = np.concatenate(
+        [np.zeros(500, np.int16), np.full(500, 20000, np.int16)]
+    )
+    f = mc.audio_features(pcm, bands=4)
+    assert f.shape == (4,)
+    assert f[0] == 0 and f[3] > 0.5
+
+
+# ------------------------------------------------------------ Spark paths
+
+
+def test_multimodal_real_decode(spark):
+    from cli_spark.ops.multimodal import decode_features, resize_images, sample_frames
+
+    img = _img(6, 6, seed=6)
+    wav = mc.encode_wav(np.arange(800, dtype=np.int16), 8000)
+    vid = b"".join(mc.encode_ppm(_img(4, 4, seed=i)) for i in range(6))
+    rows = [(0, mc.encode_bmp(img)), (1, mc.encode_ppm(img)), (2, wav)]
+    blobs = spark.createDataFrame(rows, "id long, blob binary")
+
+    feats = {r["id"]: r["features"] for r in decode_features(blobs, decode_stub=False).collect()}
+    assert len(feats) == 3 and all(len(v) == 16 for v in feats.values())
+    # BMP and PPM of the same image must featurize identically
+    assert feats[0] == pytest.approx(feats[1])
+
+    resized = {
+        r["id"]: r["blob"]
+        for r in resize_images(blobs.filter("id < 2"), 3, 3, decode_stub=False).collect()
+    }
+    assert mc.decode_bmp(bytes(resized[0])).shape == (3, 3, 3)
+    np.testing.assert_array_equal(
+        mc.decode_bmp(bytes(resized[0])), mc.decode_ppm(bytes(resized[1]))
+    )
+
+    frames = sample_frames(
+        spark.createDataFrame([(7, vid), (8, wav)], "id long, blob binary"),
+        n_frames=3,
+        decode_stub=False,
+    ).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[7]) == 3 and len(by_id[8]) == 3
+    assert bytes(by_id[7][0]["frame_bytes"])[:2] == b"P6"
+    sr, pcm0 = mc.decode_wav(bytes(by_id[8][0]["frame_bytes"]))
+    assert sr == 8000 and len(pcm0) > 0
+    # stub path still honors the compressed-format refusal
+    with pytest.raises(Exception):
+        decode_features(
+            spark.createDataFrame([(9, b"\x89PNG----")], "id long, blob binary"),
+            decode_stub=False,
+        ).collect()

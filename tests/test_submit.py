@@ -46,3 +46,4 @@ def test_submit_pipeline_py_files(tmp_path):
         assert (workdir / stage / "manifest.json").exists(), stage
         assert (workdir / stage / "data").exists(), stage
     assert (workdir / "40_materialize" / "data").exists()
+    assert (workdir / "40_materialize" / "frames").exists()
