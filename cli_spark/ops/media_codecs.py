@@ -1,22 +1,27 @@
-"""Pure-numpy codecs for the uncompressed media containers: 24-bit BMP,
-binary PPM (P6), and PCM-16 WAV.
+"""Pure-numpy codecs for media containers: 24-bit BMP, binary PPM (P6),
+PCM-16 WAV, and PNG (via stdlib zlib — no external codec library).
 
 These give :mod:`cli_spark.ops.multimodal` REAL decode / resize /
-frame-sample paths with zero new dependencies — the compressed formats
-(JPEG/PNG/MP3/H.264) still raise ``NotImplementedError`` because their
-codec libraries are absent from this image. The reference CLI has no
-media path at all; this exists for the training-data-pipeline side of
-the engine (multimodal columns over Iceberg binary columns), where
-uncompressed intermediates are the common on-cluster representation.
+frame-sample paths with zero new dependencies — the remaining
+compressed formats (JPEG/MP3/H.264) still raise ``NotImplementedError``
+because their codec libraries are absent from this image. The reference
+CLI has no media path at all; this exists for the
+training-data-pipeline side of the engine (multimodal columns over
+Iceberg binary columns), where uncompressed intermediates are the
+common on-cluster representation.
 
 All functions are bytes→ndarray/ndarray→bytes on one object; callers
 batch them through Arrow (mapInPandas). The inner work is vectorized
-numpy (frombuffer + stride tricks), never per-pixel Python.
+numpy (frombuffer + stride tricks); PNG un-filtering vectorizes None/Up
+fully and Sub as a per-lane cumulative sum mod 256 — only
+Average/Paeth rows (rare in practice; our encoder never emits them)
+fall back to a per-column loop over vectorized channel lanes.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -164,6 +169,155 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     return sample_rate, data.copy()
+
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (bit depth 8)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 → PNG.
+
+    Emits filter type 0 (None) on every scanline and a single zlib IDAT
+    chunk — a valid, universally-readable stream (we trade a few % of
+    compression for a fully vectorized encoder)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color_type, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = a.shape[:2]
+    # prepend the per-scanline filter byte (0 = None) columnarly
+    raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 1:] = a.reshape(h, w * ch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. ``raw`` is (h, 1+stride) uint8 with the
+    filter byte in column 0; returns (h, stride) reconstructed bytes.
+
+    None/Up are whole-row vectorized; Sub is a per-lane cumulative sum
+    (recon[x] = Σ raw mod 256 along each bpp-stride lane); Average and
+    Paeth need the serial left-neighbor, so those rows run a loop over
+    columns with all channel lanes vectorized per step."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:]
+        if ftype == 0:  # None
+            rec = line.copy()
+        elif ftype == 2:  # Up
+            rec = line + prior  # uint8 wraps mod 256
+        elif ftype == 1:  # Sub: cumsum along each byte lane
+            rec = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            rec[:bpp] = line[:bpp] + prior[:bpp] // 2
+            for x in range(bpp, stride, bpp):
+                left = rec[x - bpp : x].astype(np.int32)
+                up = prior[x : x + bpp].astype(np.int32)
+                rec[x : x + bpp] = line[x : x + bpp] + ((left + up) // 2).astype(np.uint8)
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            rec[:bpp] = line[:bpp] + prior[:bpp]  # left/ul are 0 → predictor = up
+            for x in range(bpp, stride, bpp):
+                a = rec[x - bpp : x].astype(np.int32)
+                b = prior[x : x + bpp].astype(np.int32)
+                c = prior[x - bpp : x].astype(np.int32)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                rec[x : x + bpp] = line[x : x + bpp] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → uint8 ndarray: (h, w) for grayscale, (h, w, 3) for
+    RGB/palette, (h, w, 2)/(h, w, 4) with alpha. Bit depth 8,
+    non-interlaced (Adam7 raises NotImplementedError — progressive
+    layout, not a different compression)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (1 + stride):
+        raise ValueError("PNG IDAT size mismatch")
+    rec = _png_unfilter(raw.reshape(height, 1 + stride), height, stride, ch)
+    if color_type == 3:  # palette-indexed → RGB
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[rec.reshape(height, width)].copy()
+    if ch == 1:
+        return rec.reshape(height, width).copy()
+    return rec.reshape(height, width, ch).copy()
+
+
+def to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize any decode_png output to (h, w, 3) RGB: grayscale is
+    broadcast, alpha channels are dropped."""
+    if arr.ndim == 2:
+        return np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 2:  # gray + alpha
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if arr.shape[2] == 4:  # RGBA
+        return arr[:, :, :3].copy()
+    return arr
 
 
 # ---------------------------------------------------------------- transforms

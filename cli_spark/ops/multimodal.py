@@ -5,21 +5,22 @@ The Spark-side machinery — schemas, partitioning, Arrow batch shapes,
 ``mapInPandas`` UDF signatures — is real and tested. Decode comes in
 two tiers:
 
-- **Real decoders** (``decode_stub=False``) for the uncompressed
-  containers — 24-bit BMP, binary PPM (P6, incl. concatenated-P6
-  "video"), PCM-16 WAV — via the pure-numpy codecs in
-  :mod:`cli_spark.ops.media_codecs`. No new dependencies.
+- **Real decoders** (``decode_stub=False``) for 24-bit BMP, binary
+  PPM (P6, incl. concatenated-P6 "video"), PCM-16 WAV, and PNG
+  (stdlib ``zlib`` inflate + vectorized un-filtering) — via the
+  pure-numpy codecs in :mod:`cli_spark.ops.media_codecs`. No new
+  dependencies.
 - **Deterministic stubs** (``decode_stub=True``, the default) for
-  everything else: the codec libraries for JPEG/PNG/MP3/H.264
-  (Pillow/ffmpeg/librosa) are not in this container, so compressed
-  blobs under ``decode_stub=False`` raise ``NotImplementedError``.
+  everything else: the codec libraries for JPEG/MP3/H.264
+  (Pillow/ffmpeg/librosa) are not in this container, so those blobs
+  under ``decode_stub=False`` raise ``NotImplementedError``.
   Swapping in a real codec changes only the per-blob decode dispatch,
   never the pipeline.
 
 Ops:
 - :func:`attach_metadata`   binary → (n_bytes, sha256, magic sniff)
 - :func:`decode_features`   binary → fixed-dim float feature vector
-- :func:`resize_images`     binary → binary (nearest-neighbor for BMP/PPM)
+- :func:`resize_images`     binary → binary (nearest-neighbor for BMP/PPM/PNG)
 - :func:`sample_frames`     binary "video" → N frame rows (UDTF-shaped explode)
 """
 
@@ -91,12 +92,14 @@ def decode_features(blobs: DataFrame, decode_stub: bool = True) -> DataFrame:
                     return mc.image_features(mc.decode_bmp(blob), grid=4).tolist()
                 if blob[:2] == b"P6":
                     return mc.image_features(mc.decode_ppm(blob), grid=4).tolist()
+                if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                    return mc.image_features(mc.to_rgb(mc.decode_png(blob)), grid=4).tolist()
                 if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                     _, pcm = mc.decode_wav(blob)
                     return mc.audio_features(pcm, bands=FEATURE_DIM).tolist()
                 raise NotImplementedError(
-                    "compressed-media decode requires codec libs absent "
-                    "from this image (real paths: BMP / PPM / PCM WAV)"
+                    "JPEG/MP3/H.264 decode requires codec libs absent "
+                    "from this image (real paths: BMP / PPM / PNG / PCM WAV)"
                 )
             d = hashlib.sha256(blob).digest()
             return [
@@ -120,7 +123,7 @@ def resize_images(
     blobs: DataFrame, width: int = 64, height: int = 64, decode_stub: bool = True
 ) -> DataFrame:
     """binary → binary resize. Real nearest-neighbor resample for
-    BMP/PPM (``decode_stub=False``); the stub keeps bytes and records
+    BMP/PPM/PNG (``decode_stub=False``); the stub keeps bytes and records
     target dims (the Arrow binary-in/binary-out contract)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -133,7 +136,9 @@ def resize_images(
                 return mc.encode_bmp(mc.resize_nearest(mc.decode_bmp(blob), width, height))
             if blob[:2] == b"P6":
                 return mc.encode_ppm(mc.resize_nearest(mc.decode_ppm(blob), width, height))
-            raise NotImplementedError("compressed-image resize requires Pillow")
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                return mc.encode_png(mc.resize_nearest(mc.decode_png(blob), width, height))
+            raise NotImplementedError("JPEG resize requires codec libs absent from this image")
 
         for pdf in it:
             out = pdf["blob"] if decode_stub else pdf["blob"].map(_resize)

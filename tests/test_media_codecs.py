@@ -95,21 +95,30 @@ def test_multimodal_real_decode(spark):
     img = _img(6, 6, seed=6)
     wav = mc.encode_wav(np.arange(800, dtype=np.int16), 8000)
     vid = b"".join(mc.encode_ppm(_img(4, 4, seed=i)) for i in range(6))
-    rows = [(0, mc.encode_bmp(img)), (1, mc.encode_ppm(img)), (2, wav)]
+    rows = [
+        (0, mc.encode_bmp(img)),
+        (1, mc.encode_ppm(img)),
+        (2, wav),
+        (3, mc.encode_png(img)),
+    ]
     blobs = spark.createDataFrame(rows, "id long, blob binary")
 
     feats = {r["id"]: r["features"] for r in decode_features(blobs, decode_stub=False).collect()}
-    assert len(feats) == 3 and all(len(v) == 16 for v in feats.values())
-    # BMP and PPM of the same image must featurize identically
+    assert len(feats) == 4 and all(len(v) == 16 for v in feats.values())
+    # BMP, PPM, and PNG of the same image must featurize identically
     assert feats[0] == pytest.approx(feats[1])
+    assert feats[0] == pytest.approx(feats[3])
 
     resized = {
         r["id"]: r["blob"]
-        for r in resize_images(blobs.filter("id < 2"), 3, 3, decode_stub=False).collect()
+        for r in resize_images(blobs.filter("id != 2"), 3, 3, decode_stub=False).collect()
     }
     assert mc.decode_bmp(bytes(resized[0])).shape == (3, 3, 3)
     np.testing.assert_array_equal(
         mc.decode_bmp(bytes(resized[0])), mc.decode_ppm(bytes(resized[1]))
+    )
+    np.testing.assert_array_equal(
+        mc.decode_bmp(bytes(resized[0])), mc.decode_png(bytes(resized[3]))
     )
 
     frames = sample_frames(
@@ -124,9 +133,132 @@ def test_multimodal_real_decode(spark):
     assert bytes(by_id[7][0]["frame_bytes"])[:2] == b"P6"
     sr, pcm0 = mc.decode_wav(bytes(by_id[8][0]["frame_bytes"]))
     assert sr == 8000 and len(pcm0) > 0
-    # stub path still honors the compressed-format refusal
+    # JPEG (no codec lib in image) still refused under real decode
     with pytest.raises(Exception):
         decode_features(
-            spark.createDataFrame([(9, b"\x89PNG----")], "id long, blob binary"),
+            spark.createDataFrame([(9, b"\xff\xd8\xff\xe0jpeg")], "id long, blob binary"),
             decode_stub=False,
         ).collect()
+
+
+# ------------------------------------------------------------ PNG
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (16, 16, 3), (3, 9, 4)])
+def test_png_roundtrip(shape):
+    arr = np.random.default_rng(3).integers(0, 256, shape, dtype=np.uint8)
+    out = mc.decode_png(mc.encode_png(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def _filter_png(arr, ftypes):
+    """Build a PNG whose scanlines use the given filter types (forward
+    filtering done here independently of the codec under test)."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    bpp = ch
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        ft = ftypes[y % len(ftypes)]
+        if ft == 0:
+            enc = line
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = line - left
+        elif ft == 2:  # Up
+            enc = line - prior
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = line - (left + prior) // 2
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+            enc = line - pred
+        raw.append(ft)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+        prior = line
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftypes", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filter_types(ftypes):
+    arr = np.random.default_rng(7).integers(0, 256, (11, 6, 3), dtype=np.uint8)
+    out = mc.decode_png(_filter_png(arr, ftypes))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_gray_and_alpha_normalize():
+    gray = np.random.default_rng(1).integers(0, 256, (5, 4), dtype=np.uint8)
+    out = mc.decode_png(mc.encode_png(gray))
+    assert out.shape == (5, 4)
+    rgb = mc.to_rgb(out)
+    assert rgb.shape == (5, 4, 3)
+    np.testing.assert_array_equal(rgb[:, :, 0], gray)
+    rgba = np.random.default_rng(2).integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(mc.to_rgb(mc.decode_png(mc.encode_png(rgba))), rgba[:, :, :3])
+
+
+def test_png_palette():
+    import struct
+    import zlib
+
+    idx = np.random.default_rng(5).integers(0, 4, (6, 7), dtype=np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8)
+    raw = bytearray()
+    for y in range(6):
+        raw.append(0)
+        raw += idx[y].tobytes()
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(mc.decode_png(blob), plte[idx])
+
+
+def test_png_rejects():
+    with pytest.raises(ValueError):
+        mc.decode_png(b"nope")
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        mc.decode_png(interlaced)
