@@ -24,11 +24,12 @@ from pyspark.sql import functions as F
 # one term: quoted triple (RDF-star) | IRI | bnode | literal with
 # optional datatype/langtag. Quoted triples nest recursively in the
 # reference (OrderedRdfCompare.scala:45-51); a regular expression cannot
-# count brackets, so the tokenizer unrolls the recursion to
-# QT_MAX_DEPTH levels (raise for deeper data — each level adds ~60
-# chars of pattern). Downstream is depth-independent: the term value
-# stays the self-delimiting "<< ... >>" source text, render passes it
-# through, and compare masks bnode labels textually at any depth.
+# count brackets, so the JVM tokenizer unrolls the recursion to
+# QT_MAX_DEPTH levels; deeper lines route to the unbounded Python
+# tokenizer when parse_lines(deep_star=True) (see _tokenize_terms_py).
+# Downstream is depth-independent: the term value stays the
+# self-delimiting "<< ... >>" source text, render passes it through,
+# and compare masks bnode labels textually at any depth.
 QT_MAX_DEPTH = 6
 # the IRI atom is <[^<>]*> (not <[^>]*>) so it cannot swallow the
 # opening "<<" of a nested quoted triple; the nested-QT alternative is
@@ -110,9 +111,144 @@ def _classify(term: Column, prefix: str):
     )
 
 
-def parse_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
+def _tokenize_terms_py(line: str) -> list[str]:
+    """Recursive-aware term tokenizer for the rare lines whose quoted
+    triples nest deeper than the unrolled regex (QT_MAX_DEPTH). Pure
+    Python, bracket-counting, so nesting is unbounded — the reference's
+    recursion (OrderedRdfCompare.scala:45-51) without a depth cap.
+    Token grammar matches TERM_RX exactly (incl. the _:[A-Za-z0-9]+
+    bnode label subset)."""
+    terms: list[str] = []
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c in " \t\r":
+            i += 1
+        elif line.startswith("<<", i):
+            depth, j = 0, i
+            while j < n:
+                if line.startswith("<<", j):
+                    depth, j = depth + 1, j + 2
+                elif line.startswith(">>", j):
+                    depth, j = depth - 1, j + 2
+                    if depth == 0:
+                        break
+                elif line[j] == '"':
+                    j += 1
+                    while j < n and line[j] != '"':
+                        j += 2 if line[j] == "\\" else 1
+                    j += 1
+                elif line[j] == "<":
+                    j = line.index(">", j) + 1
+                else:
+                    j += 1
+            terms.append(line[i:j])
+            i = j
+        elif c == "<":
+            j = line.index(">", i) + 1
+            terms.append(line[i:j])
+            i = j
+        elif c == "_" and line.startswith("_:", i):
+            j = i + 2
+            while j < n and (line[j].isalnum()):
+                j += 1
+            terms.append(line[i:j])
+            i = j
+        elif c == '"':
+            j = i + 1
+            while j < n and line[j] != '"':
+                j += 2 if line[j] == "\\" else 1
+            j += 1
+            if line.startswith("^^<", j):
+                j = line.index(">", j) + 1
+            elif j < n and line[j] == "@":
+                j += 1
+                while j < n and (line[j].isalnum() or line[j] == "-"):
+                    j += 1
+            terms.append(line[i:j])
+            i = j
+        elif c in ".#":
+            break
+        else:
+            i += 1
+    return terms
+
+
+def _unescape_py(s: str) -> str:
+    """Python mirror of the column _unescape (same replace order)."""
+    for esc, raw in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"), ('\\"', '"')):
+        s = s.replace(esc, raw)
+    return s.replace("\\\\", "\\")
+
+
+def _classify_py(term: str | None):
+    """Python mirror of the column _classify: term → (value, kind, dt, lang)."""
+    import re as _re
+
+    if term is None:
+        return None, None, None, None
+    if term.startswith("<<"):
+        return term, KIND_QUOTED, None, None
+    if term.startswith("<"):
+        return term[1:-1], KIND_IRI, None, None
+    if term.startswith("_:"):
+        return term[2:], KIND_BNODE, None, None
+    lex = _re.match(r'^"((?:[^"\\]|\\.)*)"', term).group(1)
+    dt = _re.search(r"\^\^<([^>]*)>$", term)
+    lang = _re.search(r"@([A-Za-z0-9-]+)$", term)
+    return (
+        _unescape_py(lex),
+        KIND_LITERAL,
+        dt.group(1) if dt else None,
+        lang.group(1) if lang else None,
+    )
+
+
+def _parse_lines_py(lines: DataFrame, text_col: str) -> DataFrame:
+    """mapInPandas fallback parser: unbounded quoted-triple nesting."""
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for line in pdf[text_col]:
+                t = _tokenize_terms_py(line)
+                if len(t) not in (3, 4):
+                    continue
+                sv, sk, _, _ = _classify_py(t[0])
+                pv, pk, _, _ = _classify_py(t[1])
+                ov, ok, odt, olang = _classify_py(t[2])
+                gv, gk, _, _ = _classify_py(t[3] if len(t) == 4 else None)
+                rows.append((sv, sk, pv, pk, ov, ok, odt, olang, gv, gk))
+            yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+
+    return lines.mapInPandas(parse, schema)
+
+
+def parse_lines(
+    lines: DataFrame, text_col: str = "value", deep_star: bool = False
+) -> DataFrame:
     """N-Triples/N-Quads lines → term-model triples. Lines that are blank
-    or comments are dropped; 3 terms ⇒ default graph (null), 4 ⇒ quad."""
+    or comments are dropped; 3 terms ⇒ default graph (null), 4 ⇒ quad.
+
+    ``deep_star=True`` adds a rescue branch for quoted triples nested
+    deeper than QT_MAX_DEPTH: lines with more than QT_MAX_DEPTH "<<"
+    occurrences (a conservative JVM-side filter — breadth can trip it,
+    depth always does) are parsed by the unbounded Python tokenizer and
+    unioned back. Default off: the extra branch re-scans the source, a
+    cost real N-Quads corpora (depth ≤ 1-2) should not pay."""
+    if deep_star:
+        deep = (
+            F.size(F.split(F.col(text_col), F.lit("<<"), -1)) - 1
+        ) > QT_MAX_DEPTH
+        shallow = parse_lines(lines.filter(~deep), text_col)
+        return shallow.unionByName(_parse_lines_py(lines.filter(deep), text_col))
     terms = F.regexp_extract_all(F.col(text_col), F.lit(TERM_RX), F.lit(1))
     rows = (
         lines.filter(~F.col(text_col).rlike(r"^\s*(#.*)?$"))
@@ -139,8 +275,10 @@ def parse_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
     )
 
 
-def read_nquads(spark: SparkSession, path: str) -> DataFrame:
-    return parse_lines(spark.read.text(path))
+def read_nquads(
+    spark: SparkSession, path: str, deep_star: bool = False
+) -> DataFrame:
+    return parse_lines(spark.read.text(path), deep_star=deep_star)
 
 
 def _render_term(value: Column, kind: Column, datatype: Column, lang: Column) -> Column:

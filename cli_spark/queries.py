@@ -1110,21 +1110,55 @@ def q36_text_stats(spark, sf_dir):
 @query(
     "q40_binary_metadata",
     oracle="""
-    SELECT doc_id AS id,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha256,
-           upper(hex(encode(substr(text, 1, 3)))) AS magic
-    FROM documents
+    WITH m AS (
+      SELECT doc_id AS id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha256,
+             upper(hex(encode(substr(text, 1, 3)))) AS magic,
+             CAST(2 + doc_id % 4 AS BIGINT) AS h,
+             CAST(3 + doc_id % 5 AS BIGINT) AS w,
+             CAST(8 + doc_id % 9 AS BIGINT) AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT m.id,
+             CAST(SUM(3 * m.w * ((m.id + g.i) % 256)) AS BIGINT) AS px_sum,
+             CAST(SUM(3 * m.w * ((m.id + g.i + 17) % 256)) AS BIGINT) AS fr_sum
+      FROM m, generate_series(0, 4) AS g(i) WHERE g.i < m.h GROUP BY m.id
+    ),
+    wv AS (
+      SELECT m.id,
+             CAST(SUM((m.id * 5 + g.i * 3) % 512 - 256) AS BIGINT) AS wav_sum
+      FROM m, generate_series(0, 16) AS g(i) WHERE g.i < m.n GROUP BY m.id
+    )
+    SELECT m.id, m.n_bytes, m.sha256, m.magic,
+           m.w AS img_w, m.h AS img_h,
+           px.px_sum AS png_sum, px.px_sum AS bmp_sum, px.px_sum AS ppm_sum,
+           CAST(6 * (((m.id + m.h // 4) % 256)
+                     + ((m.id + (3 * m.h) // 4) % 256)) AS BIGINT) AS rs_sum,
+           px.fr_sum, m.n AS wav_n, wv.wav_sum
+    FROM m JOIN px ON px.id = m.id JOIN wv ON wv.id = m.id
     """,
-    doc="Multimodal binary plumbing: opaque blob column → typed metadata "
-    "(byte length, sha256, magic sniff) — all columnar even on binary "
-    "(ops.multimodal.attach_metadata).",
+    doc="Multimodal binary plumbing + REAL decode gate: opaque blob → "
+    "typed metadata (byte length, sha256, magic sniff — all columnar "
+    "even on binary, ops.multimodal.attach_metadata), joined with the "
+    "media decode battery (ops.multimodal.media_decode_battery): "
+    "synthesized closed-form PNG/BMP/PPM images, a 3-frame P6 video, "
+    "and PCM WAV are encoded, decoded by the pure-numpy codecs, "
+    "resized, frame-sampled — and the decoded pixel/sample sums are "
+    "recomputed by the oracle from the generating arithmetic.",
 )
 def q40_binary_metadata(spark, sf_dir):
-    from cli_spark.ops.multimodal import attach_metadata, binarize
+    from cli_spark.ops.multimodal import (
+        attach_metadata,
+        binarize,
+        media_decode_battery,
+    )
 
     d = load(spark, sf_dir, "documents")
-    return attach_metadata(binarize(d, "doc_id", "text"))
+    meta = attach_metadata(binarize(d, "doc_id", "text"))
+    dec = media_decode_battery(d, "doc_id")
+    return meta.join(dec, "id")
 
 
 @query(
@@ -1895,13 +1929,41 @@ def _codec_roundtrip(df: DataFrame, encode_statement, parse_stream) -> DataFrame
     return df.select(*TRIPLE_COLS).mapInPandas(rt, schema)
 
 
+def _rdfxml_roundtrip(df: DataFrame) -> DataFrame:
+    """RDF/XML render ∘ parse identity, distributed: the COLUMNAR writer
+    (render_rdfxml — one hash agg, zero Python in the row path) emits
+    one <rdf:Description> block per subject; each Arrow batch of blocks
+    is then wrapped in the rdf:RDF envelope and re-parsed as a complete
+    document with the real file-path parser. Parallelism unit = batch,
+    exactly like the file reader's one-task-per-document."""
+    from cli_spark.nquads import TRIPLE_COLS
+    from cli_spark.rdfxml import parse_rdfxml_document, render_rdfxml
+
+    header, body, footer = render_rdfxml(df)
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+
+    def rt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            doc = "\n".join([header, *pdf["line"], footer])
+            yield pd.DataFrame(parse_rdfxml_document(doc), columns=TRIPLE_COLS)
+
+    return body.mapInPandas(rt, schema)
+
+
 @query(
     "q53_format_roundtrips",
     oracle=TRIPLES_SQL,
-    doc="S4 format registry, binary + JSON-LD legs (RdfFormat.scala:63-105): "
-    "flat-expanded JSON-LD render (columnar to_json assembly) ∘ parse, then "
-    "RDF Protobuf encode ∘ parse, then RDF Thrift (compact protocol) "
-    "encode ∘ parse — three distinct wire formats chained, identity "
+    doc="S4 format registry, binary + JSON-LD + RDF/XML legs "
+    "(RdfFormat.scala:63-105): flat-expanded JSON-LD render (columnar "
+    "to_json assembly) ∘ parse, then RDF Protobuf encode ∘ parse, then "
+    "RDF Thrift (compact protocol) encode ∘ parse, then RDF/XML columnar "
+    "render ∘ parse — four distinct wire formats chained, identity "
     "overall; oracle is the original triple set, same gate shape as "
     "q12/q63.",
 )
@@ -1914,6 +1976,7 @@ def q53_format_roundtrips(spark, sf_dir):
     back = parse_jsonld_lines(lines)
     back = _codec_roundtrip(back, rdfproto.encode_statement, rdfproto.parse_stream)
     back = _codec_roundtrip(back, rdfthrift.encode_statement, rdfthrift.parse_stream)
+    back = _rdfxml_roundtrip(back)
     return back.select("subj", "pred", "obj", "obj_kind")
 
 

@@ -145,3 +145,47 @@ def test_ordered_compare_nested_bijection(spark):
     assert ordered_compare(mk(base), mk(relabeled)).equal
     res = ordered_compare(mk(base), mk(broken))
     assert not res.equal
+
+
+def _nest(depth: int, obj: str = "<kg:o>") -> str:
+    """Quoted triple nested `depth` levels deep in object position."""
+    t = f"<kg:s0> <kg:p> {obj}"
+    for d in range(1, depth + 1):
+        t = f"<kg:s{d}> <kg:p> << {t} >>"
+    return t
+
+
+def test_deep_star_beyond_regex_depth(spark):
+    """Nesting deeper than QT_MAX_DEPTH routes to the unbounded Python
+    tokenizer under deep_star=True and round-trips; the shallow lines in
+    the same input still take the JVM regex path (union plan)."""
+    from cli_spark.nquads import QT_MAX_DEPTH
+
+    deep_line = _nest(QT_MAX_DEPTH + 3) + " ."
+    lines = [deep_line, "<kg:plain> <kg:p> \"v\" .", _nest(2) + " ."]
+    df = parse_lines(
+        spark.createDataFrame([(ln,) for ln in lines], "value string"),
+        deep_star=True,
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    deep = [r for r in rows if r.subj == f"kg:s{QT_MAX_DEPTH + 3}"]
+    assert len(deep) == 1 and deep[0].obj_kind == KIND_QUOTED
+    # the quoted term is the self-delimiting source text at full depth
+    assert deep[0].obj.count("<<") == QT_MAX_DEPTH + 3
+    # render ∘ parse identity at unbounded depth
+    back = parse_lines(render_lines(df), "line", deep_star=True)
+    key = ["subj", "subj_kind", "pred", "obj", "obj_kind"]
+    assert {tuple(r) for r in back.select(*key).collect()} == {
+        tuple(r) for r in df.select(*key).collect()
+    }
+
+
+def test_deep_star_default_off_unchanged(spark):
+    """Without the flag, shallow parses are byte-identical to before
+    (no Python branch in the plan)."""
+    df = parse_lines(
+        spark.createDataFrame([(ln,) for ln in STAR_LINES], "value string")
+    )
+    assert df.count() == 3
+    assert "mapInPandas" not in df._jdf.queryExecution().executedPlan().toString()
