@@ -26,9 +26,15 @@ prefixed names, blank nodes, anonymous blank-node property lists
 datatypes / numeric+boolean shorthand, single-quoted `'...'` and
 triple-quoted long strings (`\"\"\"...\"\"\"` / `'''...'''`, raw
 newlines allowed), `;` and `,` continuation lists, TriG
-`GRAPH <g> { ... }` / `<g> { ... }` blocks, comments. Not supported:
-`@`-less bare-word booleans inside collections of mixed directives,
-and RDF-star annotation syntax `{| ... |}`.
+`GRAPH <g> { ... }` / `<g> { ... }` blocks, comments, and Turtle-star:
+quoted-triple terms `<< s p o >>` (any nesting, subject or object
+position, inner terms may be pnames/literals — normalized to canonical
+N-Triples-star text in the term model, matching the N-Quads parser's
+self-delimiting representation) plus annotation syntax
+`o {| q v ; ... |}` (asserts the base triple AND the annotation triples
+on the quoted term, per RDF-star CG §5.4 — Jena RIOT behavior).
+Not supported: `@`-less bare-word booleans inside collections of mixed
+directives.
 
 Base-IRI resolution (S8, RiotParserUtil.scala:14-40): relative IRIs
 resolve against the innermost @base (or a caller-supplied base), using
@@ -45,7 +51,14 @@ from urllib.parse import urljoin
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, TRIPLE_COLS, _escape
+from .nquads import (
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    KIND_QUOTED,
+    TRIPLE_COLS,
+    _escape,
+)
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -58,7 +71,9 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+)
     | (?P<comment>\#[^\n]*)
-    | (?P<iri><[^>]*>)
+    | (?P<qtmark><<|>>)
+    | (?P<annmark>\{\||\|\})
+    | (?P<iri><[^<>]*>)
     | (?P<longlit>\"\"\"(?:[^"\\]|\\.|"{1,2}(?!"))*\"\"\"
                  |'''(?:[^'\\]|\\.|'{1,2}(?!'))*''')
     | (?P<literal>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
@@ -100,6 +115,34 @@ def _unescape_py(lex: str) -> str:
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def _escape_nt_py(s: str) -> str:
+    """Python mirror of the columnar N-Triples escaper (same order)."""
+    s = s.replace("\\", "\\\\")
+    for raw, esc in (('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        s = s.replace(raw, esc)
+    return s
+
+
+def _nt_term_text(kind: int, value: str, dt: str | None, lang: str | None) -> str:
+    """Term tuple → canonical N-Triples(-star) source text — the
+    self-delimiting representation the N-Quads parser keeps for quoted
+    triples (single spaces, IRIs in <>, bnodes _:label), so a quoted
+    term parsed from Turtle compares/round-trips textually identical to
+    one parsed from N-Quads."""
+    if kind == KIND_QUOTED:
+        return value  # already canonical "<< ... >>" text
+    if kind == KIND_BNODE:
+        return f"_:{value}"
+    if kind == KIND_LITERAL:
+        lex = f'"{_escape_nt_py(value)}"'
+        if lang:
+            return f"{lex}@{lang}"
+        if dt:
+            return f"{lex}^^<{dt}>"
+        return lex
+    return f"<{value}>"
 
 
 class _TurtleParser:
@@ -193,12 +236,26 @@ class _TurtleParser:
             self._emit(node, KIND_BNODE, RDF_REST, rest)
         return (KIND_BNODE, nodes[0], None, None)
 
+    def _quoted_triple(self):
+        """Turtle-star `<< s p o >>` → KIND_QUOTED term holding the
+        canonical N-Triples-star text (inner pnames resolved, literals
+        re-escaped — whatever surface syntax the document used)."""
+        self._expect("<<")
+        s = self._term()
+        p = self._term()
+        o = self._term()
+        self._expect(">>")
+        text = f"<< {_nt_term_text(*s)} {_nt_term_text(*p)} {_nt_term_text(*o)} >>"
+        return (KIND_QUOTED, text, None, None)
+
     def _term(self):
         """→ (kind, value, datatype, lang)."""
         if self._peek()[1] == "[":
             return (KIND_BNODE, self._bnode_property_list(), None, None)
         if self._peek()[1] == "(":
             return self._collection()
+        if self._peek()[1] == "<<":
+            return self._quoted_triple()
         kind, tok = self._next()
         if kind == "iri":
             return (KIND_IRI, self._resolve(tok[1:-1]), None, None)
@@ -252,14 +309,28 @@ class _TurtleParser:
                         self.graph, KIND_IRI if self.graph is not None else None,
                     )
                 )
+                if self._peek()[1] == "{|":
+                    # RDF-star annotation: the base triple stays asserted
+                    # (just emitted) AND the annotation's pred-obj list
+                    # attaches to the quoted form of that triple. Nested
+                    # annotations recurse via this same branch.
+                    self._next()
+                    qt = "<< {} {} {} >>".format(
+                        _nt_term_text(s_kind, s_val, None, None),
+                        _nt_term_text(p_kind, p_val, None, None),
+                        _nt_term_text(o_kind, o_val, o_dt, o_lang),
+                    )
+                    self._pred_obj_list(qt, KIND_QUOTED)
+                    self._expect("|}")
                 if self._peek()[1] == ",":
                     self._next()
                     continue
                 break
             if self._peek()[1] == ";":
                 self._next()
-                # trailing ';' before '.' / block or list close is legal
-                if self._peek()[1] in (".", "}", "]", None):
+                # trailing ';' before '.' / block, list, or annotation
+                # close is legal
+                if self._peek()[1] in (".", "}", "]", "|}", None):
                     break
                 continue
             break
@@ -416,7 +487,13 @@ def _compact(value: Column, kind: Column, prefixes: dict[str, str]) -> Column:
     # flat extraction schemas store bnodes as "_:x" (kind inferred); the
     # parsed term model stores the bare label — normalize either way
     bnode = F.concat(F.lit("_:"), F.regexp_replace(value, "^_:", ""))
-    return F.when(kind == KIND_BNODE, bnode).otherwise(expr)
+    return (
+        F.when(kind == KIND_BNODE, bnode)
+        # quoted triples carry self-delimiting "<< ... >>" source text,
+        # already valid Turtle-star — never <>-wrap or compact it
+        .when(kind == KIND_QUOTED, value)
+        .otherwise(expr)
+    )
 
 
 def _render_object(triples_cols: set, prefixes: dict[str, str]) -> Column:

@@ -240,3 +240,76 @@ ex:alice ex:knows [ ex:name "Bob" ; ex:likes (ex:x ex:y) ] .
         tuple(getattr(r, c) for c in TRIPLE_COLS) for r in reparsed.collect()
     }
     assert {t[:8] for t in orig} == {t[:8] for t in back}
+
+
+def test_turtle_star_quoted_terms():
+    """`<< s p o >>` in subject and object position, inner pnames
+    normalized to canonical N-Triples-star text (the N-Quads parser's
+    representation)."""
+    from cli_spark.nquads import KIND_QUOTED
+
+    doc = """
+@prefix ex: <http://e.org/> .
+<< ex:a ex:p "v" >> ex:certainty "0.9"^^ex:score .
+ex:doc ex:claims << ex:a ex:p << ex:b ex:q ex:c >> >> .
+"""
+    rows = T.parse_turtle_document(doc)
+    by_pred = {r[2]: r for r in rows}
+    subj_qt = by_pred["http://e.org/certainty"]
+    assert subj_qt[1] == KIND_QUOTED
+    assert subj_qt[0] == '<< <http://e.org/a> <http://e.org/p> "v" >>'
+    nested = by_pred["http://e.org/claims"]
+    assert nested[5] == KIND_QUOTED
+    assert nested[4] == (
+        "<< <http://e.org/a> <http://e.org/p> "
+        "<< <http://e.org/b> <http://e.org/q> <http://e.org/c> >> >>"
+    )
+
+
+def test_turtle_star_annotation_syntax():
+    """`o {| q v ; ... |}` asserts the base triple AND attaches the
+    annotation pred-obj list to the quoted triple (Jena RIOT behavior,
+    incl. a trailing ';' and nested annotations)."""
+    from cli_spark.nquads import KIND_QUOTED
+
+    doc = """
+@prefix ex: <http://e.org/> .
+ex:a ex:p ex:b {| ex:src ex:doc1 ; ex:conf "0.8" {| ex:by ex:model |} ; |} .
+"""
+    rows = T.parse_turtle_document(doc)
+    base = [r for r in rows if r[0] == "http://e.org/a"]
+    assert len(base) == 1  # base triple asserted exactly once
+    qt = "<< <http://e.org/a> <http://e.org/p> <http://e.org/b> >>"
+    anns = {r[2]: r for r in rows if r[0] == qt}
+    assert set(anns) == {"http://e.org/src", "http://e.org/conf"}
+    assert anns["http://e.org/src"][1] == KIND_QUOTED
+    # nested annotation attaches to the quoted form of the annotation triple
+    inner_subj = f'<< {qt} <http://e.org/conf> "0.8" >>'
+    inner = [r for r in rows if r[0] == inner_subj]
+    assert len(inner) == 1 and inner[0][2] == "http://e.org/by"
+
+
+def test_turtle_star_writer_roundtrip(spark):
+    """Quoted terms pass through the columnar writer verbatim (no
+    <>-wrapping / compaction) and reparse identically."""
+    from cli_spark.nquads import TRIPLE_COLS
+
+    doc = """
+@prefix ex: <http://e.org/> .
+<< ex:a ex:p "v" >> ex:certainty "0.9" .
+ex:doc ex:claims << ex:a ex:p ex:b >> .
+"""
+    rows = T.parse_turtle_document(doc)
+    df = spark.createDataFrame(
+        rows,
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int",
+    )
+    prefixes = {"ex": "http://e.org/"}
+    header, body = T.render_turtle(df, prefixes)
+    lines = [r.line for r in body.collect()]
+    assert all("<<<" not in ln for ln in lines)
+    reparsed = T.parse_turtle_lines(body, prefixes, text_col="line")
+    back = {tuple(getattr(r, c) for c in TRIPLE_COLS)[:8] for r in reparsed.collect()}
+    assert back == {tuple(r)[:8] for r in rows}
