@@ -2,12 +2,12 @@
 RdfFormat.scala:48-105): one row per supported format with its CLI
 names, extensions, capabilities, and reader/writer entry points.
 
-Coverage vs the reference's ten formats: N-Triples, N-Quads, Turtle,
-TriG, Jelly binary, Jelly text, and JSON-LD (flat expanded form,
-cli_spark.jsonld) are implemented; RDF/XML, RDF Protobuf, and RDF
-Thrift are declared unsupported (their parsers are Jena-internal in
-the reference; a from-scratch implementation is out of scope and
-raises a clear error instead of pretending)."""
+All ten reference formats are implemented: N-Triples, N-Quads, Turtle
+(incl. Turtle-star), TriG, Jelly binary, Jelly text (cli_spark.jelly),
+JSON-LD flat expanded form (cli_spark.jsonld), RDF/XML subset
+(cli_spark.rdfxml), RDF Protobuf (cli_spark.rdfproto), and RDF Thrift
+compact protocol (cli_spark.rdfthrift) — each a from-scratch
+Spark-first reader/writer, not a Jena delegation."""
 
 from __future__ import annotations
 
@@ -106,16 +106,6 @@ def _write_rdfthrift(df, path, single_file=False):
     from .rdfthrift import write_rdfthrift
 
     write_rdfthrift(df, path, single_file=single_file)
-
-
-def _unsupported(name: str):
-    def fail(*_a, **_k):
-        raise ValueError(
-            f"{name} is not supported by this engine (descoped: the "
-            f"reference delegates it to Jena; see cli_spark.formats)"
-        )
-
-    return fail
 
 
 REGISTRY: dict[str, RdfFormatSpec] = {
