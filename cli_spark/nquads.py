@@ -46,7 +46,11 @@ def _qt_rx(depth: int) -> str:
 
 _QT_RX = _qt_rx(QT_MAX_DEPTH)
 TERM_RX = (
-    r"(" + _QT_RX + r'|<[^>]*>|_:[A-Za-z0-9]+|"(?:[^"\\]|\\.)*"'
+    # bnode labels follow the N-Triples grammar's ASCII subset: start
+    # alnum/_, may contain -_. but cannot END with '.' (that dot is the
+    # statement terminator) — our own parsers emit "genid-N" labels, so
+    # the '-' is load-bearing, not cosmetic
+    r"(" + _QT_RX + r'|<[^>]*>|_:[A-Za-z0-9_](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?|"(?:[^"\\]|\\.)*"'
     r"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)"
 )
 
@@ -116,8 +120,8 @@ def _tokenize_terms_py(line: str) -> list[str]:
     triples nest deeper than the unrolled regex (QT_MAX_DEPTH). Pure
     Python, bracket-counting, so nesting is unbounded — the reference's
     recursion (OrderedRdfCompare.scala:45-51) without a depth cap.
-    Token grammar matches TERM_RX exactly (incl. the _:[A-Za-z0-9]+
-    bnode label subset)."""
+    Token grammar matches TERM_RX exactly (incl. the bnode-label
+    subset: alnum/_- with non-trailing dots)."""
     terms: list[str] = []
     i, n = 0, len(line)
     while i < n:
@@ -150,8 +154,10 @@ def _tokenize_terms_py(line: str) -> list[str]:
             i = j
         elif c == "_" and line.startswith("_:", i):
             j = i + 2
-            while j < n and (line[j].isalnum()):
+            while j < n and (line[j].isalnum() or line[j] in "_-."):
                 j += 1
+            while line[j - 1] == ".":  # trailing dot = statement terminator
+                j -= 1
             terms.append(line[i:j])
             i = j
         elif c == '"':

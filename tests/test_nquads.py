@@ -80,3 +80,21 @@ def test_generalized_rdf(spark):
         | (F.col("graph").isNotNull() & ~F.col("graph_kind").isin(0, 1))
     )
     assert gen.count() == 3
+
+
+def test_bnode_labels_with_hyphen_underscore_dot(spark):
+    """N-Triples BLANK_NODE_LABEL allows -_. (non-trailing dot) — our
+    own Turtle parser emits genid-N labels, so a ttl→nq round-trip
+    depends on this. The terminator dot must NOT join the label."""
+    from cli_spark.nquads import KIND_BNODE, parse_lines, render_lines
+
+    lines = [
+        "_:genid-1 <kg:p> _:x.y .",
+        "_:a_b.c-9 <kg:p> _:z.",  # no space before the terminator dot
+    ]
+    df = parse_lines(spark.createDataFrame([(ln,) for ln in lines], "value string"))
+    rows = {(r.subj, r.obj) for r in df.collect()}
+    assert rows == {("genid-1", "x.y"), ("a_b.c-9", "z")}
+    assert {r.subj_kind for r in df.collect()} == {KIND_BNODE}
+    back = parse_lines(render_lines(df), "line")
+    assert {(r.subj, r.obj) for r in back.collect()} == rows
