@@ -178,12 +178,20 @@ def _scaling_leg(master: str, label: str, cores: int, n_files: int) -> dict:
     measurement (observed 2-3x swings when both legs share a process)."""
     import subprocess
 
+    # SPARK_GRAFT_SCALE_PARTITIONS sizes shuffle partitions explicitly
+    # (a real cluster job sizes them by DATA, identically on every leg);
+    # default 0 = the leg's core count, the configuration that produced
+    # SCALING.json. An A/B on the same corpus measured 8 vs 32
+    # partitions within noise of each other (319 s vs 372 s on a leg
+    # that measures 77 s on a quiet host — tenancy dwarfs the knob),
+    # so the recorded artifact keeps the reproducible default.
+    parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "0")) or cores
     code = (
         "import json, sys\n"
         "from cli_spark.session import get_spark\n"
         "from bench import run_pipeline\n"
         f"extra = {{'spark.executor.memory': '8g'}} if 'local-cluster' in {master!r} else {{}}\n"
-        f"spark = get_spark({label!r}, master={master!r}, shuffle_partitions={cores},\n"
+        f"spark = get_spark({label!r}, master={master!r}, shuffle_partitions={parts},\n"
         "                  extra_conf=extra)\n"
         f"nt, secs = run_pipeline(spark, {n_files})\n"
         "sec = min(secs)\n"
