@@ -37,7 +37,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, TRIPLE_COLS
+from .nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_QUOTED, TRIPLE_COLS
 from .turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, XSD
 
 if TYPE_CHECKING:
@@ -226,9 +226,21 @@ def parse_jsonld_lines(lines: DataFrame, text_col: str = "line") -> DataFrame:
 
 def _norm_id(value, kind):
     """Term-model id → JSON-LD @id string ('_:' prefix for bnodes;
-    accepts both bare labels and pre-prefixed '_:x' flat-schema values)."""
+    accepts both bare labels and pre-prefixed '_:x' flat-schema values).
+    RDF-star quoted triples have no flat expanded-form encoding — fail
+    the write with a typed row-level error rather than emit an @id
+    holding '<< ... >>' source text."""
     bnode = F.concat(F.lit("_:"), F.regexp_replace(value, "^_:", ""))
-    return F.when(kind == KIND_BNODE, bnode).otherwise(value)
+    return (
+        F.when(
+            kind == KIND_QUOTED,
+            F.raise_error(
+                F.lit("flat expanded JSON-LD cannot serialize RDF-star quoted triples")
+            ),
+        )
+        .when(kind == KIND_BNODE, bnode)
+        .otherwise(value)
+    )
 
 
 def _json_str(col):

@@ -43,7 +43,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, TRIPLE_COLS
+from .nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_QUOTED, TRIPLE_COLS
 from .turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
 
 if TYPE_CHECKING:
@@ -363,7 +363,13 @@ def render_rdfxml(triples: DataFrame) -> tuple[str, DataFrame, str]:
     ).otherwise(local_raw)
 
     strip_bn = lambda c: F.regexp_replace(c, "^_:", "")  # noqa: E731
-    obj_ref = F.when(
+    # RDF/XML cannot express RDF-star quoted triples — fail the write
+    # with a typed row-level error (Jena's writer signals the same;
+    # use Jelly/N-Quads/Turtle-star for star data)
+    qt_err = F.raise_error(
+        F.lit("RDF/XML cannot serialize RDF-star quoted triples")
+    )
+    obj_ref = F.when(o_kind == KIND_QUOTED, qt_err).when(
         o_kind == KIND_BNODE,
         F.concat(F.lit(' rdf:nodeID="'),
                  _xml_escape(strip_bn(F.col("obj")), attr=True), F.lit('"')),
@@ -389,7 +395,7 @@ def render_rdfxml(triples: DataFrame) -> tuple[str, DataFrame, str]:
                  _xml_escape(F.col("obj")), F.lit("</n:"), local, F.lit(">")),
     ).otherwise(F.concat(open_tag, obj_ref, F.lit("/>")))
 
-    subj_attr = F.when(
+    subj_attr = F.when(s_kind == KIND_QUOTED, qt_err).when(
         s_kind == KIND_BNODE,
         F.concat(F.lit('rdf:nodeID="'),
                  _xml_escape(strip_bn(F.col("subj")), attr=True), F.lit('"')),

@@ -132,3 +132,21 @@ def test_format_registry_resolution():
     assert spec.key == "jsonld" and spec.read is not None
     spec2 = resolve("x", explicit="json-ld")
     assert spec2.key == "jsonld"
+
+
+def test_jsonld_rejects_quoted_triples(spark):
+    """Flat expanded JSON-LD has no RDF-star encoding — the writer fails
+    typed instead of emitting an @id holding '<< ... >>' source text."""
+    import pytest
+
+    from cli_spark.jsonld import render_jsonld
+    from cli_spark.nquads import KIND_IRI, KIND_QUOTED
+
+    df = spark.createDataFrame(
+        [("http://e.org/d", KIND_IRI, "http://e.org/claims",
+          '<< <http://e.org/a> <http://e.org/p> "v" >>', KIND_QUOTED, None, None, None)],
+        "subj string, subj_kind int, pred string, obj string, obj_kind int, "
+        "obj_datatype string, obj_lang string, graph string",
+    )
+    with pytest.raises(Exception, match="quoted triples"):
+        render_jsonld(df).collect()

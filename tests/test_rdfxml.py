@@ -181,3 +181,22 @@ def test_format_registry_resolution():
     spec = resolve("data.rdf")
     assert spec.key == "rdfxml" and spec.read is not None
     assert resolve("x", explicit="rdf-xml").key == "rdfxml"
+
+
+def test_rdfxml_rejects_quoted_triples(spark):
+    """RDF/XML has no RDF-star encoding — the writer fails typed instead
+    of emitting rdf:resource='<< ... >>' (Jena's writer also raises)."""
+    import pytest
+
+    from cli_spark.nquads import KIND_IRI, KIND_LITERAL, KIND_QUOTED
+    from cli_spark.rdfxml import render_rdfxml
+
+    df = spark.createDataFrame(
+        [("http://e.org/d", KIND_IRI, "http://e.org/claims",
+          '<< <http://e.org/a> <http://e.org/p> "v" >>', KIND_QUOTED, None, None)],
+        "subj string, subj_kind int, pred string, obj string, obj_kind int, "
+        "obj_datatype string, obj_lang string",
+    )
+    _, body, _ = render_rdfxml(df)
+    with pytest.raises(Exception, match="quoted triples"):
+        body.collect()
