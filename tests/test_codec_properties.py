@@ -1,0 +1,155 @@
+"""Property-based round-trip tests (hypothesis) for the pure-Python
+codec layers — the parts of the engine where a single mis-encoded byte
+silently corrupts data at scale:
+
+- RDF Protobuf / RDF Thrift statement codecs (encode ∘ parse identity
+  over randomized term tuples, incl. unicode literals, datatypes,
+  langtags, named graphs, quoted triples)
+- the N-Triples escape/unescape pair
+- the pure-numpy media codecs (PNG/BMP/PPM/WAV) over randomized arrays
+
+Example-based tests cover the known shapes; these sweep the input space
+the examples can't."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cli_spark.nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_QUOTED
+from cli_spark.turtle import _escape_nt_py, _nt_term_text, _unescape_py
+
+# --------------------------------------------------------------- strategies
+
+_iri = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=":/#._-"
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda s: "kg:" + s)
+
+_bnode_label = st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_\-.]{0,20}[A-Za-z0-9_\-]", fullmatch=True)
+
+# any unicode except surrogates (not encodable to UTF-8)
+_lex = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+
+_lang = st.from_regex(r"[a-z]{2}(-[a-z0-9]{1,8})?", fullmatch=True)
+
+
+@st.composite
+def _literal(draw):
+    value = draw(_lex)
+    kind = draw(st.sampled_from(["plain", "dt", "lang"]))
+    if kind == "dt":
+        return (value, KIND_LITERAL, draw(_iri), None)
+    if kind == "lang":
+        return (value, KIND_LITERAL, None, draw(_lang))
+    return (value, KIND_LITERAL, None, None)
+
+
+@st.composite
+def _node(draw):
+    if draw(st.booleans()):
+        return (draw(_iri), KIND_IRI, None, None)
+    return (draw(_bnode_label), KIND_BNODE, None, None)
+
+
+@st.composite
+def _quoted(draw):
+    s = draw(_node)
+    p = (draw(_iri), KIND_IRI, None, None)
+    o = draw(st.one_of(_node, _literal()))
+    text = "<< {} {} {} >>".format(
+        _nt_term_text(s[1], s[0], s[2], s[3]),
+        _nt_term_text(p[1], p[0], p[2], p[3]),
+        _nt_term_text(o[1], o[0], o[2], o[3]),
+    )
+    return (text, KIND_QUOTED, None, None)
+
+
+_node = _node()  # materialize composite for reuse above
+
+
+@st.composite
+def statement_rows(draw):
+    """A TRIPLE_COLS-ordered row tuple."""
+    s = draw(st.one_of(_node, _quoted()))
+    p = (draw(_iri), KIND_IRI, None, None)
+    o = draw(st.one_of(_node, _literal(), _quoted()))
+    if draw(st.booleans()):
+        g_val, g_kind = draw(_node)[:2]
+    else:
+        g_val, g_kind = None, None
+    return (s[0], s[1], p[0], p[1], o[0], o[1], o[2], o[3], g_val, g_kind)
+
+
+# --------------------------------------------------------------- RDF binary
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(statement_rows(), min_size=1, max_size=8))
+def test_rdfproto_roundtrip(rows):
+    from cli_spark import rdfproto
+
+    data = b"".join(rdfproto.encode_statement(r) for r in rows)
+    assert rdfproto.parse_stream(data) == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(statement_rows(), min_size=1, max_size=8))
+def test_rdfthrift_roundtrip(rows):
+    from cli_spark import rdfthrift
+
+    data = b"".join(rdfthrift.encode_statement(r) for r in rows)
+    assert rdfthrift.parse_stream(data) == rows
+
+
+# --------------------------------------------------------------- escaping
+
+
+@settings(max_examples=300, deadline=None)
+@given(_lex)
+def test_nt_escape_unescape_inverse(s):
+    assert _unescape_py(_escape_nt_py(s)) == s
+
+
+# --------------------------------------------------------------- media
+
+
+_img = st.tuples(
+    st.integers(1, 8), st.integers(1, 8), st.integers(0, 2**32 - 1)
+).map(
+    lambda t: np.random.default_rng(t[2]).integers(
+        0, 256, size=(t[0], t[1], 3), dtype=np.uint8
+    )
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_img)
+def test_media_image_codecs_roundtrip(img):
+    from cli_spark.ops import media_codecs as mc
+
+    assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+    rs = mc.resize_nearest(img, 3, 2)
+    assert rs.shape == (2, 3, 3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 64), st.integers(0, 2**32 - 1))
+def test_media_wav_roundtrip(n, seed):
+    from cli_spark.ops import media_codecs as mc
+
+    pcm = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=n)
+        .astype(np.int16)
+    )
+    sr, back = mc.decode_wav(mc.encode_wav(pcm, sample_rate=8000))
+    assert sr == 8000 and np.array_equal(back, pcm)
