@@ -69,7 +69,7 @@ def ordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
     # identical; their inner labels feed the same bijection as top-level
     # bnodes. Masking applies only to bnode terms and quoted-triple
     # terms, so literals containing the text "_:" are untouched.
-    _LABEL_RX = "_:[A-Za-z0-9][A-Za-z0-9_\\-.]*"
+    _LABEL_RX = "_:[A-Za-z0-9_](?:[A-Za-z0-9_\\-.]*[A-Za-z0-9_\\-])?"
 
     def masked(col):
         needs = _is_bnode(col) | col.startswith("<<")

@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(
     | (?P<longlit>\"\"\"(?:[^"\\]|\\.|"{1,2}(?!"))*\"\"\"
                  |'''(?:[^'\\]|\\.|'{1,2}(?!'))*''')
     | (?P<literal>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
-    | (?P<bnode>_:[A-Za-z0-9][A-Za-z0-9_\-.]*)
+    | (?P<bnode>_:[A-Za-z0-9_](?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?)
     | (?P<pname>[A-Za-z][A-Za-z0-9_\-.]*?:%s|:%s)
     | (?P<keyword>@prefix|@base|(?i:PREFIX|BASE|GRAPH)\b|\ba\b|true\b|false\b)
     | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)

@@ -153,3 +153,35 @@ def test_media_wav_roundtrip(n, seed):
     )
     sr, back = mc.decode_wav(mc.encode_wav(pcm, sample_rate=8000))
     assert sr == 8000 and np.array_equal(back, pcm)
+
+
+# ------------------------------------------------- parser cross-validation
+
+
+@settings(max_examples=200, deadline=None)
+@given(statement_rows())
+def test_turtle_and_nquads_parsers_agree(row):
+    """Canonical N-Triples is valid Turtle: the recursive-descent Turtle
+    parser and the N-Quads Python tokenizer must produce the identical
+    term-model row from the same line — two independent implementations
+    cross-checking each other over randomized terms."""
+    from cli_spark.nquads import _classify_py, _tokenize_terms_py
+    from cli_spark.turtle import parse_turtle_document
+
+    s, sk, p, pk, o, ok, odt, olang, g, gk = row
+    line = "{} {} {} .".format(
+        _nt_term_text(sk, s, None, None),
+        _nt_term_text(pk, p, None, None),
+        _nt_term_text(ok, o, odt, olang),
+    )
+    toks = _tokenize_terms_py(line)
+    assert len(toks) == 3
+    nq = []
+    for t in toks:
+        v, k, dt, lang = _classify_py(t)
+        nq.append((v, k, dt, lang))
+    ttl_rows = parse_turtle_document(line)
+    assert len(ttl_rows) == 1
+    r = ttl_rows[0]
+    ttl = [(r[0], r[1], None, None), (r[2], r[3], None, None), (r[4], r[5], r[6], r[7])]
+    assert ttl == nq
