@@ -185,3 +185,68 @@ def test_turtle_and_nquads_parsers_agree(row):
     r = ttl_rows[0]
     ttl = [(r[0], r[1], None, None), (r[2], r[3], None, None), (r[4], r[5], r[6], r[7])]
     assert ttl == nq
+
+
+# --------------------------------------------------------- jelly frame rows
+
+
+@st.composite
+def _jelly_rows(draw):
+    """(encode-form row, expected decode-form row) pairs for every
+    non-options wire row kind (options has its own validation matrix)."""
+    from cli_spark import jelly as J
+
+    vid = st.integers(0, 2**20)
+    name = draw(_lex.filter(lambda s: "\x00" not in s))
+    kind = draw(
+        st.sampled_from(
+            [J.KIND_TRIPLE, J.KIND_QUAD, J.KIND_NAME, J.KIND_DATATYPE,
+             J.KIND_PREFIX, J.KIND_GRAPH_START, J.KIND_GRAPH_END,
+             J.KIND_NAMESPACE]
+        )
+    )
+    if kind in (J.KIND_TRIPLE, J.KIND_QUAD):
+        enc = {
+            "kind": kind,
+            "s_id": draw(vid), "p_id": draw(vid), "o_id": draw(vid),
+            "o_kind": draw(st.integers(0, 3)),
+            "spg": draw(st.one_of(st.none(), st.integers(0, 7))),
+            "dt_id": draw(st.one_of(st.none(), vid)),
+            "lang": draw(st.one_of(st.none(), _lang)),
+        }
+        if kind == J.KIND_QUAD:
+            enc["g_id"] = draw(st.one_of(st.none(), vid))
+        exp = dict(enc)
+        exp["spg"] = enc["spg"] or 0
+        exp["dt_id"] = enc["dt_id"] or None
+        if kind == J.KIND_QUAD:
+            exp["g_id"] = enc["g_id"] or None
+        return enc, exp
+    if kind == J.KIND_NAME:
+        enc = {
+            "kind": kind, "name_id": draw(vid),
+            "prefix_id": draw(st.one_of(st.none(), vid)), "name": name,
+        }
+        return enc, {**enc, "prefix_id": enc["prefix_id"] or None}
+    if kind in (J.KIND_DATATYPE, J.KIND_PREFIX):
+        enc = {"kind": kind, "name_id": draw(vid), "name": name}
+        return enc, dict(enc)
+    if kind == J.KIND_GRAPH_START:
+        enc = {"kind": kind, "name_id": draw(vid)}
+        return enc, dict(enc)
+    if kind == J.KIND_GRAPH_END:
+        return {"kind": kind}, {"kind": kind}
+    enc = {"kind": kind, "name": name,
+           "aux": draw(st.one_of(st.none(), _lex.filter(lambda s: "\x00" not in s)))}
+    return enc, {**enc, "aux": enc["aux"] or ""}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_jelly_rows(), min_size=1, max_size=12))
+def test_jelly_frame_row_codec_roundtrip(pairs):
+    from cli_spark.jelly import decode_frame, encode_rows_to_frame
+
+    enc_rows = [p[0] for p in pairs]
+    expected = [p[1] for p in pairs]
+    decoded = decode_frame(encode_rows_to_frame(enc_rows))
+    assert decoded == expected
