@@ -98,3 +98,75 @@ def test_bnode_labels_with_hyphen_underscore_dot(spark):
     assert {r.subj_kind for r in df.collect()} == {KIND_BNODE}
     back = parse_lines(render_lines(df), "line")
     assert {(r.subj, r.obj) for r in back.collect()} == rows
+
+
+def test_jvm_and_python_parsers_agree_randomized(spark):
+    """The JVM regex path (parse_lines) and the Python fallback tokenizer
+    (_parse_lines_py) are unioned by deep_star=True — they must agree
+    EXACTLY on every line both can parse. 300 seeded-random lines sweep
+    unicode IRIs, bnode charsets, escaped literals, datatypes, langtags,
+    graphs, and quoted triples nested up to QT_MAX_DEPTH."""
+    import random
+
+    from cli_spark.nquads import QT_MAX_DEPTH, _parse_lines_py, parse_lines
+    from cli_spark.turtle import _nt_term_text
+
+    rng = random.Random(20260817)
+    CHARS = "abcXYZ019_émoji☃:/#.-"
+
+    def iri():
+        return "kg:" + "".join(rng.choice(CHARS) for _ in range(rng.randint(1, 12)))
+
+    def bnode():
+        label = rng.choice("aZ09_") + "".join(
+            rng.choice("aZ09_-.") for _ in range(rng.randint(0, 8))
+        )
+        return label.rstrip(".") or "b"
+
+    def literal():
+        lex = "".join(
+            rng.choice('ab"\\\n\t é☃') for _ in range(rng.randint(0, 10))
+        )
+        style = rng.randint(0, 2)
+        if style == 1:
+            return (lex, 2, iri(), None)
+        if style == 2:
+            return (lex, 2, None, "en-" + rng.choice("abc"))
+        return (lex, 2, None, None)
+
+    def node():
+        return (iri(), 0, None, None) if rng.random() < 0.6 else (bnode(), 1, None, None)
+
+    def term(depth):
+        r = rng.random()
+        if r < 0.25 and depth > 0:
+            inner = " ".join(
+                _nt_term_text(*reorder(t))
+                for t in (node(), (iri(), 0, None, None), term(depth - 1))
+            )
+            return (f"<< {inner} >>", 3, None, None)
+        if r < 0.6:
+            return node()
+        return literal()
+
+    def reorder(t):
+        v, k, dt, lang = t
+        return (k, v, dt, lang)
+
+    lines = []
+    for _ in range(300):
+        depth = rng.choice([0, 0, 0, 1, 2, QT_MAX_DEPTH])
+        parts = [
+            _nt_term_text(*reorder(node())),
+            _nt_term_text(*reorder((iri(), 0, None, None))),
+            _nt_term_text(*reorder(term(depth))),
+        ]
+        if rng.random() < 0.4:
+            parts.append(_nt_term_text(*reorder(node())))
+        lines.append(" ".join(parts) + " .")
+
+    src = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    jvm = sorted(map(tuple, parse_lines(src).collect()))
+    py = sorted(map(tuple, _parse_lines_py(src, "value").collect()))
+    assert len(jvm) == 300
+    assert jvm == py
