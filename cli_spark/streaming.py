@@ -172,6 +172,72 @@ def stateful_graph_runs(events: DataFrame, flush_timeout_ms: int | None = None) 
     )
 
 
+DEDUP_STATE_SCHEMA = StructType([StructField("n_seen", LongType())])
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("digest", StringType()),
+        StructField("doc_id", LongType()),
+    ]
+)
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Stateful streaming EXACT dedup: emit each distinct content digest
+    once — the first row that carries it — and drop every later
+    duplicate, across micro-batches (the streaming form of the batch
+    exact-dedup q32; the reference's stream semantics never re-emit a
+    dictionary entry either, W5).
+
+    Scale: keyed on the sha-256 digest, so state is one tiny counter per
+    DISTINCT document and the state store shards across executors by
+    key hash — no coordination, no global structure. For unbounded
+    production streams pass ``ttl_ms`` to expire idle digests via
+    ProcessingTimeTimeout (trading exactness for bounded state, the
+    standard streaming-dedup compromise; None keeps bounded test drives
+    settleable, same caveat as :func:`stateful_graph_runs`)."""
+    keyed = docs.select(
+        F.sha2(F.col(text_col).cast("string"), 256).alias("digest"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+
+    def fn(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (digest,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_seen = state.get[0] if state.exists else 0
+        first: int | None = None
+        for pdf in batches:
+            if n_seen == 0 and len(pdf):
+                ids = pdf["doc_id"]
+                first = int(ids.min())  # deterministic within the batch
+            n_seen += len(pdf)
+        state.update((n_seen,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield pd.DataFrame([(digest, first)], columns=["digest", "doc_id"])
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms else "NoTimeout",
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion synchronously (test harness):
     memory sink + processAllAvailable."""

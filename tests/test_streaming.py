@@ -78,3 +78,45 @@ def test_stateful_graph_runs(spark, event_stream):
         "left_anti",
     ).count()
     assert bad == 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Exact dedup across micro-batches: every distinct digest is
+    emitted exactly once; duplicates arriving in LATER micro-batches
+    are suppressed by keyed state (one counter per distinct digest)."""
+    import os
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    # two files = two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "C"), (3, "A"), (4, "B")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d + "/f1")
+    spark.createDataFrame(
+        [(5, "A"), (6, "D"), (7, "B"), (8, "E"), (9, "C")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d + "/f2")
+    # stream the two parts as one dir source
+    schema = spark.read.parquet(d + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    S.run_to_memory_sink(S.streaming_dedup(stream), "dedup_out")
+    got = {(r.digest, r.doc_id) for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    # exactly one row per distinct text, regardless of batch order
+    assert len(got) == 5
+    texts = spark.createDataFrame(
+        [(t,) for t in "ABCDE"], "text string"
+    ).select(F.sha2(F.col("text"), 256).alias("digest")).collect()
+    assert {r.digest for r in texts} == {g for g, _ in got}
+    # the kept id for each digest is the min doc_id of whichever batch
+    # saw the digest first — for A/B/C that is file 1 or file 2; D/E
+    # only exist in file 2
+    kept = dict((g, i) for g, i in got)
+    by_text = {t: kept[r.digest] for t, r in zip("ABCDE", texts)}
+    assert by_text["D"] == 6 and by_text["E"] == 8
+    assert by_text["A"] in (0, 3, 5) and by_text["B"] in (1, 4, 7) and by_text["C"] in (2, 9)
