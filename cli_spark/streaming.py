@@ -12,6 +12,8 @@ sessions, decoder dictionary state is keyed streaming state.
   GRAPHS-encoding state machine (JellyStreamWriterGraphs.scala:57-72):
   per-key run-length tracking with explicit state — emits one row per
   completed run boundary.
+- :func:`streaming_dedup`       stateful exact dedup across micro-batches
+  (one keyed counter per distinct content digest, optional TTL).
 """
 
 from __future__ import annotations
