@@ -389,3 +389,59 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: codes = round(v/scale) in
+    [-127, 127] with scale = max|v|/127 — 4x smaller at rest and on the
+    shuffle wire than float32 (the real 100 TB win: embedding columns
+    dominate training-corpus storage and ANN shuffle volume).
+
+    Cosine is invariant to per-vector positive scaling, so downstream
+    cosine ranking on the CODES equals ranking on scale*codes — the
+    only loss is rounding (≤ scale/2 per element, verified in
+    `test_ops`). One zero-shuffle Arrow kernel, fully vectorized."""
+    id_idx = df.columns.index(id_col)
+    vec_idx = df.columns.index(vec_col)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            mat = _flat_matrix(batch.column(vec_idx))
+            amax = np.abs(mat).max(axis=1) if mat.size else np.zeros(0)
+            scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+            codes = np.clip(
+                np.rint(mat / scale[:, None].astype(np.float64)), -127, 127
+            ).astype(np.int8)
+            n, d = codes.shape if codes.size else (0, 0)
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d, type=pa.int32())
+            lst = pa.ListArray.from_arrays(offsets, pa.array(codes.ravel(), type=pa.int8()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_idx), lst, pa.array(scale, type=pa.float32())],
+                names=[id_col, "codes", "scale"],
+            )
+
+    return df.mapInArrow(kernel, f"{id_col} long, codes array<tinyint>, scale float")
+
+
+def dequantize_embeddings(
+    qdf: DataFrame, id_col: str = "vec_id", out_col: str = "embedding"
+) -> DataFrame:
+    """(id, codes, scale) → (id, float embedding): v̂ = scale * codes.
+    Columnar (zip-free: transform over the codes array), so quantized
+    tables plug straight back into every cosine/ANN operator."""
+    return qdf.select(
+        id_col,
+        F.transform(
+            F.col("codes"), lambda c: c.cast("float") * F.col("scale")
+        ).alias(out_col),
+    )

@@ -175,3 +175,32 @@ def test_multimodal_stub_gate(spark, docs):
     blobs = MM.binarize(docs, "doc_id", "text")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         MM.decode_features(blobs, decode_stub=False).collect()
+
+
+def test_int8_quantization_roundtrip_and_ranking(spark):
+    """Quantize → dequantize reconstruction error is bounded by scale/2
+    per element, and brute-force cosine top-k over the reconstructed
+    corpus matches the exact float top-k (cosine is scale-invariant, so
+    int8 rounding is the only loss)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = S.quantize_embeddings(df)
+    back = S.dequantize_embeddings(q)
+    joined = {r.vec_id: r for r in back.collect()}
+    scales = {r.vec_id: r.scale for r in q.collect()}
+    for i, v in vecs:
+        err = np.abs(np.array(joined[i].embedding) - np.array(v)).max()
+        assert err <= scales[i] / 2 + 1e-6
+    exact = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in S.cosine_topk(df.filter("vec_id < 5"), df, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in S.cosine_topk(df.filter("vec_id < 5"), back, k=3).collect()
+    }
+    overlap = sum(exact[k] == approx.get(k) for k in exact) / len(exact)
+    assert overlap >= 0.85
