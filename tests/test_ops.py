@@ -204,3 +204,36 @@ def test_int8_quantization_roundtrip_and_ranking(spark):
     }
     overlap = sum(exact[k] == approx.get(k) for k in exact) / len(exact)
     assert overlap >= 0.85
+
+
+def test_multimodal_to_ann_composition(spark):
+    """End-to-end chain across op families: documents → binary blobs →
+    feature vectors (real PNG decode) → int8 quantization → dequantize →
+    hyperplane-LSH top-k. Every hop is a public op; the chain is one
+    lazy plan (no intermediate actions) — the integration shape a real
+    multimodal training pipeline uses."""
+    import numpy as np
+
+    from cli_spark.ops import media_codecs as mc
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(24):
+        img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+        rows.append((i, bytearray(mc.encode_png(img))))
+    blobs = spark.createDataFrame(rows, "id long, blob binary")
+    feats = MM.decode_features(blobs, decode_stub=False).withColumnRenamed(
+        "id", "vec_id"
+    ).withColumnRenamed("features", "embedding")
+    q = S.quantize_embeddings(feats)
+    back = S.dequantize_embeddings(q)
+    top = S.lsh_topk(
+        back.filter("vec_id < 4"), back, k=3, bits=4, dim=MM.FEATURE_DIM
+    )
+    got = top.collect()
+    assert len(got) > 0
+    assert all(r.query_id != r.neighbor_id and r.rnk <= 3 for r in got)
+    # feature vectors are real decodes: 16-dim grid-luma in [0, 1]
+    one = feats.first()
+    assert len(one.embedding) == MM.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in one.embedding)
