@@ -160,7 +160,7 @@ def _dispatch(spark, args) -> int:
         return 0
 
     from . import jelly as J
-    from .nquads import read_nquads, render_lines, write_nquads
+    from .nquads import read_nquads
 
     if args.rdf_cmd == "to-jelly":
         from .formats import REGISTRY as _FMT
