@@ -239,3 +239,60 @@ def ngram_jaccard(
         )
     )
     return out.select("left_id", "right_id", "n_inter", "jaccard")
+
+
+def select_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup last mile: pairs(left_id, right_id) → per-document
+    ``(id, comp, score, survivor_id, keep)`` — transitive clusters via
+    the checkpointed CC loop, one survivor per cluster = highest quality
+    score (ties → lowest id), docs in no pair survive as singletons.
+
+    ``score_df`` overrides the quality signal as (id, score); default is
+    token count from :func:`cli_spark.ops.textstats.quality_scores`.
+
+    Scale: CC runs on the (small) pair graph, not the corpus; scoring is
+    one row-local pass; ranking is a window PARTITIONED by cluster id
+    (bounded partitions — a cluster is at most its LSH-capped transitive
+    closure), then a broadcast-friendly join back. The keep-set feeds a
+    semi-join filter upstream of training-data materialization."""
+    from ..canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col("left_id").cast("string").alias("src"),
+        F.col("right_id").cast("string").alias("dst"),
+    )
+    comps = connected_components(edges).select(
+        F.col("node").cast("long").alias("id"),
+        F.col("component").cast("long").alias("comp"),
+    )
+    if score_df is None:
+        from .textstats import quality_scores
+
+        score_df = quality_scores(docs, id_col, text_col).select(
+            "id", F.col("n_tokens").cast("double").alias("score")
+        )
+    member = (
+        docs.select(F.col(id_col).cast("long").alias("id"))
+        .join(comps, "id", "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("id")))
+    )
+    scored = member.join(score_df, "id")
+    w = W.partitionBy("comp").orderBy(F.desc("score"), F.col("id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("id").alias("survivor_id"))
+    )
+    return scored.join(best, "comp").select(
+        "id",
+        "comp",
+        "score",
+        "survivor_id",
+        (F.col("id") == F.col("survivor_id")).alias("keep"),
+    )

@@ -237,3 +237,26 @@ def test_multimodal_to_ann_composition(spark):
     one = feats.first()
     assert len(one.embedding) == MM.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in one.embedding)
+
+
+def test_select_survivors(spark, docs):
+    """Near-dup clusters keep exactly one doc — the highest-quality
+    member (token count), ties to the lowest id; non-duplicated docs
+    survive as singletons."""
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    out = {r.id: r for r in D.select_survivors(docs, pairs).collect()}
+    assert len(out) == 6
+    # 0, 1, 2 are one near-dup cluster; the survivor is shared and unique
+    cluster = {out[i].survivor_id for i in (0, 1, 2)}
+    assert len(cluster) == 1
+    surv = cluster.pop()
+    assert out[surv].keep and surv in (0, 1, 2)
+    # docs 3, 4, 5 are singletons: each survives itself
+    for i in (3, 4, 5):
+        assert out[i].survivor_id == i and out[i].keep
+    # exactly one keep per component
+    comps = {}
+    for r in out.values():
+        comps.setdefault(r.comp, 0)
+        comps[r.comp] += int(r.keep)
+    assert all(v == 1 for v in comps.values())
