@@ -260,3 +260,31 @@ def test_select_survivors(spark, docs):
         comps.setdefault(r.comp, 0)
         comps[r.comp] += int(r.keep)
     assert all(v == 1 for v in comps.values())
+
+
+def test_textstats_invariants_randomized(spark):
+    """Quality/language/token stats hold their documented invariants on
+    200 seeded-random unicode documents (ratios in [0, 1], counts
+    consistent) — the columnar expressions can't go out of range on
+    adversarial input."""
+    import random
+
+    rng = random.Random(99)
+    alphabet = "abc DEF .,!?\n\t éßñ 中文 0123 \"'\\"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = T.quality_scores(docs, "doc_id", "text").collect()
+    assert len(q) == 200
+    for r in q:
+        assert r.n_chars >= 0 and r.n_tokens >= 0
+        for ratio in (r.punct_ratio, r.stopword_ratio, r.upper_ratio):
+            assert ratio is None or 0.0 <= ratio <= 1.0
+        if r.n_tokens:
+            assert r.avg_token_len > 0
+    t = T.token_counts(docs, "doc_id", "text").collect()
+    by_id = {r.id: r for r in t}
+    for i, text in rows:
+        assert by_id[i].n_ws_tokens == len(text.split())
