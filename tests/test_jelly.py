@@ -209,3 +209,69 @@ def test_roundtrip_typed_literals(spark):
     # the datatype table must be dictionary rows, not inline strings
     rows = J.decode_frames(J.encode_triples(spark, triples))
     assert rows.filter(F.col("row_kind") == J.KIND_DATATYPE).count() == 2
+
+
+def test_roundtrip_randomized_terms(spark):
+    """Wire-format roundtrip over 400 seeded-random statements sweeping
+    unicode IRIs, bnode label charsets, escaped/datatyped/langtagged
+    literals, and quoted triples — with a small dictionary (forces
+    multiple segments + prefix table) so every codec path is hot. The
+    corpus-derived fixtures can't reach these charsets."""
+    import random
+
+    from cli_spark.nquads import KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_QUOTED
+    from cli_spark.turtle import _nt_term_text
+
+    rng = random.Random(424242)
+    CHARS = "abcXYZ019_émoji☃/#.-"
+
+    def iri():
+        return "http://e.org/" + "".join(
+            rng.choice(CHARS) for _ in range(rng.randint(1, 10))
+        )
+
+    def term():
+        r = rng.random()
+        if r < 0.35:
+            return (iri(), KIND_IRI, None, None)
+        if r < 0.5:
+            lbl = (rng.choice("aZ09_") + "".join(
+                rng.choice("aZ09_-.") for _ in range(rng.randint(0, 6))
+            )).rstrip(".") or "b"
+            return (lbl, KIND_BNODE, None, None)
+        if r < 0.9:
+            lex = "".join(rng.choice('ab"\\\n\t é☃') for _ in range(rng.randint(0, 12)))
+            style = rng.randint(0, 2)
+            if style == 1:
+                return (lex, KIND_LITERAL, iri(), None)
+            if style == 2:
+                return (lex, KIND_LITERAL, None, "en")
+            return (lex, KIND_LITERAL, None, None)
+        s, sk, _, _ = (iri(), KIND_IRI, None, None)
+        o = term() if rng.random() < 0.3 else (iri(), KIND_IRI, None, None)
+        inner = " ".join(
+            (_nt_term_text(sk, s, None, None),
+             _nt_term_text(KIND_IRI, iri(), None, None),
+             _nt_term_text(o[1], o[0], o[2], o[3]))
+        )
+        return (f"<< {inner} >>", KIND_QUOTED, None, None)
+
+    rows = []
+    for _ in range(400):
+        s = term()
+        while s[1] == KIND_LITERAL:  # standard RDF subject
+            s = term()
+        o = term()
+        rows.append((s[0], iri(), o[0], o[1], o[2], o[3]))
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_kind int, "
+        "obj_datatype string, obj_lang string",
+    ).distinct().cache()
+    back = J.roundtrip(
+        spark, df, rows_per_frame=37, max_name_table=64, prefix_table=True
+    ).select(*df.columns)
+    # python-side set compare: exceptAll over the self-derived decode
+    # lineage trips a Catalyst binding bug (ATTRIBUTE_NOT_FOUND on the
+    # pruned obj_datatype) in Spark 4.1; 400 rows collect fine
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
