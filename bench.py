@@ -267,8 +267,47 @@ def scaling_probe() -> dict:
     return out
 
 
+def _headline(res: dict) -> dict:
+    """Compact last-line JSON for the driver's tail capture.
+
+    The r3 record was lost because the full object (trial matrices +
+    embedded scaling block) outgrew the driver's ~2,000-char tail
+    capture, so BENCH_r03.json recorded parsed=null. The full object
+    now goes to BENCH_VERBOSE.json (and SCALING.json stays its own
+    file); the final stdout line carries only the graded fields and is
+    guaranteed small."""
+    return {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "queries": res["queries"],
+        "sf": res["sf"],
+        "cpus": res["cpus"],
+        "pipeline_seconds": res["pipeline"]["seconds"],
+        "pipeline_triples": res["pipeline"]["n_triples"],
+        "total_seconds": res["total_seconds"],
+        "trials": res["pipeline"]["trials"],
+        "estimator": "min",
+        "detail": "BENCH_VERBOSE.json",
+        "scaling_efficiency": (
+            (res.get("scaling") or {}).get("executor_mode") or {}
+        ).get(
+            "scaling_efficiency_1_to_4",
+            (res.get("scaling") or {}).get("scaling_efficiency_1_to_4"),
+        ),
+        "scaling_detail": "SCALING.json + BENCH.md",
+    }
+
+
 if __name__ == "__main__":
     res = bench()
     if "--scaling" in sys.argv:
         res["scaling"] = scaling_probe()
-    print(json.dumps(res))
+    verbose_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_VERBOSE.json"
+    )
+    with open(verbose_path, "w") as f:
+        json.dump(res, f, indent=2)
+    # Compact headline as the FINAL stdout line — everything above it is
+    # free-form; the driver parses only the last line.
+    print(json.dumps(_headline(res)))

@@ -67,12 +67,20 @@ TRIPLE_COLS = [
 ]
 
 
-def _unescape(c: Column) -> Column:
+def _unescape_segment(c: Column) -> Column:
     for esc, raw in ((r"\\t", "\t"), (r"\\r", "\r"), (r"\\n", "\n"), (r'\\"', '"')):
         c = F.regexp_replace(c, F.lit(esc), F.lit(raw))
-    # Java replacement strings treat '\' specially: two backslashes in
-    # the replacement emit one literal backslash.
-    return F.regexp_replace(c, F.lit(r"\\\\"), F.lit("\\\\"))
+    return c
+
+
+def _unescape(c: Column) -> Column:
+    # Split on escaped-backslash pairs FIRST: an ordered replace chain
+    # mis-decodes '\\t' (escaped backslash + literal t) as backslash+TAB
+    # because the '\t' replace fires inside the pair. Within a segment
+    # no '\\' pair remains, so every '\t'/'\r'/'\n'/'\"' is a genuine
+    # escape; rejoining with a single backslash restores the pairs.
+    segs = F.split(c, r"\\\\", -1)
+    return F.array_join(F.transform(segs, _unescape_segment), "\\")
 
 
 def _escape(c: Column) -> Column:
@@ -153,13 +161,23 @@ def _tokenize_terms_py(line: str) -> list[str]:
             terms.append(line[i:j])
             i = j
         elif c == "_" and line.startswith("_:", i):
+            # same ASCII label class as TERM_RX: first char [A-Za-z0-9_],
+            # body [A-Za-z0-9_.-], never ending in '.' (that dot is the
+            # statement terminator). str.isalnum() would be unicode-wide
+            # and accept labels the JVM regex rejects.
             j = i + 2
-            while j < n and (line[j].isalnum() or line[j] in "_-."):
+            if j < n and (line[j].isascii() and (line[j].isalnum() or line[j] == "_")):
                 j += 1
-            while line[j - 1] == ".":  # trailing dot = statement terminator
-                j -= 1
-            terms.append(line[i:j])
-            i = j
+                while j < n and line[j].isascii() and (
+                    line[j].isalnum() or line[j] in "_-."
+                ):
+                    j += 1
+                while line[j - 1] == ".":  # trailing dot = statement terminator
+                    j -= 1
+                terms.append(line[i:j])
+                i = j
+            else:
+                i += 2  # '_:' with no valid label start: no term, as in TERM_RX
         elif c == '"':
             j = i + 1
             while j < n and line[j] != '"':
@@ -180,11 +198,17 @@ def _tokenize_terms_py(line: str) -> list[str]:
     return terms
 
 
+_UNESC_RX = __import__("re").compile(r"\\(.)")
+_UNESC_MAP = {"t": "\t", "r": "\r", "n": "\n", '"': '"', "\\": "\\"}
+
+
 def _unescape_py(s: str) -> str:
-    """Python mirror of the column _unescape (same replace order)."""
-    for esc, raw in (("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"), ('\\"', '"')):
-        s = s.replace(esc, raw)
-    return s.replace("\\\\", "\\")
+    """Python mirror of the column _unescape: one left-to-right pass, so
+    '\\\\t' decodes to backslash + 't' (not backslash + TAB); unknown
+    escapes pass through unchanged, matching the column version."""
+    return _UNESC_RX.sub(
+        lambda m: _UNESC_MAP.get(m.group(1), "\\" + m.group(1)), s
+    )
 
 
 def _classify_py(term: str | None):
@@ -224,7 +248,13 @@ def _parse_lines_py(lines: DataFrame, text_col: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for line in pdf[text_col]:
-                t = _tokenize_terms_py(line)
+                try:
+                    t = _tokenize_terms_py(line)
+                except ValueError:
+                    # malformed/unterminated IRI: the JVM regex path
+                    # silently drops such lines — match that, don't
+                    # crash the task (divergent failure mode otherwise)
+                    continue
                 if len(t) not in (3, 4):
                     continue
                 sv, sk, _, _ = _classify_py(t[0])

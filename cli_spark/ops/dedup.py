@@ -282,7 +282,12 @@ def select_survivors(
         .join(comps, "id", "left")
         .withColumn("comp", F.coalesce(F.col("comp"), F.col("id")))
     )
-    scored = member.join(score_df, "id")
+    # left join: a doc missing from a caller-supplied score_df must not
+    # silently vanish (it would be neither kept nor marked downstream);
+    # it competes with score 0.0 and the lowest-id tiebreak still applies
+    scored = member.join(score_df, "id", "left").withColumn(
+        "score", F.coalesce(F.col("score"), F.lit(0.0))
+    )
     w = W.partitionBy("comp").orderBy(F.desc("score"), F.col("id"))
     best = (
         scored.withColumn("rn", F.row_number().over(w))

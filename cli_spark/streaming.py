@@ -219,11 +219,14 @@ def streaming_dedup(
             state.remove()
             return
         n_seen = state.get[0] if state.exists else 0
+        emit = n_seen == 0  # digest unseen before this trigger
         first: int | None = None
         for pdf in batches:
-            if n_seen == 0 and len(pdf):
-                ids = pdf["doc_id"]
-                first = int(ids.min())  # deterministic within the batch
+            if emit and len(pdf):
+                # running min across ALL chunks of the trigger, so the
+                # survivor id is chunk-boundary independent
+                m = int(pdf["doc_id"].min())
+                first = m if first is None else min(first, m)
             n_seen += len(pdf)
         state.update((n_seen,))
         if ttl_ms:

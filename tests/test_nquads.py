@@ -100,6 +100,57 @@ def test_bnode_labels_with_hyphen_underscore_dot(spark):
     assert {(r.subj, r.obj) for r in back.collect()} == rows
 
 
+def test_escaped_backslash_before_escape_char(spark):
+    """Regression: source '\\\\t' (escaped backslash + literal t) must
+    decode to backslash + 't', NOT backslash + TAB — the old ordered
+    replace chain fired the '\\t' rule inside the pair. Covers the
+    column parser, the Python mirror, and render→parse identity."""
+    from cli_spark.nquads import _unescape_py, parse_lines, render_lines
+
+    BS = "\\"  # one backslash character
+    cases = {
+        # lexical form (source)        → decoded value
+        BS + BS + "t": BS + "t",             # \\t  = esc backslash, then 't'
+        BS + BS + BS + "t": BS + "\t",       # \\\t = esc backslash + esc TAB
+        BS + BS + BS + BS + "t": BS + BS + "t",  # \\\\t = two backslashes + 't'
+        "a" + BS + BS: "a" + BS,             # trailing escaped backslash
+        BS + "n" + BS + BS + "n": "\n" + BS + "n",  # \n then esc-backslash+'n'
+    }
+    lines = [f'<kg:s> <kg:p> "{lex}" .' for lex in cases]
+    df = parse_lines(spark.createDataFrame([(ln,) for ln in lines], "value string"))
+    got = sorted(r.obj for r in df.collect())
+    assert got == sorted(cases.values())
+    # Python mirror agrees on the raw lexical forms
+    for lex, want in cases.items():
+        assert _unescape_py(lex) == want
+    # render-then-parse identity over the decoded values
+    back = parse_lines(render_lines(df), "line")
+    assert sorted(r.obj for r in back.collect()) == sorted(cases.values())
+
+
+def test_python_tokenizer_malformed_and_charset(spark):
+    """The deep-star Python fallback must (a) DROP lines with an
+    unterminated IRI instead of crashing the task (JVM-path parity) and
+    (b) reject bnode labels outside the ASCII TERM_RX class, so a line's
+    rows cannot depend on which parser routed it."""
+    from cli_spark.nquads import _parse_lines_py, _tokenize_terms_py
+
+    # (a) unterminated IRI: no ValueError escape, line dropped
+    bad = "<kg:s> <kg:p <kg:o> ."
+    df = _parse_lines_py(
+        spark.createDataFrame([(bad,), ("<kg:s> <kg:p> <kg:o> .",)], "value string"),
+        "value",
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].subj == "kg:s"
+    # (b) unicode / leading '-' labels: the JVM regex would not match
+    assert _tokenize_terms_py("_:é <kg:p> <kg:o> .")[0] != "_:é"
+    toks = _tokenize_terms_py("_:-x <kg:p> <kg:o> .")
+    assert all(not t.startswith("_:-") for t in toks)
+    # valid ASCII label still tokenizes
+    assert _tokenize_terms_py("_:a-b.c <kg:p> <kg:o> .")[0] == "_:a-b.c"
+
+
 def test_jvm_and_python_parsers_agree_randomized(spark):
     """The JVM regex path (parse_lines) and the Python fallback tokenizer
     (_parse_lines_py) are unioned by deep_star=True — they must agree

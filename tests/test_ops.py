@@ -262,6 +262,24 @@ def test_select_survivors(spark, docs):
     assert all(v == 1 for v in comps.values())
 
 
+def test_select_survivors_partial_score_df(spark, docs):
+    """A caller-supplied score_df that misses some doc ids must not drop
+    those docs from the output (old inner join did): they compete with a
+    default score of 0.0 and singletons still keep themselves."""
+    import pyspark.sql.functions as F
+
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    # score only doc 1 (inside the 0/1/2 cluster) and doc 3 (singleton)
+    score_df = spark.createDataFrame([(1, 5.0), (3, 2.0)], "id long, score double")
+    out = {r.id: r for r in D.select_survivors(docs, pairs, score_df=score_df).collect()}
+    assert len(out) == 6  # nothing vanished
+    # doc 1 is the only scored member of its cluster → it wins
+    assert out[1].keep and out[0].survivor_id == 1 and out[2].survivor_id == 1
+    # unscored singletons keep themselves with the default score
+    for i in (4, 5):
+        assert out[i].keep and out[i].score == 0.0
+
+
 def test_textstats_invariants_randomized(spark):
     """Quality/language/token stats hold their documented invariants on
     200 seeded-random unicode documents (ratios in [0, 1], counts
