@@ -1,0 +1,675 @@
+"""The real Jelly protobuf wire format — pure-Python codec + resolver.
+
+This module speaks the actual ``RdfStreamFrame`` protobuf schema used by
+the reference CLI (the public Jelly-RDF protocol), so streams written
+here are readable by ``jelly-cli`` and the reference's own golden
+fixtures (``/root/reference/src/test/resources/*.jelly``, exercised by
+``RdfInspectSpec.scala:205-254``, ``RdfToJellySpec.scala:461-536``,
+``RdfValidateSpec.scala:32-46``) decode here — see
+``tests/test_jelly_conformance.py``. Field numbers were cross-checked
+against those fixtures byte-by-byte; no protobuf runtime is needed (the
+wire spec is public and tiny).
+
+Schema (field numbers; proto3 semantics — zero/empty omitted):
+
+  file            := (varint frame_len, frame)*          delimited
+                   | frame                               non-delimited
+  RdfStreamFrame  := { 1: repeated RdfStreamRow }        (other fields,
+                     e.g. the v1.1 metadata map, are skipped leniently)
+  RdfStreamRow    := oneof { 1: RdfStreamOptions, 2: RdfTriple,
+                     3: RdfQuad, 4: RdfGraphStart, 5: RdfGraphEnd,
+                     6: RdfNamespaceDeclaration, 9: RdfNameEntry,
+                     10: RdfPrefixEntry, 11: RdfDatatypeEntry }
+  RdfStreamOptions:= { 1: stream_name, 2: physical_type,
+                     3: generalized_statements, 4: rdf_star,
+                     9: max_name_table_size, 10: max_prefix_table_size,
+                     11: max_datatype_table_size, 14: logical_type,
+                     15: version }
+  RdfTriple       := subject oneof  { 1: s_iri, 2: s_bnode,
+                                      3: s_literal, 4: s_triple_term }
+                     predicate oneof{ 5: p_iri, 6: p_bnode,
+                                      7: p_literal, 8: p_triple_term }
+                     object oneof   { 9: o_iri, 10: o_bnode,
+                                      11: o_literal, 12: o_triple_term }
+  RdfQuad         := RdfTriple fields ++ graph oneof
+                     { 13: g_iri, 14: g_bnode, 15: g_default_graph,
+                       16: g_literal }
+  RdfGraphStart   := graph oneof { 1: g_iri, 2: g_bnode,
+                     3: g_default_graph, 4: g_literal }
+  RdfGraphEnd     := {}
+  RdfIri          := { 1: prefix_id, 2: name_id }
+  RdfLiteral      := { 1: lex, 2: langtag, 3: datatype_id }
+  RdfDefaultGraph := {}
+  Rdf{Name,Prefix,Datatype}Entry := { 1: id, 2: value }
+  RdfNamespaceDeclaration        := { 1: name, 2: RdfIri }
+
+Stateful compression (handled by :class:`StreamState` on decode; the
+Spark encoder always writes the explicit forms, which is legal):
+  - entry id 0            = previous entry id + 1 (per table)
+  - RdfIri.name_id 0      = previous name_id + 1 (shared across all IRIs
+                            in stream order, depth-first through quoted
+                            triples)
+  - RdfIri.prefix_id 0    = same prefix as the previous IRI
+  - statement term unset  = same term as the previous statement in that
+                            position (elision)
+  - entry id reuse        = the table slot is overwritten (bounded
+                            dictionaries)
+
+Term dicts used by this module (raw = wire refs, unresolved):
+  IRI     {"k": 0, "pid": int, "nid": int}
+  BNODE   {"k": 1, "v": label}
+  LITERAL {"k": 2, "v": lex, "lang": str|None, "dt": int (0 = none)}
+  QUOTED  {"k": 3, "s": term, "p": term, "o": term}
+  DEFAULT {"k": 4}                       (graph position only)
+
+Row dicts:
+  {"kind": K_OPTIONS, "stream_name", "physical", "generalized",
+   "rdf_star", "logical", "version", "max_name", "max_prefix", "max_dt"}
+  {"kind": K_TRIPLE, "s": term|None, "p": term|None, "o": term|None}
+  {"kind": K_QUAD,   ... , "g": term|None}
+  {"kind": K_GRAPH_START, "g": term}
+  {"kind": K_GRAPH_END}
+  {"kind": K_NAME|K_PREFIX|K_DATATYPE, "id": int, "value": str}
+  {"kind": K_NAMESPACE, "name": str, "iri": {"pid", "nid"}}
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterable, Iterator
+
+# Row-kind constants ARE the RdfStreamRow oneof field numbers.
+K_OPTIONS = 1
+K_TRIPLE = 2
+K_QUAD = 3
+K_GRAPH_START = 4
+K_GRAPH_END = 5
+K_NAMESPACE = 6
+K_NAME = 9
+K_PREFIX = 10
+K_DATATYPE = 11
+
+# Term kinds (match cli_spark.nquads KIND_*; 4 = default graph).
+T_IRI = 0
+T_BNODE = 1
+T_LITERAL = 2
+T_QUOTED = 3
+T_DEFAULT_GRAPH = 4
+
+# ---------------------------------------------------------------------------
+# varint / TLV primitives
+# ---------------------------------------------------------------------------
+
+
+def write_varint(buf, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    buf = io.BytesIO()
+    write_varint(buf, (field << 3) | wire)
+    return buf.getvalue()
+
+
+def _put_varint_field(buf, field: int, v: int | None) -> None:
+    if v:
+        buf.write(_tag(field, 0))
+        write_varint(buf, int(v))
+
+
+def _put_bytes_field(buf, field: int, raw: bytes) -> None:
+    buf.write(_tag(field, 2))
+    write_varint(buf, len(raw))
+    buf.write(raw)
+
+
+def _put_str_field(buf, field: int, s: str | None) -> None:
+    if s:
+        _put_bytes_field(buf, field, s.encode("utf-8"))
+
+
+def _put_msg_field(buf, field: int, body: bytes) -> None:
+    _put_bytes_field(buf, field, body)
+
+
+def _skip_field(data: bytes, pos: int, wire: int) -> int:
+    """Lenient skip of an unknown field (forward compatibility)."""
+    if wire == 0:
+        _, pos = read_varint(data, pos)
+    elif wire == 2:
+        n, pos = read_varint(data, pos)
+        pos += n
+    elif wire == 5:
+        pos += 4
+    elif wire == 1:
+        pos += 8
+    else:
+        raise ValueError(f"unsupported wire type {wire}")
+    return pos
+
+
+def _fields(data: bytes) -> Iterator[tuple[int, int, object]]:
+    """Iterate (field_no, wire_type, value) over a message's bytes."""
+    pos, end = 0, len(data)
+    while pos < end:
+        tag, pos = read_varint(data, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = read_varint(data, pos)
+            yield field, wire, v
+        elif wire == 2:
+            n, pos = read_varint(data, pos)
+            yield field, wire, data[pos : pos + n]
+            pos += n
+        else:
+            npos = _skip_field(data, pos, wire)
+            yield field, wire, data[pos:npos]
+            pos = npos
+
+
+# ---------------------------------------------------------------------------
+# term codec
+# ---------------------------------------------------------------------------
+
+
+def _encode_iri(term: dict) -> bytes:
+    buf = io.BytesIO()
+    _put_varint_field(buf, 1, term.get("pid"))
+    _put_varint_field(buf, 2, term.get("nid"))
+    return buf.getvalue()
+
+
+def _encode_literal(term: dict) -> bytes:
+    buf = io.BytesIO()
+    _put_str_field(buf, 1, term.get("v"))
+    _put_str_field(buf, 2, term.get("lang"))
+    _put_varint_field(buf, 3, term.get("dt"))
+    return buf.getvalue()
+
+
+def _encode_statement(row: dict, quad: bool) -> bytes:
+    buf = io.BytesIO()
+    for pos_i, key in enumerate(("s", "p", "o")):
+        term = row.get(key)
+        if term is None:
+            continue  # elided: same as previous statement
+        base = pos_i * 4
+        k = term["k"]
+        if k == T_IRI:
+            _put_msg_field(buf, base + 1, _encode_iri(term))
+        elif k == T_BNODE:
+            _put_bytes_field(buf, base + 2, (term.get("v") or "").encode("utf-8"))
+        elif k == T_LITERAL:
+            _put_msg_field(buf, base + 3, _encode_literal(term))
+        elif k == T_QUOTED:
+            _put_msg_field(buf, base + 4, _encode_statement(term, quad=False))
+        else:
+            raise ValueError(f"term kind {k} invalid in position {key}")
+    if quad:
+        g = row.get("g")
+        if g is not None:
+            k = g["k"]
+            if k == T_IRI:
+                _put_msg_field(buf, 13, _encode_iri(g))
+            elif k == T_BNODE:
+                _put_bytes_field(buf, 14, (g.get("v") or "").encode("utf-8"))
+            elif k == T_DEFAULT_GRAPH:
+                _put_msg_field(buf, 15, b"")
+            elif k == T_LITERAL:
+                _put_msg_field(buf, 16, _encode_literal(g))
+            else:
+                raise ValueError(f"term kind {k} invalid in graph position")
+    return buf.getvalue()
+
+
+def _decode_iri(data: bytes) -> dict:
+    t = {"k": T_IRI, "pid": 0, "nid": 0}
+    for field, _w, v in _fields(data):
+        if field == 1:
+            t["pid"] = v
+        elif field == 2:
+            t["nid"] = v
+    return t
+
+
+def _decode_literal(data: bytes) -> dict:
+    t = {"k": T_LITERAL, "v": "", "lang": None, "dt": 0}
+    for field, _w, v in _fields(data):
+        if field == 1:
+            t["v"] = v.decode("utf-8")
+        elif field == 2:
+            t["lang"] = v.decode("utf-8")
+        elif field == 3:
+            t["dt"] = v
+    return t
+
+
+def _decode_statement(data: bytes, quad: bool) -> dict:
+    row = {"kind": K_QUAD if quad else K_TRIPLE, "s": None, "p": None, "o": None}
+    if quad:
+        row["g"] = None
+    for field, _w, v in _fields(data):
+        if 1 <= field <= 12:
+            key = ("s", "p", "o")[(field - 1) // 4]
+            sel = (field - 1) % 4
+            if sel == 0:
+                row[key] = _decode_iri(v)
+            elif sel == 1:
+                row[key] = {"k": T_BNODE, "v": v.decode("utf-8")}
+            elif sel == 2:
+                row[key] = _decode_literal(v)
+            else:
+                sub = _decode_statement(v, quad=False)
+                row[key] = {
+                    "k": T_QUOTED, "s": sub["s"], "p": sub["p"], "o": sub["o"]
+                }
+        elif field == 13:
+            row["g"] = _decode_iri(v)
+        elif field == 14:
+            row["g"] = {"k": T_BNODE, "v": v.decode("utf-8")}
+        elif field == 15:
+            row["g"] = {"k": T_DEFAULT_GRAPH}
+        elif field == 16:
+            row["g"] = _decode_literal(v)
+    return row
+
+
+# ---------------------------------------------------------------------------
+# row codec
+# ---------------------------------------------------------------------------
+
+
+def encode_row(row: dict) -> bytes:
+    kind = row["kind"]
+    body = io.BytesIO()
+    if kind == K_OPTIONS:
+        _put_str_field(body, 1, row.get("stream_name"))
+        _put_varint_field(body, 2, row.get("physical"))
+        _put_varint_field(body, 3, 1 if row.get("generalized") else 0)
+        _put_varint_field(body, 4, 1 if row.get("rdf_star") else 0)
+        _put_varint_field(body, 9, row.get("max_name"))
+        _put_varint_field(body, 10, row.get("max_prefix"))
+        _put_varint_field(body, 11, row.get("max_dt"))
+        _put_varint_field(body, 14, row.get("logical"))
+        _put_varint_field(body, 15, row.get("version"))
+    elif kind in (K_TRIPLE, K_QUAD):
+        body.write(_encode_statement(row, quad=kind == K_QUAD))
+    elif kind == K_GRAPH_START:
+        g = row["g"]
+        k = g["k"]
+        if k == T_IRI:
+            _put_msg_field(body, 1, _encode_iri(g))
+        elif k == T_BNODE:
+            _put_bytes_field(body, 2, (g.get("v") or "").encode("utf-8"))
+        elif k == T_DEFAULT_GRAPH:
+            _put_msg_field(body, 3, b"")
+        elif k == T_LITERAL:
+            _put_msg_field(body, 4, _encode_literal(g))
+        else:
+            raise ValueError(f"term kind {k} invalid in graph_start")
+    elif kind == K_GRAPH_END:
+        pass
+    elif kind in (K_NAME, K_PREFIX, K_DATATYPE):
+        _put_varint_field(body, 1, row.get("id"))
+        _put_str_field(body, 2, row.get("value"))
+    elif kind == K_NAMESPACE:
+        _put_str_field(body, 1, row.get("name"))
+        iri = row.get("iri") or {}
+        _put_msg_field(body, 2, _encode_iri(iri))
+    else:
+        raise ValueError(f"unknown row kind {kind}")
+    out = io.BytesIO()
+    _put_msg_field(out, kind, body.getvalue())
+    return out.getvalue()
+
+
+def decode_row(data: bytes) -> dict:
+    it = _fields(data)
+    try:
+        kind, _w, v = next(it)
+    except StopIteration:
+        raise ValueError("empty RdfStreamRow") from None
+    if kind == K_OPTIONS:
+        row = {
+            "kind": K_OPTIONS, "stream_name": "", "physical": 0,
+            "generalized": False, "rdf_star": False, "logical": 0,
+            "version": 0, "max_name": 0, "max_prefix": 0, "max_dt": 0,
+        }
+        for field, _fw, fv in _fields(v):
+            if field == 1:
+                row["stream_name"] = fv.decode("utf-8")
+            elif field == 2:
+                row["physical"] = fv
+            elif field == 3:
+                row["generalized"] = bool(fv)
+            elif field == 4:
+                row["rdf_star"] = bool(fv)
+            elif field == 9:
+                row["max_name"] = fv
+            elif field == 10:
+                row["max_prefix"] = fv
+            elif field == 11:
+                row["max_dt"] = fv
+            elif field == 14:
+                row["logical"] = fv
+            elif field == 15:
+                row["version"] = fv
+        return row
+    if kind in (K_TRIPLE, K_QUAD):
+        return _decode_statement(v, quad=kind == K_QUAD)
+    if kind == K_GRAPH_START:
+        row = {"kind": K_GRAPH_START, "g": {"k": T_DEFAULT_GRAPH}}
+        for field, _fw, fv in _fields(v):
+            if field == 1:
+                row["g"] = _decode_iri(fv)
+            elif field == 2:
+                row["g"] = {"k": T_BNODE, "v": fv.decode("utf-8")}
+            elif field == 3:
+                row["g"] = {"k": T_DEFAULT_GRAPH}
+            elif field == 4:
+                row["g"] = _decode_literal(fv)
+        return row
+    if kind == K_GRAPH_END:
+        return {"kind": K_GRAPH_END}
+    if kind in (K_NAME, K_PREFIX, K_DATATYPE):
+        row = {"kind": kind, "id": 0, "value": ""}
+        for field, _fw, fv in _fields(v):
+            if field == 1:
+                row["id"] = fv
+            elif field == 2:
+                row["value"] = fv.decode("utf-8")
+        return row
+    if kind == K_NAMESPACE:
+        row = {"kind": K_NAMESPACE, "name": "", "iri": {"k": T_IRI, "pid": 0, "nid": 0}}
+        for field, _fw, fv in _fields(v):
+            if field == 1:
+                row["name"] = fv.decode("utf-8")
+            elif field == 2:
+                row["iri"] = _decode_iri(fv)
+        return row
+    raise ValueError(f"unknown RdfStreamRow field {kind}")
+
+
+# ---------------------------------------------------------------------------
+# frame codec
+# ---------------------------------------------------------------------------
+
+
+def encode_frame(rows: Iterable[dict]) -> bytes:
+    buf = io.BytesIO()
+    for row in rows:
+        # frame field 1 wraps each RdfStreamRow message (which itself
+        # starts with its oneof kind tag)
+        _put_bytes_field(buf, 1, encode_row(row))
+    return buf.getvalue()
+
+
+def decode_frame(data: bytes) -> list[dict]:
+    rows = []
+    for field, wire, v in _fields(data):
+        if field == 1 and wire == 2:
+            rows.append(decode_row(v))
+        # any other frame field (e.g. v1.1 metadata) is skipped leniently
+    return rows
+
+
+def split_delimited(data: bytes) -> tuple[bool, list[bytes]]:
+    """File bytes → (delimited?, frame byte blobs). Autodetect per the
+    reference (JellyUtil.scala:24-40): a non-delimited file starts with
+    the frame's own first row tag 0x0A (field 1, wire 2); a delimited
+    one starts with a varint frame length. 0x0A as the first byte of a
+    delimited file would mean frame_len 10 followed by a row tag — the
+    probe reproduces the upstream heuristic: first byte 0x0A ⇒
+    non-delimited."""
+    if not data:
+        return True, []
+    if data[0] == 0x0A:
+        return False, [data]
+    frames, pos = [], 0
+    while pos < len(data):
+        n, pos = read_varint(data, pos)
+        frames.append(data[pos : pos + n])
+        pos += n
+    return True, frames
+
+
+def write_delimited(frames: Iterable[bytes]) -> bytes:
+    buf = io.BytesIO()
+    for fb in frames:
+        write_varint(buf, len(fb))
+        buf.write(fb)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# N-Triples-star rendering of resolved terms (for the "<< ... >>" quoted
+# term surface used by the internal statement model)
+# ---------------------------------------------------------------------------
+
+
+def _escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+def render_resolved_term(value, kind, dt=None, lang=None) -> str:
+    """Resolved term → N-Triples-star source text (used for quoted-term
+    sub-terms; top-level terms stay columnar)."""
+    if kind == T_IRI:
+        return f"<{value}>"
+    if kind == T_BNODE:
+        return f"_:{value}"
+    if kind == T_QUOTED:
+        return value  # already "<< ... >>" text
+    lex = f'"{_escape(value or "")}"'
+    if lang:
+        return f"{lex}@{lang}"
+    if dt:
+        return f"{lex}^^<{dt}>"
+    return lex
+
+
+# ---------------------------------------------------------------------------
+# stream resolver: raw row stream → fully-explicit, fully-resolved rows
+# ---------------------------------------------------------------------------
+
+
+class StreamError(ValueError):
+    """A malformed or non-conformant Jelly stream."""
+
+
+class StreamState:
+    """Sequential decoder state for ONE stream (= one segment / file).
+
+    Feed rows in stream order; :meth:`resolve_row` returns the resolved
+    form: statements with term tuples ``(value, kind, dt, lang)`` where
+    IRI refs are joined through the name/prefix tables, datatype refs
+    through the datatype table, quoted triples rendered to
+    ``"<< ... >>"`` text, elided terms filled from the previous
+    statement, and implicit ids sequenced. An options row RESETS the
+    state (each options row starts an independent sub-stream — the
+    concatenated-streams contract, RdfTranscodeSpec.scala:53).
+
+    ``strict`` additionally enforces the declared table bounds
+    (entry id must be within max size — the P8 conformance check).
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self._reset()
+
+    def _reset(self) -> None:
+        self.options: dict | None = None
+        self.names: dict[int, str] = {}
+        self.prefixes: dict[int, str] = {}
+        self.datatypes: dict[int, str] = {}
+        self.last_name_entry = 0
+        self.last_prefix_entry = 0
+        self.last_dt_entry = 0
+        self.last_iri_nid = 0
+        self.last_iri_pid = 0
+        self.prev_terms: dict[str, tuple | None] = {
+            "s": None, "p": None, "o": None, "g": None
+        }
+        self.current_graph: tuple | None = None  # GRAPHS physical type
+
+    # -- entries ----------------------------------------------------------
+
+    def _entry(self, row: dict, table: dict, last: int, max_size: int, label: str) -> int:
+        eid = row["id"] or (last + 1)
+        if self.strict and max_size and eid > max_size:
+            raise StreamError(
+                f"{label} entry id {eid} exceeds declared table size {max_size}"
+            )
+        table[eid] = row["value"]
+        return eid
+
+    # -- terms ------------------------------------------------------------
+
+    def _resolve_iri(self, term: dict) -> str:
+        nid = term.get("nid") or (self.last_iri_nid + 1)
+        pid = term.get("pid") or self.last_iri_pid
+        self.last_iri_nid = nid
+        self.last_iri_pid = pid
+        local = self.names.get(nid)
+        if local is None:
+            raise StreamError(f"IRI references undefined name id {nid}")
+        if pid:
+            prefix = self.prefixes.get(pid)
+            if prefix is None:
+                raise StreamError(f"IRI references undefined prefix id {pid}")
+            return prefix + local
+        return local
+
+    def _resolve_term(self, term: dict) -> tuple:
+        """raw term dict → (value, kind, dt, lang)."""
+        k = term["k"]
+        if k == T_IRI:
+            return self._resolve_iri(term), T_IRI, None, None
+        if k == T_BNODE:
+            return term.get("v") or "", T_BNODE, None, None
+        if k == T_LITERAL:
+            dt_id = term.get("dt") or 0
+            dt = None
+            if dt_id:
+                dt = self.datatypes.get(dt_id)
+                if dt is None:
+                    raise StreamError(f"literal references undefined datatype id {dt_id}")
+            return term.get("v") or "", T_LITERAL, dt, term.get("lang") or None
+        if k == T_QUOTED:
+            parts = []
+            for key in ("s", "p", "o"):
+                sub = term.get(key)
+                if sub is None:
+                    raise StreamError("quoted triple with elided term")
+                parts.append(render_resolved_term(*self._resolve_term(sub)))
+            return f"<< {parts[0]} {parts[1]} {parts[2]} >>", T_QUOTED, None, None
+        if k == T_DEFAULT_GRAPH:
+            return None, T_DEFAULT_GRAPH, None, None
+        raise StreamError(f"unknown term kind {k}")
+
+    def _statement_term(self, row: dict, key: str) -> tuple:
+        raw = row.get(key)
+        if raw is None:
+            prev = self.prev_terms[key]
+            if prev is None:
+                raise StreamError(
+                    f"statement elides the {key} term with no previous statement"
+                )
+            return prev
+        resolved = self._resolve_term(raw)
+        self.prev_terms[key] = resolved
+        return resolved
+
+    # -- public -----------------------------------------------------------
+
+    def resolve_row(self, row: dict) -> dict:
+        """One raw row → resolved row dict.
+
+        Resolved statements: {"kind", "s"|"p"|"o"|"g": (value, kind, dt,
+        lang)}; GRAPHS-stream triples additionally carry "g" from the
+        enclosing graph_start. Entries/options/namespace rows pass
+        through (namespace IRIs resolved)."""
+        kind = row["kind"]
+        if kind == K_OPTIONS:
+            self._reset()
+            self.options = row
+            return dict(row)
+        opts = self.options or {}
+        if kind == K_NAME:
+            self.last_name_entry = self._entry(
+                row, self.names, self.last_name_entry, opts.get("max_name") or 0, "name"
+            )
+            return {"kind": kind, "id": self.last_name_entry, "value": row["value"]}
+        if kind == K_PREFIX:
+            self.last_prefix_entry = self._entry(
+                row, self.prefixes, self.last_prefix_entry,
+                opts.get("max_prefix") or 0, "prefix",
+            )
+            return {"kind": kind, "id": self.last_prefix_entry, "value": row["value"]}
+        if kind == K_DATATYPE:
+            self.last_dt_entry = self._entry(
+                row, self.datatypes, self.last_dt_entry,
+                opts.get("max_dt") or 0, "datatype",
+            )
+            return {"kind": kind, "id": self.last_dt_entry, "value": row["value"]}
+        if kind in (K_TRIPLE, K_QUAD):
+            out = {
+                "kind": kind,
+                "s": self._statement_term(row, "s"),
+                "p": self._statement_term(row, "p"),
+                "o": self._statement_term(row, "o"),
+            }
+            if kind == K_QUAD:
+                out["g"] = self._statement_term(row, "g")
+            elif self.current_graph is not None:
+                out["g"] = self.current_graph
+            return out
+        if kind == K_GRAPH_START:
+            g = self._resolve_term(row["g"])
+            self.current_graph = g
+            return {"kind": kind, "g": g}
+        if kind == K_GRAPH_END:
+            self.current_graph = None
+            return {"kind": kind}
+        if kind == K_NAMESPACE:
+            iri = self._resolve_iri(row.get("iri") or {})
+            return {"kind": kind, "name": row.get("name") or "", "iri": iri}
+        raise StreamError(f"unknown row kind {kind}")
+
+
+def resolve_frames(
+    frame_blobs: Iterable[bytes], strict: bool = False
+) -> Iterator[tuple[int, int, dict]]:
+    """Sequential full decode of one stream's frames, in order: yields
+    (frame_index, row_pos, resolved_row). This is the foreign-stream
+    path (real jelly-cli output, the golden fixtures); streams produced
+    by this repo's encoder are already fully explicit, for which the
+    resolver's state tracking is a cheap passthrough."""
+    state = StreamState(strict=strict)
+    for frame_index, blob in enumerate(frame_blobs):
+        for row_pos, row in enumerate(decode_frame(bytes(blob))):
+            yield frame_index, row_pos, state.resolve_row(row)
