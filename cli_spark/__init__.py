@@ -13,7 +13,8 @@ Layout
 - :mod:`cli_spark.extract`       vectorized per-language mention extraction → triples
 - :mod:`cli_spark.linking`       MinHash-LSH entity linking (banding + salted scoring)
 - :mod:`cli_spark.canonicalize`  iterative hash-min connected components
-- :mod:`cli_spark.jelly`         Jelly-style delimited stream frame codec (varint wire format)
+- :mod:`cli_spark.jellywire`     the real Jelly protobuf wire codec + stream resolver
+- :mod:`cli_spark.jelly`         Jelly stream frames over Spark (encode/decode/transcode)
 - :mod:`cli_spark.nquads`        N-Triples / N-Quads columnar render + parse
 - :mod:`cli_spark.compare`       ordered / unordered RDF compare, P/R scorer
 - :mod:`cli_spark.inspect_metrics`  per-frame / aggregate stream metrics ("rdf inspect")

@@ -272,8 +272,8 @@ def _dispatch(spark, args) -> int:
                 prefix_table=prefix_table,
             )
         if args.to.endswith(".jelly.txt"):
-            # S10 jelly-text sink: human-readable TextFormat-style rows
-            J.write_jelly_text_file(J.decode_frames(frames), args.to)
+            # S10 jelly-text sink: real protobuf TextFormat frames
+            J.write_jelly_text_file(frames, args.to)
         else:
             J.write_jelly_file(
                 frames, args.to, delimited=not args.non_delimited, append=args.append
@@ -293,7 +293,7 @@ def _dispatch(spark, args) -> int:
             raise ValueError(f"{out_fmt.full_name} is not a writable output format")
         take = _parse_range(args.take_frames) if args.take_frames else None
         if args.input.endswith(".jelly.txt"):
-            rows = J.read_jelly_text_file(spark, args.input).cache()
+            rows = J.decode_frames(J.read_jelly_text_file(spark, args.input)).cache()
         else:
             rows = J.decode_frames(J.read_jelly_file(spark, args.input)).cache()
         phys = J.stream_physical_types(rows)

@@ -250,14 +250,27 @@ def validate_stream(rows: DataFrame) -> list[str]:
     """Structural validation of a decoded rows table (P5/P10 analogs):
     returns a list of violation strings (empty ⇒ valid).
 
-    - every segment's first row is an options row (RdfValidate.scala:118-121)
-    - name ids within a segment are unique (explicit-id contract)
-    - triple refs resolve inside their segment (no dangling ids)
+    - every sub-stream's first row is an options row
+      (RdfValidate.scala:118-121)
+    - statement rows are fully resolved (the resolver inlines every
+      table ref and elided term; a NULL s/p/o value on a statement row
+      means the stream was malformed)
+    - P8 flag conformance (RdfValidate.scala:159-182, isGeneralized /
+      isRdfStar in StatementUtils.scala:14-25): statements whose
+      explicit term kinds exceed what the stream options declare; the
+      first offending frame is named, like the reference's
+      CriticalException. (Declared-table-bound conformance is enforced
+      during decode by the strict resolver — jellywire.StreamState.)
     """
-    from .jelly import KIND_NAME, KIND_OPTIONS, KIND_TRIPLE, assign_segments
+    from .jelly import (
+        KIND_NAME,
+        KIND_OPTIONS,
+        KIND_QUAD,
+        KIND_TRIPLE,
+        assign_segments,
+    )
 
-    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
-        rows = assign_segments(rows)  # file-read streams carry seg = -1
+    rows = assign_segments(rows)  # per-options-row sub-stream ids
     problems: list[str] = []
     w = W.partitionBy("seg").orderBy("frame_index", "row_pos")
     first_rows = (
@@ -268,6 +281,19 @@ def validate_stream(rows: DataFrame) -> list[str]:
     )
     if first_rows:
         problems.append(f"{first_rows} segment(s) do not start with an options row")
+    stmts = rows.filter(F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
+    # fully-resolved contract: IRI/bnode/literal/quoted terms carry a
+    # value; only a default-graph term is legitimately NULL
+    unresolved = stmts.filter(
+        F.col("subj").isNull()
+        | F.col("pred").isNull()
+        | F.col("obj").isNull()
+        | ((F.col("row_kind") == KIND_QUAD)
+           & F.col("graph").isNull()
+           & (F.col("graph_kind") != 4))
+    ).count()
+    if unresolved:
+        problems.append(f"{unresolved} statement(s) with unresolved terms")
     dup_ids = (
         rows.filter(F.col("row_kind") == KIND_NAME)
         .groupBy("seg", "name_id")
@@ -276,34 +302,14 @@ def validate_stream(rows: DataFrame) -> list[str]:
         .count()
     )
     if dup_ids:
-        problems.append(f"{dup_ids} duplicate name ids within a segment")
-    d = rows.filter(F.col("row_kind") == KIND_NAME).select(
-        "seg", F.col("name_id").alias("ref")
-    )
-    from .jelly import KIND_QUAD
-
-    trips = rows.filter(F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
-    dangling = 0
-    for c in ("s_id", "p_id", "o_id"):
-        dangling += (
-            trips.select("seg", F.col(c).alias("ref"))
-            .join(d, ["seg", "ref"], "left_anti")
-            .count()
-        )
-    if dangling:
-        problems.append(f"{dangling} dangling dictionary references")
-    # P8 flag conformance (RdfValidate.scala:159-182, isGeneralized /
-    # isRdfStar in StatementUtils.scala:14-25): statements whose term
-    # kinds exceed what the stream options declare. The spg field packs
-    # the subject/predicate/graph kinds (2 bits each), so literal
-    # subjects, bnode/literal predicates, and literal graph names are
-    # exact — no "_:"-prefix inference. The first offending frame is
-    # named, like the reference's CriticalException.
+        # legal Jelly (bounded-table id reuse) but a conformance signal
+        # for OUR encoder, which always emits unique explicit ids
+        problems.append(f"{dup_ids} reused name ids within a segment")
     if "opt_flags" in rows.columns:
-        stmts = rows.filter(F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
-        s_kind = F.col("spg").bitwiseAND(F.lit(3))
-        p_kind = F.shiftright(F.col("spg"), 2).bitwiseAND(F.lit(3))
-        g_kind = F.shiftright(F.col("spg"), 4).bitwiseAND(F.lit(3))
+        s_kind = F.col("subj_kind")
+        p_kind = F.col("pred_kind")
+        o_kind = F.col("obj_kind")
+        g_kind = F.col("graph_kind")
 
         def _declared(bit: int) -> bool:
             return (
@@ -340,20 +346,8 @@ def validate_stream(rows: DataFrame) -> list[str]:
         if not _declared(2):
             # isRdfStar: any quoted-triple term (StatementUtils.scala:23-25)
             frame = _first_frame(
-                (F.col("o_kind") == 3) | (s_kind == 3) | (p_kind == 3) | (g_kind == 3)
+                (o_kind == 3) | (s_kind == 3) | (p_kind == 3) | (g_kind == 3)
             )
-            if frame is None:
-                hit = (
-                    rows.filter(
-                        (F.col("row_kind") == KIND_NAME)
-                        & F.col("name").startswith("<<")
-                    )
-                    .orderBy("seg", "frame_index", "row_pos")
-                    .select("frame_index")
-                    .limit(1)
-                    .collect()
-                )
-                frame = hit[0].frame_index if hit else None
             if frame is not None:
                 problems.append(
                     f"RDF-star statement in frame {frame} "

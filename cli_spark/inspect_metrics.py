@@ -21,7 +21,7 @@ def per_frame_metrics(rows: DataFrame, use_size: bool = False) -> DataFrame:
             .when(
                 F.col("row_kind") == KIND_TRIPLE,
                 # 4 ref varints + o_kind + dt ref + langtag bytes
-                F.lit(16) + F.length(F.coalesce("lang", F.lit(""))) + 2,
+                F.lit(16) + F.length(F.coalesce("obj_lang", F.lit(""))) + 2,
             )
             .otherwise(F.lit(8))
         )

@@ -1,66 +1,52 @@
-"""Jelly-style delimited stream frames over Spark (SURVEY.md §2.1 S9/S15,
-§3.1-3.2).
+"""Jelly protobuf stream frames over Spark (SURVEY.md §2.1 S9/S15,
+§3.1-3.2) — REAL wire format.
 
 The reference serializes RDF statement streams as length-delimited
-protobuf ``RdfStreamFrame`` messages: an options header row, lookup-table
-entry rows (prefix + name + datatype tables), and statement rows
-referencing table ids (/root/reference/src/main/scala/eu/neverblink/
-jelly/cli/command/rdf/RdfToJelly.scala:130-199; row taxonomy per
+protobuf ``RdfStreamFrame`` messages: an options header row,
+lookup-table entry rows (prefix + name + datatype tables), and
+statement rows whose IRI terms reference table ids while bnode/literal
+terms ride inline (/root/reference/src/main/scala/eu/neverblink/jelly/
+cli/command/rdf/RdfToJelly.scala:130-199; row taxonomy per
 MetricsPrinter.scala:69-82; three-table contract per
 RdfJellySerializationOptions.scala:33-35).
 
-This module re-expresses that as Spark jobs with a hand-rolled varint
-wire format (the protobuf wire spec is public; no protobuf runtime in
-this image):
+Since round 4 this module speaks the ACTUAL Jelly protobuf wire
+(:mod:`cli_spark.jellywire`): streams written here decode with real
+``jelly-cli`` and the reference's own golden fixtures decode here
+(``tests/test_jelly_conformance.py``).
+
+Spark shape:
 
 - encode: statements → deterministic global order (W1) → bounded
-  dictionaries via first-occurrence dense_rank (W5) → frame assignment
+  per-segment dictionaries via first-occurrence dense_rank (W5) — the
+  name table holds only IRI terms (locals after the prefix split F1),
+  the datatype table literal datatypes; bnode labels and literal
+  lexicals are inline per the wire spec — → frame assignment
   ``floor((rn-1)/rows_per_frame)`` (W2) → per-frame ``applyInPandas``
-  varint encoder → frames table ``(seg, frame_index, n_rows, frame_bytes)``.
-- decode: frames table → ``mapInPandas`` varint decoder → row table →
-  dictionary joins → statements. Table entries carry EXPLICIT ids
-  (legal in Jelly, where implicit ids are prev+1), which makes decode
-  order-free: any subset of frames can be decoded after one pass that
-  collects entry rows — the two-scan replacement for the reference's
-  sequential decoder state (P2, RdfFromJelly.scala:166-177).
+  protobuf encoder → frames table ``(seg, frame_index, n_rows,
+  frame_bytes)``. Every id is written EXPLICITLY (legal Jelly), so any
+  conformant decoder — including a frame-parallel one — can read our
+  streams without sequential state.
+- decode: frames table → groupBy(seg) → sequential
+  :class:`~cli_spark.jellywire.StreamState` resolution per segment
+  (segments are bounded: ≤ max_name_table/nterms statements, so one
+  task per segment is small work, and segments/files are embarrassingly
+  parallel at 100 TB). Resolution handles the wire's full stateful
+  compression (implicit prev+1 ids, term elision, bounded-table id
+  reuse) — the reference's sequential decoder (RdfFromJelly.scala:
+  166-177) with the FILE as the parallelism unit. The output rows
+  table carries fully-resolved terms, so downstream decode is a pure
+  filter+select — no dictionary joins, no shuffles.
 
-Wire format v2 (field numbers follow the reference's row-kind order):
-  frame   := (row_tag=0x0A, len, row)*                [repeated field 1]
-  row     := kind-tagged message:
-      kind 1 OPTIONS  : version, physical, logical, flags,
-                        max_name, max_prefix, max_dt, stream_name
-                        (flags bit0 = generalized, bit1 = rdf-star)
-      kind 2 TRIPLE   : s_id, p_id, o_id, o_kind, spg, dt_id, langtag
-      kind 3 QUAD     : s_id, p_id, o_id, o_kind, spg, g_id, dt_id,
-                        langtag (g_id 0 = default graph)
-                        spg packs the subject/predicate/graph term kinds
-                        (2 bits each: s | p<<2 | g<<4) so generalized-RDF
-                        statements (literal subject, bnode predicate,
-                        literal graph — StatementUtils.scala:14-21) are
-                        exact on decode, not inferred from "_:" prefixes
-      kind 4 NAME     : id, prefix_id, local-utf8  (prefix_id 0 = none;
-                        decoded term = prefix[prefix_id] || local — the
-                        prefix lookup table makes repeated long IRI
-                        prefixes one entry per segment)
-      kind 5 GRAPH_START / kind 6 GRAPH_END (GRAPHS physical type)
-      kind 7 DATATYPE : id, utf8
-      kind 8 PREFIX   : id, utf8
-      kind 9 NAMESPACE: short-name utf8, iri utf8 (namespace
-                        declaration passthrough, RdfElement.scala:7)
-  file    := (varint frame_len, frame_bytes)* if delimited
-             | frame_bytes                    if non-delimited
-
-Version note: v1 (round 1) had a 3-field options row and no
-prefix/quad/namespace kinds; v2 lacked the statement spg field. v3
-streams carry version=3 and the decoder rejects any other version with
-a clear error instead of a byte-level
-overrun (the options row is the first row of every segment).
+Quoted triples (RDF-star) are atomized Spark-side on encode (their
+component IRIs/datatypes feed the same dictionaries) and reassembled
+into ``"<< ... >>"`` source text on decode.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import io
+import json
 from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import TYPE_CHECKING
@@ -69,13 +55,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from . import jellywire as JW
+
 if TYPE_CHECKING:
     import pandas as pd
 
 ROWS_PER_FRAME = 256  # reference default, RdfToJelly.scala:53-56
 MAX_NAME_TABLE = 4096  # BIG-ish default; min 8 per reference tests
 MAX_PREFIX_TABLE = 1024
-VERSION = 3
+VERSION = 1  # real Jelly protocol version (2 when namespaces are used)
+VERSION_MAX = 2
 
 PHYSICAL_TRIPLES = 1
 PHYSICAL_QUADS = 2
@@ -104,27 +93,51 @@ LOGICAL_COMPAT = {
     LOGICAL_DATASETS: {PHYSICAL_QUADS, PHYSICAL_GRAPHS},
 }
 
-KIND_OPTIONS = 1
-KIND_TRIPLE = 2
-KIND_QUAD = 3
-KIND_NAME = 4
-KIND_GRAPH_START = 5
-KIND_GRAPH_END = 6
-KIND_DATATYPE = 7  # datatype lookup-table entry (3rd dictionary, S4)
-KIND_PREFIX = 8  # prefix lookup-table entry (1st dictionary, F1)
-KIND_NAMESPACE = 9  # namespace declaration (RdfFromJelly.scala:133-140)
+# Row kinds ARE the RdfStreamRow oneof field numbers (jellywire).
+KIND_OPTIONS = JW.K_OPTIONS
+KIND_TRIPLE = JW.K_TRIPLE
+KIND_QUAD = JW.K_QUAD
+KIND_GRAPH_START = JW.K_GRAPH_START
+KIND_GRAPH_END = JW.K_GRAPH_END
+KIND_NAMESPACE = JW.K_NAMESPACE
+KIND_NAME = JW.K_NAME
+KIND_PREFIX = JW.K_PREFIX
+KIND_DATATYPE = JW.K_DATATYPE
 
-DEFAULT_GRAPH = ""  # GRAPHS type encodes the default graph as "" term
+# Term kinds (match cli_spark.nquads; 4 = default graph).
+T_IRI, T_BNODE, T_LITERAL, T_QUOTED, T_DEFAULT_GRAPH = 0, 1, 2, 3, 4
 
 FRAME_SCHEMA = "seg long, frame_index long, n_rows int, frame_bytes binary"
+
+# Fully-RESOLVED rows table: statements carry term values directly
+# (per-position kind/datatype/langtag for exact generalized RDF).
 ROW_SCHEMA = (
     "seg long, frame_index long, row_pos int, row_kind int, "
-    "s_id long, p_id long, o_id long, o_kind int, spg int, g_id long, "
-    "name_id long, prefix_id long, name string, dt_id long, lang string, "
-    "aux string, opt_version int, opt_physical int, opt_logical int, "
-    "opt_flags int, opt_max_name int, opt_max_prefix int, opt_max_dt int"
+    "subj string, subj_kind int, subj_dt string, subj_lang string, "
+    "pred string, pred_kind int, pred_dt string, pred_lang string, "
+    "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+    "graph string, graph_kind int, graph_dt string, graph_lang string, "
+    "name_id long, name string, aux string, "
+    "opt_version int, opt_physical int, opt_logical int, opt_flags int, "
+    "opt_max_name int, opt_max_prefix int, opt_max_dt int"
 )
 _ROW_COLS = [s.split()[0] for s in ROW_SCHEMA.split(", ")]
+
+# Pre-frame encoder row table: statements carry per-position
+# (kind, name id, prefix id, inline value | quoted-term JSON,
+# datatype id, langtag).
+_PRE_SCHEMA = (
+    "seg long, frame_index long, sort_key long, minor int, row_kind int, "
+    "s_kind int, s_nid long, s_pid long, s_val string, s_dt long, s_lang string, "
+    "p_kind int, p_nid long, p_pid long, p_val string, p_dt long, p_lang string, "
+    "o_kind int, o_nid long, o_pid long, o_val string, o_dt long, o_lang string, "
+    "g_kind int, g_nid long, g_pid long, g_val string, g_dt long, g_lang string, "
+    "name_id long, name string, aux string, "
+    "opt_version int, opt_physical int, opt_logical int, opt_flags int, "
+    "opt_max_name int, opt_max_prefix int, opt_max_dt int"
+)
+_PRE_COLS = [s.split()[0] for s in _PRE_SCHEMA.split(", ")]
+_PRE_TYPES = dict(s.rsplit(" ", 1) for s in _PRE_SCHEMA.split(", "))
 
 
 def snake_to_camel(name: str) -> str:
@@ -176,10 +189,6 @@ class StreamOptions:
     stream_name: str = ""
     max_name_table: int = MAX_NAME_TABLE
     max_prefix_table: int = MAX_PREFIX_TABLE
-    # datatype ids share the name-table bound: segment sizing guarantees
-    # ≤ seg_rows ≤ max_name_table/3 distinct datatypes per segment, so no
-    # separate eviction is ever needed (the round-1 MAX_DT_TABLE=256
-    # constant claimed a bound it did not enforce).
     max_dt_table: int = MAX_NAME_TABLE
 
     @property
@@ -213,245 +222,265 @@ def options_cascade(
     return dataclasses.replace(opts, version=VERSION)
 
 
-# ---------------------------------------------------------------------------
-# varint primitives (protobuf wire spec — public)
-# ---------------------------------------------------------------------------
+# thin re-exports so tests can exercise the varint primitives
+_read_varint = JW.read_varint
 
 
-def _write_varint(buf: io.BytesIO, v: int) -> None:
-    while True:
-        b = v & 0x7F
-        v >>= 7
-        if v:
-            buf.write(bytes([b | 0x80]))
-        else:
-            buf.write(bytes([b]))
-            return
+def _write_varint(buf, v: int) -> None:
+    JW.write_varint(buf, v)
 
 
-def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
-    result = shift = 0
-    while True:
-        b = data[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
-
-
-def _write_str(buf: io.BytesIO, s: str | None) -> None:
-    raw = (s or "").encode("utf-8")
-    _write_varint(buf, len(raw))
-    buf.write(raw)
-
-
-def _read_str(data: bytes, pos: int) -> tuple[str, int]:
-    n, pos = _read_varint(data, pos)
-    return data[pos : pos + n].decode("utf-8"), pos + n
-
-
-def encode_rows_to_frame(rows: list[dict]) -> bytes:
-    """rows: dicts with 'kind' plus kind-specific fields (None-safe)."""
-    buf = io.BytesIO()
-    for row in rows:
-        kind = row["kind"]
-        body = io.BytesIO()
-        _write_varint(body, kind)
-        if kind == KIND_OPTIONS:
-            opt: StreamOptions = row.get("opt") or StreamOptions()
-            _write_varint(body, opt.version)
-            _write_varint(body, opt.physical_type)
-            _write_varint(body, opt.logical_type)
-            _write_varint(body, opt.flags)
-            _write_varint(body, opt.max_name_table)
-            _write_varint(body, opt.max_prefix_table)
-            _write_varint(body, opt.max_dt_table)
-            _write_str(body, opt.stream_name)
-        elif kind in (KIND_TRIPLE, KIND_QUAD):
-            _write_varint(body, row["s_id"])
-            _write_varint(body, row["p_id"])
-            _write_varint(body, row["o_id"])
-            _write_varint(body, row["o_kind"])
-            _write_varint(body, row.get("spg") or 0)
-            if kind == KIND_QUAD:
-                _write_varint(body, row.get("g_id") or 0)
-            _write_varint(body, row.get("dt_id") or 0)
-            _write_str(body, row.get("lang"))
-        elif kind == KIND_NAME:
-            _write_varint(body, row["name_id"])
-            _write_varint(body, row.get("prefix_id") or 0)
-            _write_str(body, row["name"])
-        elif kind in (KIND_DATATYPE, KIND_PREFIX):
-            _write_varint(body, row["name_id"])
-            _write_str(body, row["name"])
-        elif kind == KIND_GRAPH_START:
-            _write_varint(body, row["name_id"])  # graph term's dictionary id
-        elif kind == KIND_GRAPH_END:
-            pass  # no payload (MetricsPrinter.scala:69-82 row taxonomy)
-        elif kind == KIND_NAMESPACE:
-            _write_str(body, row["name"])  # short name
-            _write_str(body, row.get("aux"))  # namespace IRI
-        else:
-            raise ValueError(f"unknown row kind {kind}")
-        payload = body.getvalue()
-        buf.write(b"\x0a")  # field 1, wire type 2 (length-delimited)
-        _write_varint(buf, len(payload))
-        buf.write(payload)
-    return buf.getvalue()
-
-
-def decode_frame(data: bytes) -> list[dict]:
-    rows, pos = [], 0
-    while pos < len(data):
-        tag = data[pos]
-        pos += 1
-        if tag != 0x0A:
-            raise ValueError(f"unexpected tag {tag:#x} at {pos - 1}")
-        length, pos = _read_varint(data, pos)
-        end = pos + length
-        kind, pos = _read_varint(data, pos)
-        row: dict = {"kind": kind}
-        if kind == KIND_OPTIONS:
-            ver, pos = _read_varint(data, pos)
-            if ver != VERSION:
-                raise ValueError(
-                    f"unsupported stream version {ver} (this decoder "
-                    f"supports version {VERSION})"
-                )
-            phys, pos = _read_varint(data, pos)
-            logical, pos = _read_varint(data, pos)
-            flags, pos = _read_varint(data, pos)
-            max_name, pos = _read_varint(data, pos)
-            max_prefix, pos = _read_varint(data, pos)
-            max_dt, pos = _read_varint(data, pos)
-            sname, pos = _read_str(data, pos)
-            row.update(
-                opt_version=ver, opt_physical=phys, opt_logical=logical,
-                opt_flags=flags, opt_max_name=max_name,
-                opt_max_prefix=max_prefix, opt_max_dt=max_dt, aux=sname,
-            )
-        elif kind in (KIND_TRIPLE, KIND_QUAD):
-            row["s_id"], pos = _read_varint(data, pos)
-            row["p_id"], pos = _read_varint(data, pos)
-            row["o_id"], pos = _read_varint(data, pos)
-            row["o_kind"], pos = _read_varint(data, pos)
-            row["spg"], pos = _read_varint(data, pos)
-            if kind == KIND_QUAD:
-                g_id, pos = _read_varint(data, pos)
-                row["g_id"] = g_id or None  # 0 = default graph
-            dt_id, pos = _read_varint(data, pos)
-            row["dt_id"] = dt_id or None
-            lang, pos = _read_str(data, pos)
-            row["lang"] = lang or None
-        elif kind == KIND_NAME:
-            row["name_id"], pos = _read_varint(data, pos)
-            prefix_id, pos = _read_varint(data, pos)
-            row["prefix_id"] = prefix_id or None
-            row["name"], pos = _read_str(data, pos)
-        elif kind in (KIND_DATATYPE, KIND_PREFIX):
-            row["name_id"], pos = _read_varint(data, pos)
-            row["name"], pos = _read_str(data, pos)
-        elif kind == KIND_GRAPH_START:
-            row["name_id"], pos = _read_varint(data, pos)
-        elif kind == KIND_GRAPH_END:
-            pass
-        elif kind == KIND_NAMESPACE:
-            row["name"], pos = _read_str(data, pos)
-            row["aux"], pos = _read_str(data, pos)
-        else:
-            raise ValueError(f"unknown row kind {kind}")
-        if pos != end:
-            raise ValueError("row length mismatch")
-        rows.append(row)
-    return rows
+decode_frame = JW.decode_frame
 
 
 # ---------------------------------------------------------------------------
-# encode: statements DataFrame → frames DataFrame (TRIPLES and QUADS)
+# encode: statements → frames
 # ---------------------------------------------------------------------------
 
+_PREFIX_RE = r"^(.*[/#])"
 
-def build_dictionary(ordered: DataFrame, max_size: int = MAX_NAME_TABLE) -> DataFrame:
-    """(seg, term, term_id, first_rn): bounded name table per stream
-    segment — dense_rank over first use WITHIN the segment (W5).
+# sort minor: fixed emit order within equal sort_key
+_MINOR_OPTIONS = 0
+_MINOR_PREFIX = 1
+_MINOR_DATATYPE = 2
+_MINOR_NAME = 3
+_MINOR_NAMESPACE = 4  # after the entries its IRI references
+_MINOR_GRAPH_START = 5
+_MINOR_STATEMENT = 6
+_MINOR_GRAPH_END = 7
 
-    Bounded-table semantics at scale: a truly evicting LRU dictionary is
-    sequential encoder state. Instead the stream is cut into SEGMENTS of
-    ``seg_rows`` statements; each segment is an independent Jelly
-    sub-stream with its own dictionary (options row + entries), which is
-    legal input per the reference's transcode contract — concatenated
-    streams are accepted (U1, RdfTranscodeSpec.scala:53). Segment sizing
-    guarantees ≤ 3·seg_rows distinct terms ≤ max_size, so no id ever
-    needs eviction inside a segment, and every segment decodes
-    independently (embarrassingly parallel at 100 TB).
-    """
-    terms = (
-        ordered.select(
-            "seg", F.col("rn"), F.explode(F.array("subj", "pred", "obj")).alias("term")
-        )
-        .groupBy("seg", "term")
-        .agg(F.min("rn").alias("first_rn"))
+
+def _infer_kind(col):
+    """Flat-model term kind inference: "<<"->quoted, "_:"->bnode, else
+    IRI. Explicit *_kind columns (the full term model) override this."""
+    return (
+        F.when(col.startswith("<<"), F.lit(T_QUOTED))
+        .when(col.startswith("_:"), F.lit(T_BNODE))
+        .otherwise(F.lit(T_IRI))
     )
-    w = W.partitionBy("seg").orderBy("first_rn", "term")
-    ranked = terms.withColumn("term_id", F.dense_rank().over(w))
-    return ranked.select("seg", "term", "term_id", "first_rn")
 
 
-def _null_row_cols(*present: str) -> list:
-    """Typed null columns for every ROW_SCHEMA field not in `present`
-    (keeps every union branch schema-aligned)."""
-    types = dict(s.rsplit(" ", 1) for s in ROW_SCHEMA.split(", "))
+def _null_pre_cols(*present: str) -> list:
+    """Typed null columns for every _PRE_SCHEMA field not in `present`."""
     out = []
-    for c in _ROW_COLS:
+    for c in _PRE_COLS:
         if c in ("seg", "frame_index") or c in present:
             continue
-        out.append(F.lit(None).cast(types[c]).alias(c))
+        out.append(F.lit(None).cast(_PRE_TYPES[c]).alias(c))
     return out
 
 
+def _pre_order() -> list[str]:
+    return list(_PRE_COLS)
+
+
+def _quoted_atoms_py(qtext: str):
+    """'<< s p o >>' source text → depth-first (path, kind, value,
+    datatype, langtag) atoms; nested quoted terms become internal kind-3
+    nodes. Paths are '0'/'1'/'2' segments joined with '.'."""
+    from .nquads import _classify_py, _tokenize_terms_py
+
+    def rec(text, path):
+        inner = text.strip()
+        inner = inner[2:-2]  # strip << >>
+        terms = _tokenize_terms_py(inner)
+        for i, t in enumerate(terms[:3]):
+            p = f"{path}.{i}" if path else str(i)
+            if t.startswith("<<"):
+                yield (p, T_QUOTED, None, None, None)
+                yield from rec(t, p)
+            else:
+                v, k, dt, lang = _classify_py(t)
+                yield (p, k, v, dt, lang)
+
+    return list(rec(qtext, ""))
+
+
+def _atomize_quoted(stmts: DataFrame) -> DataFrame:
+    """statements' quoted terms → atom rows (seg, rn, pos, path, a_kind,
+    a_val, a_dtv, a_lang). Only statements with a kind-3 term enter."""
+    pieces = []
+    for pos in ("s", "p", "o", "g"):
+        if f"{pos}_kind" not in stmts.columns:
+            continue
+        pieces.append(
+            stmts.filter(F.col(f"{pos}_kind") == T_QUOTED).select(
+                "seg", "rn", F.lit(pos).alias("pos"),
+                F.col(f"{pos}_val").alias("qtext"),
+            )
+        )
+    quoted = pieces[0]
+    for p in pieces[1:]:
+        quoted = quoted.unionByName(p)
+
+    schema = (
+        "seg long, rn long, pos string, path string, a_kind int, "
+        "a_val string, a_dtv string, a_lang string"
+    )
+
+    def explode_atoms(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for seg, rn, pos, qtext in zip(
+                pdf["seg"], pdf["rn"], pdf["pos"], pdf["qtext"]
+            ):
+                for path, k, v, dt, lang in _quoted_atoms_py(qtext):
+                    out.append((seg, rn, pos, path, k, v, dt, lang))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "seg", "rn", "pos", "path", "a_kind", "a_val", "a_dtv", "a_lang",
+                ],
+            )
+
+    return quoted.mapInPandas(explode_atoms, schema)
+
+
+def _reassemble_quoted(atoms: DataFrame) -> DataFrame:
+    """atom rows (with joined nid/pid/dt_id) → (seg, rn, pos, qjson):
+    the jellywire term-dict JSON tree for each quoted term."""
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        nodes: dict[str, dict] = {}
+        recs = pdf.sort_values("path").to_dict("records")
+        for r in recs:
+            k = int(r["a_kind"])
+            if k == T_QUOTED:
+                node = {"k": T_QUOTED, "s": None, "p": None, "o": None}
+            elif k == T_IRI:
+                node = {
+                    "k": T_IRI,
+                    "pid": int(r["nid_pid"]) if pd.notna(r.get("nid_pid")) else 0,
+                    "nid": int(r["nid"]) if pd.notna(r.get("nid")) else 0,
+                }
+            elif k == T_BNODE:
+                node = {"k": T_BNODE, "v": r["a_val"]}
+            else:
+                node = {
+                    "k": T_LITERAL,
+                    "v": r["a_val"] if isinstance(r["a_val"], str) else "",
+                    "lang": r["a_lang"] if isinstance(r["a_lang"], str) else None,
+                    "dt": int(r["dt_id"]) if pd.notna(r.get("dt_id")) else 0,
+                }
+            nodes[r["path"]] = node
+        root = {"k": T_QUOTED, "s": None, "p": None, "o": None}
+        for path, node in nodes.items():
+            if "." in path:
+                parent, idx = path.rsplit(".", 1)
+                nodes[parent][("s", "p", "o")[int(idx)]] = node
+            else:
+                root[("s", "p", "o")[int(path)]] = node
+        return pd.DataFrame(
+            {
+                "seg": [pdf["seg"].iloc[0]],
+                "rn": [pdf["rn"].iloc[0]],
+                "pos": [pdf["pos"].iloc[0]],
+                "qjson": [json.dumps(root, ensure_ascii=False, sort_keys=True)],
+            }
+        )
+
+    return atoms.groupBy("seg", "rn", "pos").applyInPandas(
+        build, "seg long, rn long, pos string, qjson string"
+    )
+
+
+def _term_from_pre(r, pos: str):
+    """pre-frame row → jellywire term dict for one position."""
+    import pandas as pd
+
+    k = getattr(r, f"{pos}_kind")
+    if k is None or (isinstance(k, float) and pd.isna(k)):
+        return None
+    k = int(k)
+    if k == T_IRI:
+        pid = getattr(r, f"{pos}_pid")
+        nid = getattr(r, f"{pos}_nid")
+        return {
+            "k": T_IRI,
+            "pid": 0 if pd.isna(pid) else int(pid),
+            "nid": 0 if pd.isna(nid) else int(nid),
+        }
+    if k == T_BNODE:
+        v = getattr(r, f"{pos}_val")
+        return {"k": T_BNODE, "v": v if isinstance(v, str) else ""}
+    if k == T_LITERAL:
+        v = getattr(r, f"{pos}_val")
+        lang = getattr(r, f"{pos}_lang")
+        dt = getattr(r, f"{pos}_dt")
+        return {
+            "k": T_LITERAL,
+            "v": v if isinstance(v, str) else "",
+            "lang": lang if isinstance(lang, str) and lang else None,
+            "dt": 0 if pd.isna(dt) else int(dt),
+        }
+    if k == T_QUOTED:
+        return json.loads(getattr(r, f"{pos}_val"))
+    return {"k": T_DEFAULT_GRAPH}
+
+
 def _encode_group_fn():
-    """applyInPandas encoder: one grouped partition of row-table rows →
-    one binary frame. Rows sort by (sort_key, minor): options first,
-    then table entries, then statements — each entry row lands in the
-    frame of its first use, before the statement that uses it."""
+    """applyInPandas encoder: one (seg, frame_index) group of pre-frame
+    rows → one binary frame (real protobuf wire via jellywire)."""
 
     def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         pdf = pdf.sort_values(["sort_key", "minor"])
-
-        def val(v):
-            return None if pd.isna(v) else int(v)
-
         rows = []
         for r in pdf.itertuples():
             kind = int(r.row_kind)
-            row = {"kind": kind}
             if kind == KIND_OPTIONS:
-                row["opt"] = StreamOptions(
-                    version=int(r.opt_version),
-                    physical_type=int(r.opt_physical),
-                    logical_type=int(r.opt_logical),
-                    generalized=bool(int(r.opt_flags) & 1),
-                    rdf_star=bool(int(r.opt_flags) & 2),
-                    stream_name=r.aux if isinstance(r.aux, str) else "",
-                    max_name_table=int(r.opt_max_name),
-                    max_prefix_table=int(r.opt_max_prefix),
-                    max_dt_table=int(r.opt_max_dt),
+                rows.append(
+                    {
+                        "kind": kind,
+                        "stream_name": r.aux if isinstance(r.aux, str) else "",
+                        "physical": int(r.opt_physical),
+                        "generalized": bool(int(r.opt_flags) & 1),
+                        "rdf_star": bool(int(r.opt_flags) & 2),
+                        "logical": int(r.opt_logical),
+                        "version": int(r.opt_version),
+                        "max_name": int(r.opt_max_name),
+                        "max_prefix": int(r.opt_max_prefix),
+                        "max_dt": int(r.opt_max_dt),
+                    }
+                )
+            elif kind in (KIND_TRIPLE, KIND_QUAD):
+                row = {
+                    "kind": kind,
+                    "s": _term_from_pre(r, "s"),
+                    "p": _term_from_pre(r, "p"),
+                    "o": _term_from_pre(r, "o"),
+                }
+                if kind == KIND_QUAD:
+                    row["g"] = _term_from_pre(r, "g") or {"k": T_DEFAULT_GRAPH}
+                rows.append(row)
+            elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
+                rows.append(
+                    {"kind": kind, "id": int(r.name_id), "value": r.name or ""}
+                )
+            elif kind == KIND_GRAPH_START:
+                rows.append(
+                    {"kind": kind, "g": _term_from_pre(r, "g") or {"k": T_DEFAULT_GRAPH}}
+                )
+            elif kind == KIND_GRAPH_END:
+                rows.append({"kind": kind})
+            elif kind == KIND_NAMESPACE:
+                nid = 0 if pd.isna(r.g_nid) else int(r.g_nid)
+                pid = 0 if pd.isna(r.g_pid) else int(r.g_pid)
+                rows.append(
+                    {
+                        "kind": kind,
+                        "name": r.name or "",
+                        "iri": {"k": T_IRI, "pid": pid, "nid": nid},
+                    }
                 )
             else:
-                row.update(
-                    s_id=val(r.s_id), p_id=val(r.p_id), o_id=val(r.o_id),
-                    o_kind=val(r.o_kind), spg=val(r.spg), g_id=val(r.g_id),
-                    name_id=val(r.name_id), prefix_id=val(r.prefix_id),
-                    name=r.name if isinstance(r.name, str) else None,
-                    dt_id=val(r.dt_id),
-                    lang=r.lang if isinstance(r.lang, str) and r.lang else None,
-                    aux=r.aux if isinstance(r.aux, str) else None,
-                )
-            rows.append(row)
-        frame = encode_rows_to_frame(rows)
+                raise ValueError(f"unknown row kind {kind}")
+        frame = JW.encode_frame(rows)
         return pd.DataFrame(
             {
                 "seg": [int(pdf.seg.iloc[0])],
@@ -464,57 +493,58 @@ def _encode_group_fn():
     return encode_group
 
 
-# sort minor: fixed emit order within equal sort_key
-_MINOR_OPTIONS = 0
-_MINOR_NAMESPACE = 1
-_MINOR_PREFIX = 2
-_MINOR_DATATYPE = 3
-_MINOR_NAME = 4
-_MINOR_GRAPH_START = 5
-_MINOR_STATEMENT = 6
-_MINOR_GRAPH_END = 7
+def _canonical_terms(statements: DataFrame, is_quads: bool) -> DataFrame:
+    """statements → canonical per-position term columns: {pos}_val,
+    {pos}_kind, {pos}_dtv (datatype IRI string), {pos}_lang. Accepts the
+    flat model (subj/pred/obj[,graph] + obj_kind[,obj_datatype,obj_lang])
+    plus optional explicit *_kind and per-term *_dt/*_lang columns."""
+    cols = statements.columns
+    sel = []
+    spec = [("s", "subj"), ("p", "pred"), ("o", "obj")]
+    if is_quads:
+        spec.append(("g", "graph"))
+    for pos, col in spec:
+        if pos == "o":
+            kind = F.col("obj_kind").cast("int")
+            dtv = (
+                F.col("obj_datatype") if "obj_datatype" in cols
+                else F.lit(None).cast("string")
+            )
+            lang = (
+                F.col("obj_lang") if "obj_lang" in cols
+                else F.lit(None).cast("string")
+            )
+        else:
+            if f"{col}_kind" in cols:
+                kind = F.coalesce(
+                    F.col(f"{col}_kind").cast("int"),
+                    F.lit(T_DEFAULT_GRAPH) if pos == "g" else _infer_kind(F.col(col)),
+                )
+            elif pos == "g":
+                kind = F.when(F.col(col).isNull(), F.lit(T_DEFAULT_GRAPH)).otherwise(
+                    _infer_kind(F.col(col))
+                )
+            else:
+                kind = _infer_kind(F.col(col))
+            dtv = (
+                F.col(f"{col}_dt") if f"{col}_dt" in cols
+                else F.lit(None).cast("string")
+            )
+            lang = (
+                F.col(f"{col}_lang") if f"{col}_lang" in cols
+                else F.lit(None).cast("string")
+            )
+        is_lit = kind == T_LITERAL
+        sel += [
+            F.col(col).alias(f"{pos}_val"),
+            kind.alias(f"{pos}_kind"),
+            F.when(is_lit, dtv).alias(f"{pos}_dtv"),
+            F.when(is_lit, lang).alias(f"{pos}_lang"),
+        ]
+    return statements.select(*sel)
 
-_PREFIX_RE = r"^(.*[/#])"
 
-
-def _infer_kind(col):
-    """Flat-model term kind inference: "<<"->quoted, "_:"->bnode, else
-    IRI. Explicit *_kind columns (the full term model) override this."""
-    return (
-        F.when(col.startswith("<<"), F.lit(3))
-        .when(col.startswith("_:"), F.lit(1))
-        .otherwise(F.lit(0))
-    )
-
-
-def _spg_col(columns, is_quads: bool):
-    """Packed subject/predicate/graph kinds (2 bits each): the wire
-    statement field that makes generalized RDF exact (P6/P8,
-    StatementUtils.scala:14-21). Explicit subj_kind/pred_kind/graph_kind
-    columns win; otherwise kinds are inferred from term syntax (which
-    cannot represent literal subjects/predicates — exactly the gap the
-    explicit columns close)."""
-    s_kind = (
-        F.col("subj_kind").cast("int")
-        if "subj_kind" in columns
-        else _infer_kind(F.col("subj"))
-    )
-    p_kind = (
-        F.col("pred_kind").cast("int")
-        if "pred_kind" in columns
-        else _infer_kind(F.col("pred"))
-    )
-    if is_quads and "graph_kind" in columns:
-        g_kind = F.coalesce(F.col("graph_kind").cast("int"), F.lit(0))
-    elif is_quads:
-        g_kind = F.when(
-            F.col("graph").isNull(), F.lit(0)
-        ).otherwise(_infer_kind(F.col("graph")))
-    else:
-        g_kind = F.lit(0)
-    return (
-        s_kind.bitwiseOR(F.shiftleft(p_kind, 2)).bitwiseOR(F.shiftleft(g_kind, 4))
-    ).cast("int")
+_TERM_COLS = lambda pos: [f"{pos}_val", f"{pos}_kind", f"{pos}_dtv", f"{pos}_lang"]  # noqa: E731
 
 
 def _encode_statements(
@@ -526,206 +556,329 @@ def _encode_statements(
     prefix_table: bool,
     namespaces: DataFrame | None,
 ) -> DataFrame:
-    """Shared TRIPLES/QUADS encoder: statements(subj, pred, obj,
-    obj_kind[, graph][, obj_datatype][, obj_lang]) → frames.
+    """Shared TRIPLES/QUADS encoder: statements → real-wire frames.
 
     Layout per the reference's stream contract: each segment's first
     frame starts with an options row (P10, RdfValidate.scala:118-121);
     each lookup-table entry row lands in the frame of its first use,
     before the statement that uses it. Global row order comes from the
     partition-offset rank (cli_spark.order), not a single-task window.
-    """
+    Declared table sizes are max(configured, used): two tiny driver
+    aggregates on the persisted dictionaries keep explicit ids legal
+    even when RDF-star atoms push past the configured bound."""
     from .order import global_row_number
 
     is_quads = physical == PHYSICAL_QUADS
-    nterms = 4 if is_quads else 3
+    is_graphs = physical == PHYSICAL_GRAPHS
+    nterms = 3 if physical == PHYSICAL_TRIPLES else 4
     rows_per_frame = int(rows_per_frame)
-    seg_rows = max(
-        rows_per_frame,
-        (options.max_name_table // nterms) // rows_per_frame * rows_per_frame,
+    # segment sizing guarantees nterms·seg_rows ≤ max_name_table, so
+    # explicit ids respect the declared bound without eviction; when the
+    # table is smaller than a frame, frames shrink to fit the segment
+    # (seg_rows stays a multiple of the effective frame size so no frame
+    # spans two segments). RDF-star atoms can still push past the bound,
+    # in which case the DECLARED size is raised below.
+    seg_rows_raw = max(1, options.max_name_table // nterms)
+    rows_per_frame = min(rows_per_frame, seg_rows_raw)
+    seg_rows = (seg_rows_raw // rows_per_frame) * rows_per_frame
+
+    # statement rows carry g only for QUADS; GRAPHS carries the graph
+    # out-of-band (runs), but its terms still feed the dictionaries
+    positions = ["s", "p", "o"] + (["g"] if is_quads else [])
+    feed_positions = ["s", "p", "o"] + (["g"] if (is_quads or is_graphs) else [])
+    canon = _canonical_terms(statements, is_quads or is_graphs).dropDuplicates()
+    keys = [c for p in feed_positions for c in _TERM_COLS(p)]
+    if is_graphs:
+        # graph-first ordering makes runs contiguous by construction (W3)
+        keys = _TERM_COLS("g") + [c for p in ("s", "p", "o") for c in _TERM_COLS(p)]
+    ordered = global_row_number(canon, keys).withColumn(
+        "seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long")
     )
 
-    has_dt = "obj_datatype" in statements.columns
-    has_lang = "obj_lang" in statements.columns
-    cols = [
-        F.col("subj"),
-        F.col("pred"),
-        F.col("obj"),
-        F.col("obj_kind"),
-        _spg_col(statements.columns, is_quads).alias("spg"),
-        (F.col("obj_datatype") if has_dt else F.lit(None).cast("string")).alias(
-            "obj_datatype"
-        ),
-        (F.col("obj_lang") if has_lang else F.lit(None).cast("string")).alias(
-            "obj_lang"
-        ),
-    ]
-    keys = ["subj", "pred", "obj", "obj_kind", "spg", "obj_datatype", "obj_lang"]
-    if is_quads:
-        cols.append(F.col("graph"))
-        keys = ["graph"] + keys
-    ordered = global_row_number(
-        statements.select(*cols).dropDuplicates(), keys
-    ).withColumn("seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long"))
+    # --- quoted-term atoms (RDF-star): component IRIs/datatypes feed the
+    # dictionaries; trees reassemble into ref-JSON after the id joins
+    any_quoted = None
+    for p in positions:
+        c = F.col(f"{p}_kind") == T_QUOTED
+        any_quoted = c if any_quoted is None else (any_quoted | c)
+    quoted_stmts = ordered.filter(any_quoted).select(
+        "seg", "rn",
+        *[F.col(f"{p}_val").alias(f"{p}_val") for p in positions],
+        *[F.col(f"{p}_kind").alias(f"{p}_kind") for p in positions],
+    )
+    atoms = _atomize_quoted(quoted_stmts)
 
-    # name table: every distinct term per segment, first-use dense_rank.
-    # For QUADS the graph term joins the dictionary (NULL graph = default
-    # graph = id 0, no entry).
-    term_arr = ["subj", "pred", "obj"] + (["graph"] if is_quads else [])
-    terms = (
-        ordered.select(
-            "seg", F.col("rn"), F.explode(F.array(*term_arr)).alias("term")
+    # --- name dictionary: IRI terms only (top-level + atoms + namespaces)
+    iri_feed = None
+    for p in feed_positions:
+        part = ordered.filter(F.col(f"{p}_kind") == T_IRI).select(
+            "seg", F.col(f"{p}_val").alias("term"), F.col("rn").alias("use_rn")
         )
-        .filter(F.col("term").isNotNull())
-        .groupBy("seg", "term")
-        .agg(F.min("rn").alias("first_rn"))
+        iri_feed = part if iri_feed is None else iri_feed.unionByName(part)
+    iri_feed = iri_feed.unionByName(
+        atoms.filter(F.col("a_kind") == T_IRI).select(
+            "seg", F.col("a_val").alias("term"), F.col("rn").alias("use_rn")
+        )
     )
+    if namespaces is not None:
+        iri_feed = iri_feed.unionByName(
+            namespaces.select(
+                F.lit(0).cast("long").alias("seg"),
+                F.col("iri").alias("term"),
+                F.lit(0).cast("long").alias("use_rn"),
+            )
+        )
+    terms = iri_feed.groupBy("seg", "term").agg(F.min("use_rn").alias("first_rn"))
     wseg = W.partitionBy("seg").orderBy("first_rn", "term")
-    dictionary = terms.withColumn("term_id", F.dense_rank().over(wseg)).persist()
+    dictionary = terms.withColumn("term_id", F.dense_rank().over(wseg))
 
-    # prefix table (F1): greedy split at the last / or # of each DICTIONARY
-    # term; bounded per segment — prefixes past max_prefix_table stay
-    # unsplit (prefix_id 0, full term in the name entry).
+    # prefix table (F1): greedy split at the last / or # of each
+    # dictionary term. On the REAL wire, prefix_id 0 inside a statement
+    # means "same prefix as the previous IRI", so with the table enabled
+    # EVERY IRI must reference its prefix explicitly — unsplittable
+    # terms reference an entry whose value is "" (what jelly-jvm does);
+    # the declared table size is raised to cover the ids actually used.
     if prefix_table:
         split = dictionary.withColumn(
             "prefix", F.regexp_extract(F.col("term"), _PREFIX_RE, 1)
         )
-        prefixes = (
-            split.filter(F.col("prefix") != "")
-            .groupBy("seg", "prefix")
-            .agg(F.min("first_rn").alias("first_rn"))
+        prefixes = split.groupBy("seg", "prefix").agg(
+            F.min("first_rn").alias("first_rn")
         )
         wp = W.partitionBy("seg").orderBy("first_rn", "prefix")
-        prefix_dict = (
-            prefixes.withColumn("pid", F.dense_rank().over(wp))
-            .filter(F.col("pid") <= options.max_prefix_table)
-            .persist()
-        )
-        name_entries = (
-            split.join(prefix_dict.select("seg", "prefix", "pid"), ["seg", "prefix"], "left")
+        prefix_dict = prefixes.withColumn("pid", F.dense_rank().over(wp)).persist()
+        dict_full = (
+            split.join(prefix_dict.select("seg", "prefix", "pid"), ["seg", "prefix"])
             .select(
-                "seg",
-                "term_id",
-                "first_rn",
-                F.col("pid").alias("prefix_id"),
-                F.when(
-                    F.col("pid").isNotNull(),
-                    F.expr("substring(term, length(prefix) + 1)"),
-                )
-                .otherwise(F.col("term"))
-                .alias("local"),
+                "seg", "term", "term_id", "first_rn",
+                F.col("pid"),
+                F.expr("substring(term, length(prefix) + 1)").alias("local"),
             )
+            .persist()
         )
     else:
         prefix_dict = None
-        name_entries = dictionary.select(
-            "seg",
-            "term_id",
-            "first_rn",
-            F.lit(None).cast("long").alias("prefix_id"),
+        dict_full = dictionary.select(
+            "seg", "term", "term_id", "first_rn",
+            F.lit(None).cast("long").alias("pid"),
             F.col("term").alias("local"),
-        )
+        ).persist()
 
-    # datatype lookup table (3rd dictionary; ids bounded by seg sizing)
+    # datatype table: literal datatypes (top-level + atoms)
+    dt_feed = None
+    for p in feed_positions:
+        part = ordered.filter(F.col(f"{p}_dtv").isNotNull()).select(
+            "seg", F.col(f"{p}_dtv").alias("dtv"), F.col("rn").alias("use_rn")
+        )
+        dt_feed = part if dt_feed is None else dt_feed.unionByName(part)
+    dt_feed = dt_feed.unionByName(
+        atoms.filter(F.col("a_dtv").isNotNull()).select(
+            "seg", F.col("a_dtv").alias("dtv"), F.col("rn").alias("use_rn")
+        )
+    )
     dt_dict = (
-        ordered.filter(F.col("obj_datatype").isNotNull())
-        .groupBy("seg", "obj_datatype")
-        .agg(F.min("rn").alias("first_rn"))
+        dt_feed.groupBy("seg", "dtv")
+        .agg(F.min("use_rn").alias("first_rn"))
         .withColumn(
             "dt_id",
-            F.dense_rank().over(W.partitionBy("seg").orderBy("first_rn", "obj_datatype")),
+            F.dense_rank().over(W.partitionBy("seg").orderBy("first_rn", "dtv")),
+        )
+        .persist()
+    )
+
+    # declared table sizes = max(configured, used): explicit ids stay
+    # within the declared bound for ANY input (two tiny aggregate jobs)
+    used_name = dict_full.agg(F.max("term_id")).first()[0] or 0
+    used_dt = dt_dict.agg(F.max("dt_id")).first()[0] or 0
+    declared_name = max(options.max_name_table, used_name, 8)
+    declared_dt = max(options.max_dt_table, used_dt, 8)
+    if prefix_table:
+        used_prefix = prefix_dict.agg(F.max("pid")).first()[0] or 0
+        declared_prefix = max(options.max_prefix_table, used_prefix)
+    else:
+        declared_prefix = 0
+    version = VERSION_MAX if namespaces is not None else options.version
+
+    # --- quoted-term JSON reassembly (ids joined at the atom level)
+    atoms_ids = (
+        atoms.join(
+            dict_full.select(
+                "seg", F.col("term").alias("a_val"),
+                F.col("term_id").alias("nid"), F.col("pid").alias("nid_pid"),
+            ),
+            ["seg", "a_val"],
+            "left",
+        )
+        .join(
+            dt_dict.select("seg", F.col("dtv").alias("a_dtv"), "dt_id"),
+            ["seg", "a_dtv"],
+            "left",
         )
     )
+    qjson = _reassemble_quoted(atoms_ids)
+
+    # --- melt statements, resolve refs once, pivot back
+    melted = ordered.select(
+        "seg", "rn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("pos"),
+                        F.col(f"{p}_val").alias("val"),
+                        F.col(f"{p}_kind").alias("kind"),
+                        F.col(f"{p}_dtv").alias("dtv"),
+                        F.col(f"{p}_lang").alias("lang"),
+                    )
+                    for p in positions
+                ]
+            )
+        ).alias("t"),
+    ).select("seg", "rn", "t.*")
+    resolved = (
+        melted.join(
+            dict_full.select(
+                "seg", F.col("term").alias("val"),
+                F.col("term_id").alias("nid"), F.col("pid"),
+            ),
+            ["seg", "val"],
+            "left",
+        )
+        .join(
+            dt_dict.select("seg", F.col("dtv").alias("dtv"), "dt_id"),
+            ["seg", "dtv"],
+            "left",
+        )
+        .join(qjson, ["seg", "rn", "pos"], "left")
+    )
+
+    def pick(pos, field, cast=None):
+        c = F.max(F.when(F.col("pos") == pos, F.col(field)))
+        return (c.cast(cast) if cast else c).alias(f"{pos}_{field}")
+
+    agg_cols = []
+    for p in positions:
+        agg_cols += [
+            pick(p, "kind", "int"),
+            F.max(
+                F.when((F.col("pos") == p) & (F.col("kind") == T_IRI), F.col("nid"))
+            ).cast("long").alias(f"{p}_nid"),
+            F.max(
+                F.when((F.col("pos") == p) & (F.col("kind") == T_IRI), F.col("pid"))
+            ).cast("long").alias(f"{p}_pid"),
+            F.max(
+                F.when(
+                    (F.col("pos") == p) & (F.col("kind") == T_QUOTED), F.col("qjson")
+                ).otherwise(F.when(F.col("pos") == p, F.col("val")))
+            ).alias(f"{p}_val"),
+            F.max(
+                F.when((F.col("pos") == p) & (F.col("kind") == T_LITERAL), F.col("dt_id"))
+            ).cast("long").alias(f"{p}_dt"),
+            F.max(
+                F.when((F.col("pos") == p) & (F.col("kind") == T_LITERAL), F.col("lang"))
+            ).alias(f"{p}_lang"),
+        ]
+    stmt = resolved.groupBy("seg", "rn").agg(*agg_cols)
+
     frame_of = lambda rn: F.floor((rn - 1) / rows_per_frame).cast("long")  # noqa: E731
 
-    d = dictionary
-    stmt = (
-        ordered.join(
-            d.select("seg", F.col("term").alias("subj"), F.col("term_id").alias("s_id")),
-            ["seg", "subj"],
-        )
-        .join(
-            d.select("seg", F.col("term").alias("pred"), F.col("term_id").alias("p_id")),
-            ["seg", "pred"],
-        )
-        .join(
-            d.select("seg", F.col("term").alias("obj"), F.col("term_id").alias("o_id")),
-            ["seg", "obj"],
-        )
-        .join(
-            dt_dict.select("seg", "obj_datatype", F.col("dt_id").alias("o_dt_id")),
-            ["seg", "obj_datatype"],
-            "left",
-        )
-    )
-    if is_quads:
-        stmt = stmt.join(
-            d.select("seg", F.col("term").alias("graph"), F.col("term_id").alias("gid")),
-            ["seg", "graph"],
-            "left",
-        )
+    stmt_present = [
+        c for p in positions
+        for c in (f"{p}_kind", f"{p}_nid", f"{p}_pid", f"{p}_val", f"{p}_dt", f"{p}_lang")
+    ]
     stmt_rows = stmt.select(
         "seg",
         frame_of(F.col("rn")).alias("frame_index"),
         F.col("rn").alias("sort_key"),
         F.lit(_MINOR_STATEMENT).alias("minor"),
         F.lit(KIND_QUAD if is_quads else KIND_TRIPLE).alias("row_kind"),
-        F.col("s_id"),
-        F.col("p_id"),
-        F.col("o_id"),
-        F.col("obj_kind").alias("o_kind"),
-        F.col("spg"),
-        (F.col("gid") if is_quads else F.lit(None).cast("long")).alias("g_id"),
-        F.lit(None).cast("long").alias("name_id"),
-        F.lit(None).cast("long").alias("prefix_id"),
-        F.lit(None).cast("string").alias("name"),
-        F.col("o_dt_id").alias("dt_id"),
-        F.col("obj_lang").alias("lang"),
-        *_null_row_cols(
-            "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id", "o_kind",
-            "spg", "g_id", "name_id", "prefix_id", "name", "dt_id", "lang",
-            "row_pos",
-        ),
-    )
-    name_rows = name_entries.select(
+        *[F.col(c) for c in stmt_present],
+        *_null_pre_cols("sort_key", "minor", "row_kind", *stmt_present),
+    ).select(*_pre_order())
+
+    name_rows = dict_full.select(
         "seg",
-        frame_of(F.col("first_rn")).alias("frame_index"),
-        F.col("first_rn").alias("sort_key"),
+        frame_of(F.greatest(F.col("first_rn"), F.lit(1))).alias("frame_index"),
+        F.greatest(F.col("first_rn"), F.lit(1)).alias("sort_key"),
         F.lit(_MINOR_NAME).alias("minor"),
         F.lit(KIND_NAME).alias("row_kind"),
         F.col("term_id").alias("name_id"),
-        F.col("prefix_id"),
         F.col("local").alias("name"),
-        *_null_row_cols(
-            "sort_key", "minor", "row_kind", "name_id", "prefix_id", "name", "row_pos"
-        ),
-    ).select(*_frame_row_order())
+        *_null_pre_cols("sort_key", "minor", "row_kind", "name_id", "name"),
+    ).select(*_pre_order())
     dt_rows = dt_dict.select(
         "seg",
-        frame_of(F.col("first_rn")).alias("frame_index"),
-        F.col("first_rn").alias("sort_key"),
+        frame_of(F.greatest(F.col("first_rn"), F.lit(1))).alias("frame_index"),
+        F.greatest(F.col("first_rn"), F.lit(1)).alias("sort_key"),
         F.lit(_MINOR_DATATYPE).alias("minor"),
         F.lit(KIND_DATATYPE).alias("row_kind"),
         F.col("dt_id").alias("name_id"),
-        F.col("obj_datatype").alias("name"),
-        *_null_row_cols("sort_key", "minor", "row_kind", "name_id", "name", "row_pos"),
-    ).select(*_frame_row_order())
-    branches = [stmt_rows.select(*_frame_row_order()), name_rows, dt_rows]
+        F.col("dtv").alias("name"),
+        *_null_pre_cols("sort_key", "minor", "row_kind", "name_id", "name"),
+    ).select(*_pre_order())
+    branches = [stmt_rows, name_rows, dt_rows]
+    if is_graphs:
+        # graph runs: contiguous by construction (graph-first ordering);
+        # GraphStart carries the resolved graph term, GraphEnd closes it
+        runs = ordered.groupBy(
+            "seg", "g_val", "g_kind", "g_dtv", "g_lang"
+        ).agg(F.min("rn").alias("run_start"), F.max("rn").alias("run_end"))
+        runs = (
+            runs.join(
+                dict_full.select(
+                    "seg", F.col("term").alias("g_val"),
+                    F.col("term_id").alias("g_nid_j"), F.col("pid").alias("g_pid_j"),
+                ),
+                ["seg", "g_val"],
+                "left",
+            )
+            .join(
+                dt_dict.select("seg", F.col("dtv").alias("g_dtv"), F.col("dt_id")),
+                ["seg", "g_dtv"],
+                "left",
+            )
+        )
+        start_rows = runs.select(
+            "seg",
+            frame_of(F.col("run_start")).alias("frame_index"),
+            F.col("run_start").alias("sort_key"),
+            F.lit(_MINOR_GRAPH_START).alias("minor"),
+            F.lit(KIND_GRAPH_START).alias("row_kind"),
+            F.col("g_kind"),
+            F.when(F.col("g_kind") == T_IRI, F.col("g_nid_j")).alias("g_nid"),
+            F.when(F.col("g_kind") == T_IRI, F.col("g_pid_j")).alias("g_pid"),
+            F.when(F.col("g_kind").isin(T_BNODE, T_LITERAL), F.col("g_val")).alias(
+                "g_val"
+            ),
+            F.when(F.col("g_kind") == T_LITERAL, F.col("dt_id")).alias("g_dt"),
+            F.when(F.col("g_kind") == T_LITERAL, F.col("g_lang")).alias("g_lang"),
+            *_null_pre_cols(
+                "sort_key", "minor", "row_kind", "g_kind", "g_nid", "g_pid",
+                "g_val", "g_dt", "g_lang",
+            ),
+        ).select(*_pre_order())
+        end_rows = runs.select(
+            "seg",
+            frame_of(F.col("run_end")).alias("frame_index"),
+            F.col("run_end").alias("sort_key"),
+            F.lit(_MINOR_GRAPH_END).alias("minor"),
+            F.lit(KIND_GRAPH_END).alias("row_kind"),
+            *_null_pre_cols("sort_key", "minor", "row_kind"),
+        ).select(*_pre_order())
+        branches += [start_rows, end_rows]
     if prefix_dict is not None:
         prefix_rows = prefix_dict.select(
             "seg",
-            frame_of(F.col("first_rn")).alias("frame_index"),
-            F.col("first_rn").alias("sort_key"),
+            frame_of(F.greatest(F.col("first_rn"), F.lit(1))).alias("frame_index"),
+            F.greatest(F.col("first_rn"), F.lit(1)).alias("sort_key"),
             F.lit(_MINOR_PREFIX).alias("minor"),
             F.lit(KIND_PREFIX).alias("row_kind"),
             F.col("pid").alias("name_id"),
             F.col("prefix").alias("name"),
-            *_null_row_cols(
-                "sort_key", "minor", "row_kind", "name_id", "name", "row_pos"
-            ),
-        ).select(*_frame_row_order())
+            *_null_pre_cols("sort_key", "minor", "row_kind", "name_id", "name"),
+        ).select(*_pre_order())
         branches.append(prefix_rows)
-    # one options row at the head of each segment's first frame
+
     options_rows = (
         ordered.groupBy("seg")
         .agg(F.min("rn").alias("first"))
@@ -735,36 +888,51 @@ def _encode_statements(
             F.lit(0).cast("long").alias("sort_key"),
             F.lit(_MINOR_OPTIONS).alias("minor"),
             F.lit(KIND_OPTIONS).alias("row_kind"),
-            F.lit(options.version).alias("opt_version"),
+            F.lit(version).alias("opt_version"),
             F.lit(physical).alias("opt_physical"),
             F.lit(options.logical_type).alias("opt_logical"),
             F.lit(options.flags).alias("opt_flags"),
-            F.lit(options.max_name_table).alias("opt_max_name"),
-            F.lit(options.max_prefix_table).alias("opt_max_prefix"),
-            F.lit(options.max_dt_table).alias("opt_max_dt"),
+            F.lit(declared_name).alias("opt_max_name"),
+            F.lit(declared_prefix).alias("opt_max_prefix"),
+            F.lit(declared_dt).alias("opt_max_dt"),
             F.lit(options.stream_name).alias("aux"),
-            *_null_row_cols(
+            *_null_pre_cols(
                 "sort_key", "minor", "row_kind", "opt_version", "opt_physical",
                 "opt_logical", "opt_flags", "opt_max_name", "opt_max_prefix",
-                "opt_max_dt", "aux", "row_pos",
+                "opt_max_dt", "aux",
             ),
         )
-        .select(*_frame_row_order())
+        .select(*_pre_order())
     )
     branches.append(options_rows)
+
     if namespaces is not None:
         # namespace declarations ride at the head of the stream (seg 0,
-        # frame 0, right after options)
-        ns_rows = namespaces.select(
-            F.lit(0).cast("long").alias("seg"),
-            F.lit(0).cast("long").alias("frame_index"),
-            F.lit(0).cast("long").alias("sort_key"),
-            F.lit(_MINOR_NAMESPACE).alias("minor"),
-            F.lit(KIND_NAMESPACE).alias("row_kind"),
-            F.col("name").alias("name"),
-            F.col("iri").alias("aux"),
-            *_null_row_cols("sort_key", "minor", "row_kind", "name", "aux", "row_pos"),
-        ).select(*_frame_row_order())
+        # frame 0, right after options); their IRI is a table ref
+        ns_rows = (
+            namespaces.join(
+                dict_full.filter(F.col("seg") == 0).select(
+                    F.col("term").alias("iri"),
+                    F.col("term_id").alias("g_nid"),
+                    F.col("pid").alias("g_pid"),
+                ),
+                "iri",
+            )
+            .select(
+                F.lit(0).cast("long").alias("seg"),
+                F.lit(0).cast("long").alias("frame_index"),
+                F.lit(1).cast("long").alias("sort_key"),
+                F.lit(_MINOR_NAMESPACE).alias("minor"),
+                F.lit(KIND_NAMESPACE).alias("row_kind"),
+                F.col("name"),
+                F.col("g_nid"),
+                F.col("g_pid"),
+                *_null_pre_cols(
+                    "sort_key", "minor", "row_kind", "name", "g_nid", "g_pid"
+                ),
+            )
+            .select(*_pre_order())
+        )
         branches.append(ns_rows)
 
     all_rows = branches[0]
@@ -777,17 +945,6 @@ def _encode_statements(
     )
 
 
-def _frame_row_order() -> list[str]:
-    """Canonical column order for the pre-encode row table."""
-    return [
-        "seg", "frame_index", "sort_key", "minor", "row_kind",
-        "s_id", "p_id", "o_id", "o_kind", "spg", "g_id",
-        "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
-        "opt_version", "opt_physical", "opt_logical", "opt_flags",
-        "opt_max_name", "opt_max_prefix", "opt_max_dt",
-    ]
-
-
 def encode_triples(
     spark: SparkSession,
     triples: DataFrame,
@@ -797,12 +954,12 @@ def encode_triples(
     prefix_table: bool = False,
     namespaces: DataFrame | None = None,
 ) -> DataFrame:
-    """triples(subj, pred, obj, obj_kind[, obj_datatype, obj_lang]) →
-    frames(seg, frame_index, n_rows, frame_bytes), TRIPLES physical type
-    (S15, RdfToJelly.scala:130-199)."""
-    opts = options or StreamOptions(max_name_table=max_name_table)
-    if options is None:
-        opts = dataclasses.replace(opts, max_dt_table=max_name_table)
+    """triples(subj, pred, obj, obj_kind[, obj_datatype, obj_lang]
+    [, subj_kind, pred_kind][, per-term *_dt/*_lang]) → TRIPLES frames
+    (S15, JellyStreamWriter via RdfToJelly.scala:130-199)."""
+    opts = options or StreamOptions(
+        max_name_table=max_name_table, max_dt_table=max_name_table
+    )
     return _encode_statements(
         spark, triples, PHYSICAL_TRIPLES, rows_per_frame, opts,
         prefix_table, namespaces,
@@ -818,10 +975,9 @@ def encode_quads(
     prefix_table: bool = False,
     namespaces: DataFrame | None = None,
 ) -> DataFrame:
-    """quads(subj, pred, obj, obj_kind, graph nullable) → frames, QUADS
-    physical type (RdfToJelly.scala:158,182-191): every statement row
-    carries its own graph reference (g_id 0 = default graph), unlike
-    GRAPHS which factors the graph out into run boundaries."""
+    """quads(subj, pred, obj, obj_kind, graph nullable[, ...]) → QUADS
+    frames; NULL graph = the default graph (g_default_graph on the
+    wire)."""
     opts = options or StreamOptions(
         physical_type=PHYSICAL_QUADS, max_name_table=max_name_table,
         max_dt_table=max_name_table,
@@ -846,135 +1002,174 @@ def write_jelly_file(
     ``append`` mirrors the reference's append-mode sink (S3,
     IoUtil.scala:30-36): appended frames form a concatenated stream,
     which is legal input (U1)."""
+    import io as _io
+
     rows = frames.orderBy("seg", "frame_index").select("frame_bytes").collect()
     mode = "ab" if append else "wb"
     with open(path, mode) as fh:
         for r in rows:
             if delimited:
-                buf = io.BytesIO()
-                _write_varint(buf, len(r.frame_bytes))
+                buf = _io.BytesIO()
+                JW.write_varint(buf, len(r.frame_bytes))
                 fh.write(buf.getvalue())
             fh.write(r.frame_bytes)
 
 
 def probe_delimited(path: str) -> bool:
     """Delimiting autodetect (S9, JellyUtil.scala:24-40): a delimited
-    file starts with a varint length followed by the 0x0A row tag; a
-    non-delimited one starts directly with 0x0A."""
+    file starts with a varint frame length; a non-delimited one starts
+    directly with the frame's 0x0A row tag."""
     with open(path, "rb") as fh:
         head = fh.read(10)
     if not head:
         raise ValueError("empty stream")
-    if head[0] == 0x0A:
-        return False
-    return True
+    return head[0] != 0x0A
 
 
 def read_jelly_file(spark: SparkSession, path: str) -> DataFrame:
-    """Binary file → frames table via binaryFile scan + frame splitting
-    (each file row explodes into its frames; files are independent tasks,
-    matching 'concatenated streams are valid input' U1)."""
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    """Binary file(s) → frames table via binaryFile scan + frame
+    splitting. Each FILE gets its own synthetic segment id (files are
+    independent sequential streams — 'concatenated streams are valid
+    input' U1), so per-segment resolution in decode_frames parallelizes
+    across files."""
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .withColumn("file_seg", F.monotonically_increasing_id())
+    )
 
     def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             out = []
-            for content in pdf["content"]:
+            for seg, content in zip(pdf["file_seg"], pdf["content"]):
                 data = bytes(content)
                 if not data:
                     continue
-                if data[0] == 0x0A:  # non-delimited: exactly one frame
-                    out.append((-1, 0, -1, data))
-                    continue
-                pos, idx = 0, 0
-                while pos < len(data):
-                    length, pos = _read_varint(data, pos)
-                    out.append((-1, idx, -1, data[pos : pos + length]))
-                    pos += length
-                    idx += 1
+                _, blobs = JW.split_delimited(data)
+                for idx, blob in enumerate(blobs):
+                    out.append((int(seg), idx, -1, blob))
             yield pd.DataFrame(
                 out, columns=["seg", "frame_index", "n_rows", "frame_bytes"]
             )
 
-    # seg = -1: segment boundaries are recovered from options rows after
-    # decode (assign_segments) — a file has no out-of-band segment info.
     return raw.mapInPandas(split, FRAME_SCHEMA)
 
 
 def options_from_file(path: str) -> StreamOptions:
     """Options-from-file (S11, RdfToJelly.scala:82-89): read the first
-    frame of an existing stream and copy its options row. Pure driver-side
-    I/O — only the head of the file is touched."""
+    frame of an existing stream and copy its options row. Pure
+    driver-side I/O — only the head of the file is touched."""
     with open(path, "rb") as fh:
         data = fh.read()
     if not data:
         raise ValueError("empty stream")
-    if data[0] == 0x0A:
-        frame = data
-    else:
-        length, pos = _read_varint(data, 0)
-        frame = data[pos : pos + length]
-    for row in decode_frame(frame):
-        if row["kind"] == KIND_OPTIONS:
-            return StreamOptions(
-                version=row["opt_version"],
-                physical_type=row["opt_physical"],
-                logical_type=row["opt_logical"],
-                generalized=bool(row["opt_flags"] & 1),
-                rdf_star=bool(row["opt_flags"] & 2),
-                stream_name=row.get("aux") or "",
-                max_name_table=row["opt_max_name"],
-                max_prefix_table=row["opt_max_prefix"],
-                max_dt_table=row["opt_max_dt"],
-            )
+    _, blobs = JW.split_delimited(data)
+    for blob in blobs:
+        for row in JW.decode_frame(blob):
+            if row["kind"] == KIND_OPTIONS:
+                return StreamOptions(
+                    version=row["version"],
+                    physical_type=row["physical"],
+                    logical_type=row["logical"],
+                    generalized=row["generalized"],
+                    rdf_star=row["rdf_star"],
+                    stream_name=row["stream_name"],
+                    max_name_table=row["max_name"],
+                    max_prefix_table=row["max_prefix"],
+                    max_dt_table=row["max_dt"],
+                )
+        if blob:  # only scan leading empty frames past the first
+            break
     raise ValueError(f"no options row in the first frame of {path}")
 
 
 # ---------------------------------------------------------------------------
-# decode: frames table → rows table → statements
+# decode: frames table → resolved rows table → statements
 # ---------------------------------------------------------------------------
 
 
-def decode_frames(frames: DataFrame) -> DataFrame:
-    """frames → row table (seg, frame_index, row_pos, row_kind, ...) via
-    Arrow-batched decoder."""
+def _resolved_to_rec(frame_index: int, row_pos: int, row: dict) -> dict:
+    rec = {c: None for c in _ROW_COLS}
+    rec["frame_index"] = frame_index
+    rec["row_pos"] = row_pos
+    kind = row["kind"]
+    rec["row_kind"] = kind
+    if kind == KIND_OPTIONS:
+        rec.update(
+            aux=row["stream_name"], opt_version=row["version"],
+            opt_physical=row["physical"], opt_logical=row["logical"],
+            opt_flags=(1 if row["generalized"] else 0)
+            | (2 if row["rdf_star"] else 0),
+            opt_max_name=row["max_name"], opt_max_prefix=row["max_prefix"],
+            opt_max_dt=row["max_dt"],
+        )
+    elif kind in (KIND_TRIPLE, KIND_QUAD):
+        for pos, (vc, kc, dc, lc) in (
+            ("s", ("subj", "subj_kind", "subj_dt", "subj_lang")),
+            ("p", ("pred", "pred_kind", "pred_dt", "pred_lang")),
+            ("o", ("obj", "obj_kind", "obj_datatype", "obj_lang")),
+            ("g", ("graph", "graph_kind", "graph_dt", "graph_lang")),
+        ):
+            t = row.get(pos)
+            if t is None:
+                continue
+            value, tkind, dt, lang = t
+            rec[vc] = value
+            rec[kc] = tkind
+            rec[dc] = dt
+            rec[lc] = lang
+    elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
+        rec["name_id"] = row["id"]
+        rec["name"] = row["value"]
+    elif kind == KIND_GRAPH_START:
+        value, tkind, dt, lang = row["g"]
+        rec.update(graph=value, graph_kind=tkind, graph_dt=dt, graph_lang=lang)
+    elif kind == KIND_NAMESPACE:
+        rec["name"] = row["name"]
+        rec["aux"] = row["iri"]
+    return rec
 
-    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+
+def decode_frames(frames: DataFrame, strict: bool = False) -> DataFrame:
+    """frames → fully-resolved rows table. One sequential resolution
+    pass per SEGMENT (applyInPandas grouped by seg): segments are
+    bounded for our own streams and one-per-file for imports, so the
+    sequential unit is small and segments run embarrassingly parallel.
+    ``strict`` enforces declared table bounds (P8)."""
+
+    def resolve(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        for pdf in batches:
-            out = []
-            for seg, frame_index, frame_bytes in zip(
-                pdf["seg"], pdf["frame_index"], pdf["frame_bytes"]
-            ):
-                for pos, row in enumerate(decode_frame(bytes(frame_bytes))):
-                    rec = {c: None for c in _ROW_COLS}
-                    rec.update(
-                        seg=seg, frame_index=frame_index, row_pos=pos,
-                        row_kind=row["kind"],
-                    )
-                    for k, v in row.items():
-                        if k != "kind":
-                            rec[k] = v
-                    out.append(rec)
-            yield pd.DataFrame(out, columns=_ROW_COLS)
+        pdf = pdf.sort_values("frame_index")
+        seg = int(pdf["seg"].iloc[0])
+        state = JW.StreamState(strict=strict)
+        out = []
+        for frame_index, blob in zip(pdf["frame_index"], pdf["frame_bytes"]):
+            for row_pos, row in enumerate(JW.decode_frame(bytes(blob))):
+                rec = _resolved_to_rec(int(frame_index), row_pos, state.resolve_row(row))
+                rec["seg"] = seg
+                out.append(rec)
+        return pd.DataFrame(out, columns=_ROW_COLS)
 
-    return frames.mapInPandas(dec, ROW_SCHEMA)
+    return frames.groupBy("seg").applyInPandas(resolve, ROW_SCHEMA)
 
 
 def assign_segments(rows: DataFrame) -> DataFrame:
-    """Recover segment ids for file-read streams (seg = -1): each options
-    row starts a new segment — cumulative count over stream order. A
-    single-task window, acceptable because .jelly FILE import is the
-    bounded-artifact path (the cluster representation keeps seg)."""
-    w = W.orderBy("frame_index", "row_pos").rowsBetween(W.unboundedPreceding, W.currentRow)
+    """Sub-stream ids for multi-stream files: each options row starts a
+    new sub-stream — cumulative count per file segment. (Decode no
+    longer needs this — the resolver resets at options rows — but
+    structural validation still reports per-sub-stream.)"""
+    w = W.partitionBy("seg").orderBy("frame_index", "row_pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     return rows.withColumn(
         "seg",
-        (F.sum(F.when(F.col("row_kind") == KIND_OPTIONS, 1).otherwise(0)).over(w) - 1).cast(
-            "long"
-        ),
+        F.col("seg") * 1_000_000
+        + F.sum(F.when(F.col("row_kind") == KIND_OPTIONS, 1).otherwise(0)).over(w)
+        - 1,
     )
 
 
@@ -1003,43 +1198,10 @@ def ensure_physical(rows: DataFrame, allowed: set[int], context: str) -> None:
 
 
 def namespace_declarations(rows: DataFrame) -> DataFrame:
-    """(name, iri) namespace declarations carried by the stream (P-row
-    kind 9 passthrough, RdfFromJelly.scala:133-140)."""
+    """(name, iri) namespace declarations carried by the stream
+    (RdfFromJelly.scala:133-140 passthrough)."""
     return rows.filter(F.col("row_kind") == KIND_NAMESPACE).select(
         F.col("name"), F.col("aux").alias("iri")
-    )
-
-
-def _term_dictionary(rows: DataFrame) -> DataFrame:
-    """(seg, term_id, term) — name entries joined to the prefix table
-    (term = prefix || local; prefix_id NULL/0 ⇒ local is the full term)."""
-    names = rows.filter(F.col("row_kind") == KIND_NAME).select(
-        "seg",
-        F.col("name_id").alias("term_id"),
-        "prefix_id",
-        F.col("name").alias("local"),
-    )
-    prefixes = rows.filter(F.col("row_kind") == KIND_PREFIX).select(
-        "seg", F.col("name_id").alias("prefix_id"), F.col("name").alias("prefix")
-    )
-    return (
-        names.join(F.broadcast(prefixes), ["seg", "prefix_id"], "left")
-        .select(
-            "seg",
-            "term_id",
-            F.concat(F.coalesce(F.col("prefix"), F.lit("")), F.col("local")).alias(
-                "term"
-            ),
-        )
-        .dropDuplicates(["seg", "term_id"])
-    )
-
-
-def _dt_dictionary(rows: DataFrame) -> DataFrame:
-    return (
-        rows.filter(F.col("row_kind") == KIND_DATATYPE)
-        .select("seg", F.col("name_id").alias("dt_id"), F.col("name").alias("obj_datatype"))
-        .dropDuplicates(["seg", "dt_id"])
     )
 
 
@@ -1048,104 +1210,57 @@ def decode_triples(
     take_frames: tuple[int, int] | None = None,
     strict: bool = True,
 ) -> DataFrame:
-    """rows table → triples. Two-pass distributed decode (§3.2): pass 1
-    materializes each segment's dictionaries, pass 2 joins statement refs
-    on (seg, id) — frame slicing (P1/P2 --take-frames) filters pass 2
-    only, so skipped frames still contribute dictionary state exactly
-    like the reference's state-preserving skip (RdfFromJelly.scala:166-177).
+    """resolved rows table → triples. Frame slicing (P1/P2
+    --take-frames) filters AFTER resolution, so skipped frames still
+    contributed dictionary state exactly like the reference's
+    state-preserving skip (RdfFromJelly.scala:166-177).
 
-    ``strict`` enforces the P4 quad-in-triple-format guard: a stream
-    whose options declare QUADS/GRAPHS raises instead of silently
-    dropping graph names."""
-    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
-        rows = assign_segments(rows)
+    ``strict`` enforces the P4 quad-in-triple-format guard."""
     if strict:
         ensure_physical(rows, {PHYSICAL_TRIPLES}, "a triples-only sink")
-    dictionary = _term_dictionary(rows)
-    dt_dictionary = _dt_dictionary(rows)
     trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
     if take_frames is not None:
         lo, hi = take_frames
         trips = trips.filter(F.col("frame_index").between(lo, hi))
-    d = dictionary
-    return (
-        trips.join(
-            d.select("seg", F.col("term_id").alias("s_id"), F.col("term").alias("subj")),
-            ["seg", "s_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("p_id"), F.col("term").alias("pred")),
-            ["seg", "p_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
-            ["seg", "o_id"],
-        )
-        .join(dt_dictionary, ["seg", "dt_id"], "left")
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            F.col("o_kind").alias("obj_kind"),
-            "obj_datatype",
-            F.col("lang").alias("obj_lang"),
-            F.col("spg").bitwiseAND(F.lit(3)).alias("subj_kind"),
-            F.shiftright(F.col("spg"), 2).bitwiseAND(F.lit(3)).alias("pred_kind"),
-            "frame_index",
-        )
+    return trips.select(
+        "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang",
+        "subj_kind", "pred_kind", "frame_index",
     )
 
 
 def decode_quads(
     rows: DataFrame, take_frames: tuple[int, int] | None = None
 ) -> DataFrame:
-    """QUADS rows table → quads(subj, pred, obj, obj_kind, graph,
-    obj_datatype, obj_lang, frame_index); g_id NULL ⇒ default graph ⇒
-    graph NULL."""
-    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
-        rows = assign_segments(rows)
-    dictionary = _term_dictionary(rows)
-    dt_dictionary = _dt_dictionary(rows)
+    """QUADS rows table → quads; default graph ⇒ graph NULL (and
+    graph_kind NULL, the flat-model convention)."""
     qs = rows.filter(F.col("row_kind") == KIND_QUAD)
     if take_frames is not None:
         lo, hi = take_frames
         qs = qs.filter(F.col("frame_index").between(lo, hi))
-    d = dictionary
-    return (
-        qs.join(
-            d.select("seg", F.col("term_id").alias("s_id"), F.col("term").alias("subj")),
-            ["seg", "s_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("p_id"), F.col("term").alias("pred")),
-            ["seg", "p_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
-            ["seg", "o_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("g_id"), F.col("term").alias("graph")),
-            ["seg", "g_id"],
-            "left",
-        )
-        .join(dt_dictionary, ["seg", "dt_id"], "left")
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            F.col("o_kind").alias("obj_kind"),
-            "graph",
-            "obj_datatype",
-            F.col("lang").alias("obj_lang"),
-            F.col("spg").bitwiseAND(F.lit(3)).alias("subj_kind"),
-            F.shiftright(F.col("spg"), 2).bitwiseAND(F.lit(3)).alias("pred_kind"),
-            F.when(
-                F.col("graph").isNotNull(),
-                F.shiftright(F.col("spg"), 4).bitwiseAND(F.lit(3)),
-            ).alias("graph_kind"),
-            "frame_index",
-        )
+    return qs.select(
+        "subj", "pred", "obj", "obj_kind",
+        F.when(F.col("graph_kind") == T_DEFAULT_GRAPH, F.lit(None))
+        .otherwise(F.col("graph"))
+        .alias("graph"),
+        "obj_datatype", "obj_lang", "subj_kind", "pred_kind",
+        F.when(F.col("graph_kind") == T_DEFAULT_GRAPH, F.lit(None))
+        .otherwise(F.col("graph_kind"))
+        .alias("graph_kind"),
+        "frame_index",
+    )
+
+
+def decode_quads_graphs(rows: DataFrame) -> DataFrame:
+    """GRAPHS rows table → quads: the resolver attaches the enclosing
+    GraphStart's graph to each triple row (the reference decoder's
+    `currentGraph` state), so this is a pure filter+select."""
+    trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
+    return trips.select(
+        "subj", "pred", "obj", "obj_kind",
+        F.when(F.col("graph_kind") == T_DEFAULT_GRAPH, F.lit(None))
+        .otherwise(F.col("graph"))
+        .alias("graph"),
+        "frame_index",
     )
 
 
@@ -1187,9 +1302,9 @@ def validate_options(rows: DataFrame) -> list[str]:
     for r in opts:
         if not r.opt_version or r.opt_version < 1:
             problems.append(f"options row declares invalid version {r.opt_version}")
-        elif r.opt_version > VERSION:
+        elif r.opt_version > VERSION_MAX:
             problems.append(
-                f"unsupported stream version {r.opt_version} (max {VERSION})"
+                f"unsupported stream version {r.opt_version} (max {VERSION_MAX})"
             )
         if r.opt_physical not in (PHYSICAL_TRIPLES, PHYSICAL_QUADS, PHYSICAL_GRAPHS):
             problems.append(f"unknown physical stream type {r.opt_physical}")
@@ -1221,190 +1336,271 @@ def validate_options(rows: DataFrame) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
-# Jelly-text format (S10, RdfToJelly.scala:207-228,261-291 /
-# RdfFromJelly.scala:182-203): a human-readable TextFormat-style
-# rendering of the row stream. One row message per LINE with its
-# (seg, frame, pos) coordinates inline, which makes the text form
-# line-splittable — render AND parse are single columnar expressions
-# (format_string / regexp_extract), no Python in the row path.
+# Jelly-text format (S10): REAL protobuf TextFormat of the frames —
+# what the reference's TextFormat printer/parser speaks
+# (RdfFromJellySpec.scala:150-163 shows the expected text; parse chunks
+# rows at lines starting '}', RdfToJelly.scala:261-291).
 # ---------------------------------------------------------------------------
 
 
-def _text_escape(c):
-    # Java replacement strings treat '\' specially: r'\\"' emits \" and
-    # r"\\\\" emits two literal backslashes.
-    return F.regexp_replace(
-        F.regexp_replace(F.coalesce(c, F.lit("")), F.lit(r"\\"), F.lit(r"\\\\")),
-        F.lit('"'),
-        F.lit(r"\\\""),
-    )
+def render_jelly_text(frames: DataFrame) -> DataFrame:
+    """frames → (seg, frame_index, text): one TextFormat block per
+    frame, frame-parallel."""
+
+    def render(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for seg, frame_index, blob in zip(
+                pdf["seg"], pdf["frame_index"], pdf["frame_bytes"]
+            ):
+                rows = JW.decode_frame(bytes(blob))
+                out.append((int(seg), int(frame_index), JW.render_frame_text(rows)))
+            yield pd.DataFrame(out, columns=["seg", "frame_index", "text"])
+
+    return frames.mapInPandas(render, "seg long, frame_index long, text string")
 
 
-def _text_unescape(c):
-    return F.regexp_replace(
-        F.regexp_replace(c, F.lit(r'\\"'), F.lit('"')),
-        F.lit(r"\\\\"),
-        F.lit("\\\\"),
-    )
+def parse_jelly_text(texts: DataFrame) -> DataFrame:
+    """(seg, frame_index, text) → frames table (inverse of
+    render_jelly_text), frame-parallel."""
 
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-def render_jelly_text(rows: DataFrame) -> DataFrame:
-    """rows table → (seg, frame_index, row_pos, line) jelly-text lines."""
-    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
-    k = F.col("row_kind")
-    payload = (
-        F.when(
-            k == KIND_OPTIONS,
-            F.format_string(
-                'options { version: %d physical: %d logical: %d flags: %d '
-                "max_name: %d max_prefix: %d max_dt: %d name: \"%s\" }",
-                z("opt_version"), z("opt_physical"), z("opt_logical"),
-                z("opt_flags"), z("opt_max_name"), z("opt_max_prefix"),
-                z("opt_max_dt"), _text_escape(F.col("aux")),
-            ),
-        )
-        .when(
-            k == KIND_TRIPLE,
-            F.format_string(
-                'triple { s: %d p: %d o: %d kind: %d spg: %d dt: %d lang: "%s" }',
-                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("spg"),
-                z("dt_id"), _text_escape(F.col("lang")),
-            ),
-        )
-        .when(
-            k == KIND_QUAD,
-            F.format_string(
-                'quad { s: %d p: %d o: %d kind: %d spg: %d g: %d dt: %d lang: "%s" }',
-                z("s_id"), z("p_id"), z("o_id"), z("o_kind"), z("spg"),
-                z("g_id"), z("dt_id"), _text_escape(F.col("lang")),
-            ),
-        )
-        .when(
-            k == KIND_NAME,
-            F.format_string(
-                'name { id: %d prefix: %d value: "%s" }',
-                z("name_id"), z("prefix_id"), _text_escape(F.col("name")),
-            ),
-        )
-        .when(
-            k == KIND_PREFIX,
-            F.format_string(
-                'prefix { id: %d value: "%s" }', z("name_id"),
-                _text_escape(F.col("name")),
-            ),
-        )
-        .when(
-            k == KIND_DATATYPE,
-            F.format_string(
-                'datatype { id: %d value: "%s" }', z("name_id"),
-                _text_escape(F.col("name")),
-            ),
-        )
-        .when(k == KIND_GRAPH_START, F.format_string("graph_start { g: %d }", z("name_id")))
-        .when(k == KIND_GRAPH_END, F.lit("graph_end { }"))
-        .when(
-            k == KIND_NAMESPACE,
-            F.format_string(
-                'namespace { name: "%s" iri: "%s" }',
-                _text_escape(F.col("name")), _text_escape(F.col("aux")),
-            ),
-        )
-    )
-    return rows.select(
-        "seg",
-        "frame_index",
-        "row_pos",
-        F.format_string(
-            "row { seg: %d frame: %d pos: %d %s }",
-            F.greatest(F.col("seg"), F.lit(0)), F.col("frame_index"),
-            F.col("row_pos"), payload,
-        ).alias("line"),
-    )
-
-
-def parse_jelly_text(lines: DataFrame, text_col: str = "line") -> DataFrame:
-    """jelly-text lines → rows table (inverse of render_jelly_text); one
-    pass of regexp extraction per field, line-parallel."""
-    line = F.col(text_col)
-    num = lambda field: F.regexp_extract(  # noqa: E731
-        line, rf"\b{field}: (-?\d+)", 1
-    )
-    lnum = lambda field: F.nullif(num(field), F.lit("")).cast("long")  # noqa: E731
-    inum = lambda field: F.nullif(num(field), F.lit("")).cast("int")  # noqa: E731
-    sfield = lambda field: _text_unescape(  # noqa: E731
-        F.regexp_extract(line, rf'{field}: "((?:[^"\\]|\\.)*)"', 1)
-    )
-    kind_word = F.regexp_extract(line, r"row \{ seg: \d+ frame: \d+ pos: \d+ (\w+)", 1)
-    kind = (
-        F.when(kind_word == "options", KIND_OPTIONS)
-        .when(kind_word == "triple", KIND_TRIPLE)
-        .when(kind_word == "quad", KIND_QUAD)
-        .when(kind_word == "name", KIND_NAME)
-        .when(kind_word == "prefix", KIND_PREFIX)
-        .when(kind_word == "datatype", KIND_DATATYPE)
-        .when(kind_word == "graph_start", KIND_GRAPH_START)
-        .when(kind_word == "graph_end", KIND_GRAPH_END)
-        .when(kind_word == "namespace", KIND_NAMESPACE)
-    )
-    zero_null = lambda c: F.nullif(c, F.lit(0))  # noqa: E731
-    empty_null = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
-    is_stmt = kind.isin(KIND_TRIPLE, KIND_QUAD)
-    return (
-        lines.filter(line.rlike(r"^row \{"))
-        .select(
-            lnum("seg").alias("seg"),
-            lnum("frame").alias("frame_index"),
-            inum("pos").alias("row_pos"),
-            kind.alias("row_kind"),
-            F.when(is_stmt, lnum("s")).alias("s_id"),
-            F.when(is_stmt, lnum("p")).alias("p_id"),
-            F.when(is_stmt, lnum("o")).alias("o_id"),
-            F.when(is_stmt, inum("kind")).alias("o_kind"),
-            F.when(is_stmt, inum("spg")).alias("spg"),
-            F.when(kind == KIND_QUAD, zero_null(lnum("g"))).alias("g_id"),
-            F.when(
-                kind.isin(KIND_NAME, KIND_PREFIX, KIND_DATATYPE), lnum("id")
+        for pdf in batches:
+            out = []
+            for seg, frame_index, text in zip(
+                pdf["seg"], pdf["frame_index"], pdf["text"]
+            ):
+                rows = JW.parse_frame_text(text)
+                out.append((int(seg), int(frame_index), len(rows), JW.encode_frame(rows)))
+            yield pd.DataFrame(
+                out, columns=["seg", "frame_index", "n_rows", "frame_bytes"]
             )
-            .when(kind == KIND_GRAPH_START, lnum("g"))
-            .alias("name_id"),
-            F.when(kind == KIND_NAME, zero_null(lnum("prefix"))).alias("prefix_id"),
-            F.when(kind.isin(KIND_NAME, KIND_PREFIX, KIND_DATATYPE), sfield("value"))
-            .when(kind == KIND_NAMESPACE, sfield("name"))
-            .alias("name"),
-            F.when(is_stmt, zero_null(lnum("dt"))).alias("dt_id"),
-            F.when(is_stmt, empty_null(sfield("lang"))).alias("lang"),
-            F.when(kind == KIND_OPTIONS, sfield("name"))
-            .when(kind == KIND_NAMESPACE, sfield("iri"))
-            .alias("aux"),
-            F.when(kind == KIND_OPTIONS, inum("version")).alias("opt_version"),
-            F.when(kind == KIND_OPTIONS, inum("physical")).alias("opt_physical"),
-            F.when(kind == KIND_OPTIONS, inum("logical")).alias("opt_logical"),
-            F.when(kind == KIND_OPTIONS, inum("flags")).alias("opt_flags"),
-            F.when(kind == KIND_OPTIONS, inum("max_name")).alias("opt_max_name"),
-            F.when(kind == KIND_OPTIONS, inum("max_prefix")).alias("opt_max_prefix"),
-            F.when(kind == KIND_OPTIONS, inum("max_dt")).alias("opt_max_dt"),
-        )
-    )
+
+    return texts.mapInPandas(parse, FRAME_SCHEMA)
 
 
-def write_jelly_text_file(rows: DataFrame, path: str) -> None:
-    """Jelly-text sink: one ordered text file (bounded-artifact path,
-    like write_jelly_file)."""
-    out = render_jelly_text(rows).orderBy("seg", "frame_index", "row_pos")
+def write_jelly_text_file(frames: DataFrame, path: str) -> None:
+    """Jelly-text sink: reference-style file with `# Frame N` headers
+    (bounded-artifact path, like write_jelly_file)."""
+    out = render_jelly_text(frames).orderBy("seg", "frame_index")
     with open(path, "w", encoding="utf-8") as fh:
-        for r in out.select("line").toLocalIterator():
-            fh.write(r.line + "\n")
+        n = 0
+        for r in out.select("text").toLocalIterator():
+            fh.write(f"# Frame {n}\n")
+            fh.write(r.text + "\n")
+            n += 1
 
 
-def read_jelly_text_file(spark: SparkSession, path: str) -> DataFrame:
-    """Jelly-text source → rows table (line-parallel text scan)."""
-    return parse_jelly_text(spark.read.text(path), "value")
+def read_jelly_text_file(
+    spark: SparkSession, path: str, rows_per_frame: int = ROWS_PER_FRAME
+) -> DataFrame:
+    """Jelly-text source → frames table. Mirrors the reference's parser
+    (RdfToJelly.scala:261-291): rows chunk at lines starting '}',
+    comments are TextFormat-legal, and rows regroup into frames of
+    ``rows_per_frame``."""
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    buf: list[str] = []
+    row_blocks: list[str] = []
+    for line in text.splitlines():
+        buf.append(line)
+        if line.startswith("}"):
+            row_blocks.append("\n".join(buf))
+            buf = []
+    rows = [JW.parse_frame_text(b) for b in row_blocks if b.strip()]
+    rows = [r[0] for r in rows if r]
+    frames = []
+    for i in range(0, len(rows), rows_per_frame):
+        chunk = rows[i : i + rows_per_frame]
+        frames.append(
+            (0, i // rows_per_frame, len(chunk), bytearray(JW.encode_frame(chunk)))
+        )
+    return spark.createDataFrame(frames, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
 # transcode fast path (§2.11, RdfTranscode.scala:57-82): pure integer
 # dictionary-id remap — no term decode, no string joins anywhere
 # ---------------------------------------------------------------------------
+
+
+def _explicitize_rows(rows: list[dict]) -> tuple[list[dict], dict]:
+    """Raw wire rows (one stream, in order) → rows with every implicit
+    id made explicit and every elided term filled in, WITHOUT resolving
+    values — the id-level normalization that makes blocks safely
+    concatenable (a block boundary must not inherit sequencing state
+    from another stream). Returns (rows, maxima)."""
+    last = {KIND_NAME: 0, KIND_PREFIX: 0, KIND_DATATYPE: 0}
+    maxima = {KIND_NAME: 0, KIND_PREFIX: 0, KIND_DATATYPE: 0}
+    last_nid = 0
+    last_pid = 0
+    prev_terms: dict[str, dict | None] = {"s": None, "p": None, "o": None, "g": None}
+    out = []
+
+    def fix_term(t):
+        nonlocal last_nid, last_pid
+        if t is None:
+            return None
+        k = t["k"]
+        if k == JW.T_IRI:
+            nid = t.get("nid") or (last_nid + 1)
+            pid = t.get("pid") or last_pid
+            last_nid, last_pid = nid, pid
+            return {"k": k, "nid": nid, "pid": pid}
+        if k == JW.T_QUOTED:
+            return {
+                "k": k,
+                "s": fix_term(t.get("s")),
+                "p": fix_term(t.get("p")),
+                "o": fix_term(t.get("o")),
+            }
+        return t
+
+    options = None
+    for row in rows:
+        kind = row["kind"]
+        if kind == KIND_OPTIONS:
+            options = row
+            last = {KIND_NAME: 0, KIND_PREFIX: 0, KIND_DATATYPE: 0}
+            last_nid = last_pid = 0
+            prev_terms = {"s": None, "p": None, "o": None, "g": None}
+            out.append(row)
+        elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
+            eid = row["id"] or (last[kind] + 1)
+            last[kind] = eid
+            maxima[kind] = max(maxima[kind], eid)
+            out.append({"kind": kind, "id": eid, "value": row["value"]})
+        elif kind in (KIND_TRIPLE, KIND_QUAD):
+            new = {"kind": kind}
+            for key in ("s", "p", "o") + (("g",) if kind == KIND_QUAD else ()):
+                t = row.get(key)
+                if t is None:
+                    new[key] = prev_terms[key]
+                else:
+                    new[key] = fix_term(t)
+                    prev_terms[key] = new[key]
+            out.append(new)
+        elif kind == KIND_GRAPH_START:
+            out.append({"kind": kind, "g": fix_term(row["g"])})
+        elif kind == KIND_NAMESPACE:
+            out.append({**row, "iri": fix_term(row.get("iri") or {"k": JW.T_IRI})})
+        else:
+            out.append(row)
+
+    # A residual pid 0 means "no prefix" in ITS stream, but in the merged
+    # stream (prefix table enabled) pid 0 would mean "same as previous
+    # IRI" and leak a neighbor block's prefix. Rewrite pid-0 IRIs to an
+    # explicit empty-prefix entry, injected right after the options row.
+    def has_zero_pid(t):
+        if t is None:
+            return False
+        if t["k"] == JW.T_IRI:
+            return t.get("pid", 0) == 0
+        if t["k"] == JW.T_QUOTED:
+            return any(has_zero_pid(t.get(x)) for x in ("s", "p", "o"))
+        return False
+
+    def any_zero(row):
+        return any(
+            has_zero_pid(row.get(x)) for x in ("s", "p", "o", "g", "iri")
+        )
+
+    if any(r["kind"] in (KIND_TRIPLE, KIND_QUAD, KIND_GRAPH_START, KIND_NAMESPACE)
+           and any_zero(r) for r in out):
+        empty_pid = maxima[KIND_PREFIX] + 1
+        maxima[KIND_PREFIX] = empty_pid
+
+        def fill_pid(t):
+            if t is None:
+                return None
+            if t["k"] == JW.T_IRI and t.get("pid", 0) == 0:
+                return {**t, "pid": empty_pid}
+            if t["k"] == JW.T_QUOTED:
+                return {
+                    "k": t["k"],
+                    "s": fill_pid(t.get("s")),
+                    "p": fill_pid(t.get("p")),
+                    "o": fill_pid(t.get("o")),
+                }
+            return t
+
+        fixed_out = []
+        injected = False
+        entry = {"kind": KIND_PREFIX, "id": empty_pid, "value": ""}
+        for r in out:
+            if not injected and r["kind"] != KIND_OPTIONS:
+                fixed_out.append(entry)
+                injected = True
+            if r["kind"] in (KIND_TRIPLE, KIND_QUAD):
+                new = {"kind": r["kind"]}
+                for x in ("s", "p", "o", "g"):
+                    if x in r:
+                        new[x] = fill_pid(r[x])
+                fixed_out.append(new)
+            elif r["kind"] == KIND_GRAPH_START:
+                fixed_out.append({"kind": r["kind"], "g": fill_pid(r["g"])})
+            elif r["kind"] == KIND_NAMESPACE:
+                fixed_out.append({**r, "iri": fill_pid(r.get("iri"))})
+            else:
+                fixed_out.append(r)
+        if not injected:
+            fixed_out.append(entry)
+        out = fixed_out
+    maxima["options"] = options
+    return out, maxima
+
+
+def _shift_ids(rows: list[dict], name_off: int, prefix_off: int, dt_off: int):
+    """Explicitized rows → rows with table ids shifted by the block
+    offsets (statement refs follow the same arithmetic)."""
+
+    def shift_term(t):
+        if t is None:
+            return None
+        k = t["k"]
+        if k == JW.T_IRI:
+            return {
+                "k": k,
+                "nid": t["nid"] + name_off if t["nid"] else 0,
+                "pid": t["pid"] + prefix_off if t["pid"] else 0,
+            }
+        if k == JW.T_LITERAL:
+            return {**t, "dt": t["dt"] + dt_off if t.get("dt") else 0}
+        if k == JW.T_QUOTED:
+            return {
+                "k": k,
+                "s": shift_term(t.get("s")),
+                "p": shift_term(t.get("p")),
+                "o": shift_term(t.get("o")),
+            }
+        return t
+
+    out = []
+    for row in rows:
+        kind = row["kind"]
+        if kind == KIND_NAME:
+            out.append({**row, "id": row["id"] + name_off})
+        elif kind == KIND_PREFIX:
+            out.append({**row, "id": row["id"] + prefix_off})
+        elif kind == KIND_DATATYPE:
+            out.append({**row, "id": row["id"] + dt_off})
+        elif kind in (KIND_TRIPLE, KIND_QUAD):
+            new = {"kind": kind}
+            for key in ("s", "p", "o", "g"):
+                if key in row:
+                    new[key] = shift_term(row[key])
+            out.append(new)
+        elif kind == KIND_GRAPH_START:
+            out.append({"kind": kind, "g": shift_term(row["g"])})
+        elif kind == KIND_NAMESPACE:
+            out.append({**row, "iri": shift_term(row.get("iri"))})
+        elif kind != KIND_OPTIONS:  # input options rows are dropped
+            out.append(row)
+    return out
 
 
 def transcode_frames(
@@ -1414,139 +1610,150 @@ def transcode_frames(
     max_name_table: int | None = None,
 ) -> DataFrame:
     """Concatenate N Jelly streams into ONE output stream by remapping
-    lookup-table ids, the reference's transcode fast path: each input
-    (stream, seg) block keeps its entry rows verbatim; output ids are
-    ``old_id + block_offset`` per table (name/prefix/datatype), and
-    statement refs shift by the same arithmetic — a broadcast join on
-    the tiny (stream, seg) offset table, never a string comparison.
+    lookup-table ids — the reference's transcode fast path
+    (RdfTranscode.scala:57-82): no term strings are ever decoded or
+    joined. Each input (stream, seg) block is id-explicitized (a pure
+    integer pass per segment, parallel across segments), output ids are
+    ``old_id + block_offset`` per table, and one merged options row
+    heads the stream.
 
     The output declares ``max(required, max_name_table)`` table sizes;
     an explicit ``max_name_table`` smaller than required raises,
     mirroring the output-size ≥ input-size precondition
     (RdfTranscodeSpec.scala:86)."""
-    rows = None
+    tagged = None
     for i, frames in enumerate(frames_list):
-        r = decode_frames(frames)
-        if r.filter(F.col("seg") < 0).limit(1).count() > 0:
-            r = assign_segments(r)
-        r = r.withColumn("stream", F.lit(i))
-        rows = r if rows is None else rows.unionByName(r)
-    rows = rows.persist()
+        t = frames.withColumn("stream", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.persist()
 
-    phys = stream_physical_types(rows) - {None}
+    # pass 1: per-block maxima + frame counts + options (id-level parse)
+    def maxima_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values("frame_index")
+        rows = []
+        for blob in pdf["frame_bytes"]:
+            rows.extend(JW.decode_frame(bytes(blob)))
+        _, mx = _explicitize_rows(rows)
+        opt = mx["options"] or {}
+        return pd.DataFrame(
+            {
+                "stream": [int(pdf["stream"].iloc[0])],
+                "seg": [int(pdf["seg"].iloc[0])],
+                "mn": [mx[KIND_NAME]],
+                "mp": [mx[KIND_PREFIX]],
+                "md": [mx[KIND_DATATYPE]],
+                "n_frames": [len(pdf)],
+                "physical": [opt.get("physical", 0)],
+                "flags": [
+                    (1 if opt.get("generalized") else 0)
+                    + (2 if opt.get("rdf_star") else 0)
+                ],
+                "logical": [opt.get("logical", 0)],
+            }
+        )
+
+    stats = {
+        (r["stream"], r["seg"]): r
+        for r in tagged.groupBy("stream", "seg")
+        .applyInPandas(
+            maxima_fn,
+            "stream int, seg long, mn long, mp long, md long, n_frames int, "
+            "physical int, flags int, logical int",
+        )
+        .collect()
+    }
+    phys = {r["physical"] for r in stats.values()} - {0}
     if len(phys) > 1:
         raise ValueError(
             f"cannot transcode streams of mixed physical types {sorted(phys)}"
         )
     physical = next(iter(phys), PHYSICAL_TRIPLES)
+    flags = 0
+    for r in stats.values():
+        flags |= r["flags"]
 
-    # per-block table maxima → running offsets (blocks are per-segment
-    # metadata: a driver-side handful, like the reference's frame loop)
-    maxima = {
-        (r["stream"], r["seg"]): r
-        for r in rows.groupBy("stream", "seg")
-        .agg(
-            F.max(F.when(F.col("row_kind") == KIND_NAME, F.col("name_id"))).alias("mn"),
-            F.max(F.when(F.col("row_kind") == KIND_PREFIX, F.col("name_id"))).alias("mp"),
-            F.max(F.when(F.col("row_kind") == KIND_DATATYPE, F.col("name_id"))).alias("md"),
-        )
-        .collect()
-    }
-    offsets, name_off, prefix_off, dt_off = [], 0, 0, 0
-    for key in sorted(maxima):
-        r = maxima[key]
-        offsets.append((key[0], key[1], name_off, prefix_off, dt_off))
-        name_off += r["mn"] or 0
-        prefix_off += r["mp"] or 0
-        dt_off += r["md"] or 0
+    offsets = {}
+    name_off = prefix_off = dt_off = frame_off = 0
+    for key in sorted(stats):
+        r = stats[key]
+        offsets[key] = (name_off, prefix_off, dt_off, frame_off)
+        name_off += r["mn"]
+        prefix_off += r["mp"]
+        dt_off += r["md"]
+        frame_off += r["n_frames"]
     required = name_off
-    out_max = max(required, max_name_table or MAX_NAME_TABLE)
+    out_max = max(required, max_name_table or MAX_NAME_TABLE, 8)
     if max_name_table is not None and max_name_table < required:
         raise ValueError(
             f"output name table size {max_name_table} is smaller than the "
             f"{required} entries the inputs carry (output table must be at "
             f"least as large as every input's — RdfTranscodeSpec.scala:86)"
         )
-    off = F.broadcast(
-        spark.createDataFrame(
-            offsets, "stream int, seg long, name_off long, prefix_off long, dt_off long"
-        )
-    )
-    joined = rows.filter(F.col("row_kind") != KIND_OPTIONS).join(
-        off, ["stream", "seg"]
-    )
-    k = F.col("row_kind")
-    shifted = joined.select(
-        F.lit(0).cast("long").alias("seg"),
-        F.col("stream"),
-        F.col("seg").alias("in_seg"),
-        F.col("frame_index").alias("in_frame"),
-        F.col("row_pos"),
-        "row_kind",
-        (F.col("s_id") + F.col("name_off")).alias("s_id"),
-        (F.col("p_id") + F.col("name_off")).alias("p_id"),
-        (F.col("o_id") + F.col("name_off")).alias("o_id"),
-        F.col("o_kind"),
-        F.col("spg"),
-        (F.col("g_id") + F.col("name_off")).alias("g_id"),
-        F.when(k.isin(KIND_NAME, KIND_GRAPH_START), F.col("name_id") + F.col("name_off"))
-        .when(k == KIND_PREFIX, F.col("name_id") + F.col("prefix_off"))
-        .when(k == KIND_DATATYPE, F.col("name_id") + F.col("dt_off"))
-        .otherwise(F.col("name_id"))
-        .alias("name_id"),
-        (F.col("prefix_id") + F.col("prefix_off")).alias("prefix_id"),
-        F.col("name"),
-        (F.col("dt_id") + F.col("dt_off")).alias("dt_id"),
-        F.col("lang"),
-        F.col("aux"),
-    )
-    from .order import global_row_number
+    out_opts = {
+        "kind": KIND_OPTIONS,
+        "stream_name": "",
+        "physical": physical,
+        "generalized": bool(flags & 1),
+        "rdf_star": bool(flags & 2),
+        "logical": 0,
+        "version": VERSION,
+        "max_name": out_max,
+        "max_prefix": max(MAX_PREFIX_TABLE, prefix_off),
+        "max_dt": max(out_max, dt_off),
+    }
+    bc = spark.sparkContext.broadcast((offsets, out_opts))
 
-    ordered = global_row_number(
-        shifted, ["stream", "in_seg", "in_frame", "row_pos"]
-    ).withColumn("frame_index", F.floor(F.col("rn") / rows_per_frame).cast("long"))
-    out_opts = StreamOptions(
-        physical_type=physical, max_name_table=out_max, max_dt_table=out_max,
-        max_prefix_table=max(MAX_PREFIX_TABLE, prefix_off),
-    )
-    body = ordered.select(
-        "seg",
-        "frame_index",
-        F.col("rn").alias("sort_key"),
-        F.lit(_MINOR_STATEMENT).alias("minor"),
-        "row_kind", "s_id", "p_id", "o_id", "o_kind", "spg", "g_id",
-        "name_id", "prefix_id", "name", "dt_id", "lang", "aux",
-        *_null_row_cols(
-            "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id", "o_kind",
-            "spg", "g_id", "name_id", "prefix_id", "name", "dt_id", "lang",
-            "aux", "row_pos",
-        ),
-    ).select(*_frame_row_order())
-    opt_row = spark.createDataFrame(
-        [(0, 0)], "seg long, frame_index long"
-    ).select(
-        "seg",
-        "frame_index",
-        F.lit(0).cast("long").alias("sort_key"),
-        F.lit(_MINOR_OPTIONS).alias("minor"),
-        F.lit(KIND_OPTIONS).alias("row_kind"),
-        F.lit(out_opts.version).alias("opt_version"),
-        F.lit(out_opts.physical_type).alias("opt_physical"),
-        F.lit(out_opts.logical_type).alias("opt_logical"),
-        F.lit(out_opts.flags).alias("opt_flags"),
-        F.lit(out_opts.max_name_table).alias("opt_max_name"),
-        F.lit(out_opts.max_prefix_table).alias("opt_max_prefix"),
-        F.lit(out_opts.max_dt_table).alias("opt_max_dt"),
-        F.lit(out_opts.stream_name).alias("aux"),
-        *_null_row_cols(
-            "sort_key", "minor", "row_kind", "opt_version", "opt_physical",
-            "opt_logical", "opt_flags", "opt_max_name", "opt_max_prefix",
-            "opt_max_dt", "aux", "row_pos",
-        ),
-    ).select(*_frame_row_order())
-    return opt_row.unionByName(body).groupBy("seg", "frame_index").applyInPandas(
-        _encode_group_fn(), FRAME_SCHEMA
-    )
+    # pass 2: explicitize + shift + re-emit frames (1:1 frame mapping,
+    # renumbered; the merged options row heads frame 0)
+    def shift_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        offs, opts_row = bc.value
+        pdf = pdf.sort_values("frame_index")
+        key = (int(pdf["stream"].iloc[0]), int(pdf["seg"].iloc[0]))
+        n_off, p_off, d_off, f_off = offs[key]
+        rows = []
+        bounds = []
+        for blob in pdf["frame_bytes"]:
+            parsed = JW.decode_frame(bytes(blob))
+            bounds.append(len(parsed))
+            rows.extend(parsed)
+        fixed, _ = _explicitize_rows(rows)
+        shifted = _shift_ids(fixed, n_off, p_off, d_off)  # drops options rows
+        # rebuild frames 1:1 with the input, using per-frame
+        # non-options row counts (input options rows were dropped; an
+        # injected empty-prefix entry goes to the first non-empty frame)
+        takes, in_pos = [], 0
+        for n in bounds:
+            takes.append(
+                sum(
+                    1 for row in rows[in_pos : in_pos + n]
+                    if row["kind"] != KIND_OPTIONS
+                )
+            )
+            in_pos += n
+        extra = len(shifted) - sum(takes)
+        if extra:
+            for j, t in enumerate(takes):
+                if t > 0 or j == len(takes) - 1:
+                    takes[j] += extra
+                    break
+        out, out_pos = [], 0
+        for i, non_opt in enumerate(takes):
+            chunk = shifted[out_pos : out_pos + non_opt]
+            out_pos += non_opt
+            if f_off + i == 0:
+                chunk = [opts_row] + chunk
+            out.append(
+                (0, f_off + i, len(chunk), bytearray(JW.encode_frame(chunk)))
+            )
+        return pd.DataFrame(
+            out, columns=["seg", "frame_index", "n_rows", "frame_bytes"]
+        )
+
+    return tagged.groupBy("stream", "seg").applyInPandas(shift_fn, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1563,203 +1770,21 @@ def encode_quads_graphs(
 ) -> DataFrame:
     """quads(subj, pred, obj, obj_kind, graph nullable) → frames, GRAPHS
     physical type (JellyStreamWriterGraphs.scala:19-95): statements are
-    grouped into graph RUNS delimited by GraphStart(name)/GraphEnd rows;
+    grouped into graph RUNS delimited by GraphStart/GraphEnd rows;
     triple rows inside a run carry no graph term.
 
     The reference detects runs with sequential encoder state (`lastGraph`
     compare, :57-72); here the stream is ordered (graph, s, p, o) so runs
     are contiguous by construction, and the boundary rows fall out of a
     groupBy over (seg, graph) — min/max row number per run — instead of a
-    row-at-a-time state machine. Dictionary, segmenting, and frame
-    assignment are shared with the TRIPLES encoder.
-    """
+    row-at-a-time state machine. Dictionary, segmenting, frame
+    assignment, and the real-wire frame codec are shared with the
+    TRIPLES/QUADS encoder (GRAPHS mode in _encode_statements)."""
     opts = options or StreamOptions(
         physical_type=PHYSICAL_GRAPHS, max_name_table=max_name_table,
         max_dt_table=max_name_table,
     )
-    seg_rows = max(
-        rows_per_frame, (max_name_table // 4) // rows_per_frame * rows_per_frame
+    return _encode_statements(
+        spark, quads, PHYSICAL_GRAPHS, rows_per_frame, opts,
+        prefix_table=False, namespaces=None,
     )
-    from .order import global_row_number
-
-    g = F.coalesce(F.col("graph"), F.lit(DEFAULT_GRAPH))
-    base = quads.select(
-        "subj", "pred", "obj", "obj_kind",
-        _spg_col(quads.columns, is_quads=False).alias("spg"),
-        g.alias("graph"),
-    ).dropDuplicates()
-    ordered = global_row_number(
-        base, ["graph", "subj", "pred", "obj", "obj_kind", "spg"]
-    ).withColumn("seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long"))
-
-    # dictionary covers graph names too (4 terms per statement)
-    terms = (
-        ordered.select(
-            "seg",
-            F.col("rn"),
-            F.explode(F.array("subj", "pred", "obj", "graph")).alias("term"),
-        )
-        .groupBy("seg", "term")
-        .agg(F.min("rn").alias("first_rn"))
-    )
-    wseg = W.partitionBy("seg").orderBy("first_rn", "term")
-    dictionary = terms.withColumn("term_id", F.dense_rank().over(wseg)).persist()
-
-    frame_of = lambda rn: F.floor((rn - 1) / rows_per_frame).cast("long")  # noqa: E731
-
-    d = dictionary
-    stmt_rows = (
-        ordered.join(
-            d.select("seg", F.col("term").alias("subj"), F.col("term_id").alias("s_id")),
-            ["seg", "subj"],
-        )
-        .join(
-            d.select("seg", F.col("term").alias("pred"), F.col("term_id").alias("p_id")),
-            ["seg", "pred"],
-        )
-        .join(
-            d.select("seg", F.col("term").alias("obj"), F.col("term_id").alias("o_id")),
-            ["seg", "obj"],
-        )
-        .select(
-            "seg",
-            frame_of(F.col("rn")).alias("frame_index"),
-            F.col("rn").alias("sort_key"),
-            F.lit(_MINOR_STATEMENT).alias("minor"),
-            F.lit(KIND_TRIPLE).alias("row_kind"),
-            "s_id",
-            "p_id",
-            "o_id",
-            F.col("obj_kind").alias("o_kind"),
-            F.col("spg"),
-            *_null_row_cols(
-                "sort_key", "minor", "row_kind", "s_id", "p_id", "o_id",
-                "o_kind", "spg", "row_pos",
-            ),
-        )
-        .select(*_frame_row_order())
-    )
-    name_rows = dictionary.select(
-        "seg",
-        frame_of(F.col("first_rn")).alias("frame_index"),
-        F.col("first_rn").alias("sort_key"),
-        F.lit(_MINOR_NAME).alias("minor"),
-        F.lit(KIND_NAME).alias("row_kind"),
-        F.col("term_id").alias("name_id"),
-        F.col("term").alias("name"),
-        *_null_row_cols("sort_key", "minor", "row_kind", "name_id", "name", "row_pos"),
-    ).select(*_frame_row_order())
-    # graph runs: contiguous by construction within a segment
-    runs = ordered.groupBy("seg", "graph").agg(
-        F.min("rn").alias("run_start"), F.max("rn").alias("run_end")
-    )
-    gdict = d.select(
-        "seg", F.col("term").alias("graph"), F.col("term_id").alias("gid")
-    )
-    start_rows = (
-        runs.join(gdict, ["seg", "graph"])
-        .select(
-            "seg",
-            frame_of(F.col("run_start")).alias("frame_index"),
-            F.col("run_start").alias("sort_key"),
-            F.lit(_MINOR_GRAPH_START).alias("minor"),
-            F.lit(KIND_GRAPH_START).alias("row_kind"),
-            F.col("gid").alias("name_id"),
-            *_null_row_cols("sort_key", "minor", "row_kind", "name_id", "row_pos"),
-        )
-        .select(*_frame_row_order())
-    )
-    end_rows = runs.select(
-        "seg",
-        frame_of(F.col("run_end")).alias("frame_index"),
-        F.col("run_end").alias("sort_key"),
-        F.lit(_MINOR_GRAPH_END).alias("minor"),
-        F.lit(KIND_GRAPH_END).alias("row_kind"),
-        *_null_row_cols("sort_key", "minor", "row_kind", "row_pos"),
-    ).select(*_frame_row_order())
-    options_rows = (
-        ordered.groupBy("seg")
-        .agg(F.min("rn").alias("first"))
-        .select(
-            "seg",
-            frame_of(F.col("first")).alias("frame_index"),
-            F.lit(0).cast("long").alias("sort_key"),
-            F.lit(_MINOR_OPTIONS).alias("minor"),
-            F.lit(KIND_OPTIONS).alias("row_kind"),
-            F.lit(opts.version).alias("opt_version"),
-            F.lit(PHYSICAL_GRAPHS).alias("opt_physical"),
-            F.lit(opts.logical_type).alias("opt_logical"),
-            F.lit(opts.flags).alias("opt_flags"),
-            F.lit(opts.max_name_table).alias("opt_max_name"),
-            F.lit(opts.max_prefix_table).alias("opt_max_prefix"),
-            F.lit(opts.max_dt_table).alias("opt_max_dt"),
-            F.lit(opts.stream_name).alias("aux"),
-            *_null_row_cols(
-                "sort_key", "minor", "row_kind", "opt_version", "opt_physical",
-                "opt_logical", "opt_flags", "opt_max_name", "opt_max_prefix",
-                "opt_max_dt", "aux", "row_pos",
-            ),
-        )
-        .select(*_frame_row_order())
-    )
-    all_rows = (
-        options_rows.unionByName(name_rows)
-        .unionByName(start_rows)
-        .unionByName(stmt_rows)
-        .unionByName(end_rows)
-    )
-    return all_rows.groupBy("seg", "frame_index").applyInPandas(
-        _encode_group_fn(), FRAME_SCHEMA
-    )
-
-
-def decode_quads_graphs(rows: DataFrame) -> DataFrame:
-    """GRAPHS row table → quads: each triple takes the graph of the most
-    recent GraphStart marker in stream order — the reference's decoder
-    state (`currentGraph`) expressed as a `last(..., ignorenulls)` window
-    per segment (W3's inverse). GraphEnd rows need no handling: the next
-    run always opens with its own GraphStart before any triple."""
-    if rows.filter(F.col("seg") < 0).limit(1).count() > 0:
-        rows = assign_segments(rows)
-    dictionary = _term_dictionary(rows)
-    w = W.partitionBy("seg").orderBy("frame_index", "row_pos").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    with_gid = rows.withColumn(
-        "run_gid",
-        F.last(
-            F.when(F.col("row_kind") == KIND_GRAPH_START, F.col("name_id")),
-            ignorenulls=True,
-        ).over(w),
-    )
-    trips = with_gid.filter(F.col("row_kind") == KIND_TRIPLE)
-    d = dictionary
-    out = (
-        trips.join(
-            d.select("seg", F.col("term_id").alias("s_id"), F.col("term").alias("subj")),
-            ["seg", "s_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("p_id"), F.col("term").alias("pred")),
-            ["seg", "p_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("o_id"), F.col("term").alias("obj")),
-            ["seg", "o_id"],
-        )
-        .join(
-            d.select("seg", F.col("term_id").alias("run_gid"), F.col("term").alias("graph")),
-            ["seg", "run_gid"],
-        )
-        .select(
-            "subj",
-            "pred",
-            "obj",
-            F.col("o_kind").alias("obj_kind"),
-            F.when(F.col("graph") == DEFAULT_GRAPH, F.lit(None)).otherwise(
-                F.col("graph")
-            ).alias("graph"),
-            "frame_index",
-        )
-    )
-    return out

@@ -615,6 +615,12 @@ class StreamState:
         through (namespace IRIs resolved)."""
         kind = row["kind"]
         if kind == K_OPTIONS:
+            version = row.get("version") or 0
+            if version > 2:
+                raise StreamError(
+                    f"unsupported stream version {version} (this decoder "
+                    f"supports Jelly protocol versions 1-2)"
+                )
             self._reset()
             self.options = row
             return dict(row)
@@ -659,6 +665,329 @@ class StreamState:
             iri = self._resolve_iri(row.get("iri") or {})
             return {"kind": kind, "name": row.get("name") or "", "iri": iri}
         raise StreamError(f"unknown row kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Jelly-text: protobuf TextFormat rendering of frames (the reference's
+# jelly-text format — RdfFromJellySpec.scala:150-163 shows the expected
+# output; RdfToJelly.scala:261-291 parses it back chunked at lines
+# starting '}').
+# ---------------------------------------------------------------------------
+
+PHYSICAL_ENUM = {
+    0: "PHYSICAL_STREAM_TYPE_UNSPECIFIED",
+    1: "PHYSICAL_STREAM_TYPE_TRIPLES",
+    2: "PHYSICAL_STREAM_TYPE_QUADS",
+    3: "PHYSICAL_STREAM_TYPE_GRAPHS",
+}
+LOGICAL_ENUM = {
+    0: "LOGICAL_STREAM_TYPE_UNSPECIFIED",
+    1: "LOGICAL_STREAM_TYPE_FLAT_TRIPLES",
+    2: "LOGICAL_STREAM_TYPE_FLAT_QUADS",
+    3: "LOGICAL_STREAM_TYPE_GRAPHS",
+    4: "LOGICAL_STREAM_TYPE_DATASETS",
+}
+_PHYSICAL_BY_NAME = {v: k for k, v in PHYSICAL_ENUM.items()}
+_LOGICAL_BY_NAME = {v: k for k, v in LOGICAL_ENUM.items()}
+
+_ROW_FIELD_NAMES = {
+    K_OPTIONS: "options", K_TRIPLE: "triple", K_QUAD: "quad",
+    K_GRAPH_START: "graph_start", K_GRAPH_END: "graph_end",
+    K_NAMESPACE: "namespace", K_NAME: "name", K_PREFIX: "prefix",
+    K_DATATYPE: "datatype",
+}
+_ROW_KIND_BY_NAME = {v: k for k, v in _ROW_FIELD_NAMES.items()}
+
+
+def _text_quote(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            out.append(ch)
+    return '"' + "".join(out) + '"'
+
+
+def _emit_term(lines, pos, term, indent):
+    pad = "  " * indent
+    k = term["k"]
+    if k == T_IRI:
+        lines.append(f"{pad}{pos}_iri {{")
+        if term.get("pid"):
+            lines.append(f"{pad}  prefix_id: {term['pid']}")
+        if term.get("nid"):
+            lines.append(f"{pad}  name_id: {term['nid']}")
+        lines.append(f"{pad}}}")
+    elif k == T_BNODE:
+        lines.append(f"{pad}{pos}_bnode: {_text_quote(term.get('v') or '')}")
+    elif k == T_LITERAL:
+        lines.append(f"{pad}{pos}_literal {{")
+        if term.get("v"):
+            lines.append(f"{pad}  lex: {_text_quote(term['v'])}")
+        if term.get("lang"):
+            lines.append(f"{pad}  langtag: {_text_quote(term['lang'])}")
+        if term.get("dt"):
+            lines.append(f"{pad}  datatype: {term['dt']}")
+        lines.append(f"{pad}}}")
+    elif k == T_QUOTED:
+        lines.append(f"{pad}{pos}_triple_term {{")
+        for sub_pos, key in (("s", "s"), ("p", "p"), ("o", "o")):
+            if term.get(key) is not None:
+                _emit_term(lines, sub_pos, term[key], indent + 1)
+        lines.append(f"{pad}}}")
+    elif k == T_DEFAULT_GRAPH:
+        lines.append(f"{pad}{pos}_default_graph {{")
+        lines.append(f"{pad}}}")
+    else:
+        raise ValueError(f"term kind {k} not renderable")
+
+
+def render_row_text(row: dict) -> str:
+    """One row dict → a multi-line `rows { ... }` TextFormat block
+    (2-space indent, same shape the reference's printer emits)."""
+    kind = row["kind"]
+    lines = ["rows {", f"  {_ROW_FIELD_NAMES[kind]} {{"]
+    if kind == K_OPTIONS:
+        if row.get("stream_name"):
+            lines.append(f"    stream_name: {_text_quote(row['stream_name'])}")
+        if row.get("physical"):
+            lines.append(
+                f"    physical_type: "
+                f"{PHYSICAL_ENUM.get(row['physical'], row['physical'])}"
+            )
+        if row.get("generalized"):
+            lines.append("    generalized_statements: true")
+        if row.get("rdf_star"):
+            lines.append("    rdf_star: true")
+        if row.get("max_name"):
+            lines.append(f"    max_name_table_size: {row['max_name']}")
+        if row.get("max_prefix"):
+            lines.append(f"    max_prefix_table_size: {row['max_prefix']}")
+        if row.get("max_dt"):
+            lines.append(f"    max_datatype_table_size: {row['max_dt']}")
+        if row.get("logical"):
+            lines.append(
+                f"    logical_type: "
+                f"{LOGICAL_ENUM.get(row['logical'], row['logical'])}"
+            )
+        if row.get("version"):
+            lines.append(f"    version: {row['version']}")
+    elif kind in (K_TRIPLE, K_QUAD):
+        for pos in ("s", "p", "o", "g"):
+            term = row.get(pos)
+            if term is not None:
+                _emit_term(lines, pos, term, 2)
+    elif kind == K_GRAPH_START:
+        _emit_term(lines, "g", row["g"], 2)
+    elif kind == K_GRAPH_END:
+        pass
+    elif kind in (K_NAME, K_PREFIX, K_DATATYPE):
+        if row.get("id"):
+            lines.append(f"    id: {row['id']}")
+        if row.get("value"):
+            lines.append(f"    value: {_text_quote(row['value'])}")
+    elif kind == K_NAMESPACE:
+        if row.get("name"):
+            lines.append(f"    name: {_text_quote(row['name'])}")
+        iri = row.get("iri") or {}
+        lines.append("    value {")
+        if iri.get("pid"):
+            lines.append(f"      prefix_id: {iri['pid']}")
+        if iri.get("nid"):
+            lines.append(f"      name_id: {iri['nid']}")
+        lines.append("    }")
+    lines.append("  }")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def render_frame_text(rows: Iterable[dict]) -> str:
+    return "\n".join(render_row_text(r) for r in rows)
+
+
+# --- TextFormat subset parser ---------------------------------------------
+
+
+def _text_tokens(text: str) -> Iterator[str]:
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in " \t\r\n":
+            i += 1
+        elif ch == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif ch in "{}:":
+            yield ch
+            i += 1
+        elif ch == '"':
+            j = i + 1
+            buf = []
+            while j < n and text[j] != '"':
+                if text[j] == "\\":
+                    esc = text[j + 1]
+                    if esc in "nrtvabf\\'\"":
+                        buf.append(
+                            {"n": "\n", "r": "\r", "t": "\t", "v": "\v", "a": "\a",
+                             "b": "\b", "f": "\f"}.get(esc, esc)
+                        )
+                        j += 2
+                    elif esc == "x":
+                        buf.append(chr(int(text[j + 2 : j + 4], 16)))
+                        j += 4
+                    elif esc == "u":
+                        buf.append(chr(int(text[j + 2 : j + 6], 16)))
+                        j += 6
+                    elif esc.isdigit():  # octal, 1-3 digits
+                        k = j + 1
+                        while k < j + 4 and k < n and text[k].isdigit():
+                            k += 1
+                        buf.append(chr(int(text[j + 1 : k], 8)))
+                        j = k
+                    else:
+                        buf.append(esc)
+                        j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            # TextFormat escapes non-ASCII as per-BYTE octal: re-decode
+            raw = "".join(buf)
+            try:
+                raw = raw.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                pass
+            yield '"' + raw  # marker for string token
+            i = j + 1
+        else:
+            j = i
+            while j < n and text[j] not in ' \t\r\n{}:#"':
+                j += 1
+            yield text[i:j]
+            i = j
+
+
+def _parse_message(tokens: list[str], pos: int) -> tuple[dict, int]:
+    """tokens from '{'-interior → {field: [values...]}, next pos."""
+    msg: dict[str, list] = {}
+    while pos < len(tokens):
+        tok = tokens[pos]
+        if tok == "}":
+            return msg, pos + 1
+        field = tok
+        pos += 1
+        if pos < len(tokens) and tokens[pos] == ":":
+            pos += 1
+        if pos < len(tokens) and tokens[pos] == "{":
+            val, pos = _parse_message(tokens, pos + 1)
+        else:
+            val = tokens[pos]
+            pos += 1
+            if isinstance(val, str) and val.startswith('"'):
+                val = val[1:]
+            elif val in ("true", "false"):
+                val = val == "true"
+            elif val in _PHYSICAL_BY_NAME:
+                val = _PHYSICAL_BY_NAME[val]
+            elif val in _LOGICAL_BY_NAME:
+                val = _LOGICAL_BY_NAME[val]
+            else:
+                try:
+                    val = int(val)
+                except ValueError:
+                    pass
+        msg.setdefault(field, []).append(val)
+    return msg, pos
+
+
+def _one(msg: dict, field: str, default=None):
+    v = msg.get(field)
+    return v[0] if v else default
+
+
+def _term_from_msg(prefix: str, msg: dict) -> dict | None:
+    if f"{prefix}_iri" in msg:
+        m = _one(msg, f"{prefix}_iri") or {}
+        return {"k": T_IRI, "pid": _one(m, "prefix_id", 0), "nid": _one(m, "name_id", 0)}
+    if f"{prefix}_bnode" in msg:
+        return {"k": T_BNODE, "v": _one(msg, f"{prefix}_bnode", "")}
+    if f"{prefix}_literal" in msg:
+        m = _one(msg, f"{prefix}_literal") or {}
+        return {
+            "k": T_LITERAL, "v": _one(m, "lex", ""),
+            "lang": _one(m, "langtag"), "dt": _one(m, "datatype", 0),
+        }
+    if f"{prefix}_triple_term" in msg:
+        m = _one(msg, f"{prefix}_triple_term") or {}
+        return {
+            "k": T_QUOTED,
+            "s": _term_from_msg("s", m),
+            "p": _term_from_msg("p", m),
+            "o": _term_from_msg("o", m),
+        }
+    if f"{prefix}_default_graph" in msg:
+        return {"k": T_DEFAULT_GRAPH}
+    return None
+
+
+def parse_row_text_msg(name: str, msg: dict) -> dict:
+    kind = _ROW_KIND_BY_NAME[name]
+    if kind == K_OPTIONS:
+        return {
+            "kind": kind,
+            "stream_name": _one(msg, "stream_name", ""),
+            "physical": _one(msg, "physical_type", 0),
+            "generalized": bool(_one(msg, "generalized_statements", False)),
+            "rdf_star": bool(_one(msg, "rdf_star", False)),
+            "max_name": _one(msg, "max_name_table_size", 0),
+            "max_prefix": _one(msg, "max_prefix_table_size", 0),
+            "max_dt": _one(msg, "max_datatype_table_size", 0),
+            "logical": _one(msg, "logical_type", 0),
+            "version": _one(msg, "version", 0),
+        }
+    if kind in (K_TRIPLE, K_QUAD):
+        row = {
+            "kind": kind,
+            "s": _term_from_msg("s", msg),
+            "p": _term_from_msg("p", msg),
+            "o": _term_from_msg("o", msg),
+        }
+        if kind == K_QUAD:
+            row["g"] = _term_from_msg("g", msg)
+        return row
+    if kind == K_GRAPH_START:
+        return {"kind": kind, "g": _term_from_msg("g", msg) or {"k": T_DEFAULT_GRAPH}}
+    if kind == K_GRAPH_END:
+        return {"kind": kind}
+    if kind in (K_NAME, K_PREFIX, K_DATATYPE):
+        return {"kind": kind, "id": _one(msg, "id", 0), "value": _one(msg, "value", "")}
+    if kind == K_NAMESPACE:
+        m = _one(msg, "value") or {}
+        return {
+            "kind": kind, "name": _one(msg, "name", ""),
+            "iri": {"k": T_IRI, "pid": _one(m, "prefix_id", 0), "nid": _one(m, "name_id", 0)},
+        }
+    raise ValueError(f"unknown row field {name}")
+
+
+def parse_frame_text(text: str) -> list[dict]:
+    """TextFormat frame text (one or more `rows { ... }` blocks, comments
+    allowed) → row dicts."""
+    tokens = list(_text_tokens(text))
+    msg, _ = _parse_message(tokens + ["}"], 0)
+    rows = []
+    for row_msg in msg.get("rows", []):
+        (name, vals), = [(k, v) for k, v in row_msg.items()]
+        rows.append(parse_row_text_msg(name, vals[0] if vals else {}))
+    return rows
 
 
 def resolve_frames(

@@ -52,6 +52,210 @@ def _as_list(v):
     return v if isinstance(v, list) else [v]
 
 
+_KEYWORDS = {
+    "@id", "@type", "@value", "@language", "@list", "@set", "@graph",
+    "@context", "@vocab", "@base", "@container", "@reverse", "@index",
+}
+
+
+class _Context:
+    """JSON-LD 1.0 ``@context`` subset: term→IRI maps, compact IRIs
+    (``prefix:suffix``), ``@vocab``, ``@base``, default ``@language``,
+    per-term ``@type`` coercion (``@id`` or a datatype IRI),
+    ``@language`` overrides, ``@container: @list``/``@set``, and keyword
+    aliases. Remote (string/URL) contexts raise a typed error — no
+    network in an executor."""
+
+    def __init__(self, data, parent: "_Context | None" = None):
+        self.vocab = parent.vocab if parent else None
+        self.base = parent.base if parent else None
+        self.language = parent.language if parent else None
+        self.terms: dict[str, dict] = dict(parent.terms) if parent else {}
+        for layer in _as_list(data if data is not None else []):
+            if layer is None:
+                self.vocab = self.base = self.language = None
+                self.terms = {}
+                continue
+            if isinstance(layer, str):
+                raise JsonLdUnsupportedError(
+                    "remote @context documents are not supported (no "
+                    "network fetch in an executor) — inline the context "
+                    "or expand the document first"
+                )
+            if not isinstance(layer, dict):
+                raise JsonLdUnsupportedError(
+                    f"unsupported @context entry: {layer!r}"
+                )
+            for k, v in layer.items():
+                if k == "@vocab":
+                    self.vocab = v
+                elif k == "@base":
+                    self.base = v
+                elif k == "@language":
+                    self.language = v
+                elif k.startswith("@"):
+                    raise JsonLdUnsupportedError(
+                        f"unsupported @context keyword: {k}"
+                    )
+                elif isinstance(v, str):
+                    self.terms[k] = {
+                        "id": v, "type": None, "language": ..., "container": None
+                    }
+                elif isinstance(v, dict):
+                    self.terms[k] = {
+                        "id": v.get("@id"),
+                        "type": v.get("@type"),
+                        "language": v.get("@language", ...),
+                        "container": v.get("@container"),
+                    }
+                elif v is None:
+                    self.terms.pop(k, None)
+                else:
+                    raise JsonLdUnsupportedError(
+                        f"unsupported term definition for {k!r}: {v!r}"
+                    )
+
+    def _term_id(self, term: str) -> str | None:
+        d = self.terms.get(term)
+        return d["id"] if d else None
+
+    def expand_iri(
+        self, value: str, vocab: bool = False, _seen: frozenset = frozenset()
+    ) -> str | None:
+        """term / compact IRI / relative IRI → absolute IRI (or keyword
+        alias passthrough); None when not expandable. Term ids that are
+        themselves terms or compact IRIs expand recursively (cycle-
+        guarded)."""
+        if not isinstance(value, str):
+            return None
+        if value.startswith("@") and value in _KEYWORDS:
+            return value
+        tid = self._term_id(value)
+        if tid is not None and value not in _seen:
+            if tid.startswith("@"):
+                return tid  # keyword alias ("id": "@id")
+            return (
+                self.expand_iri(tid, _seen=_seen | {value})
+                or self._absolute(tid)
+            )
+        if ":" in value:
+            prefix, suffix = value.split(":", 1)
+            if suffix.startswith("//"):
+                return value  # absolute IRI with authority
+            pid = self._term_id(prefix)
+            if pid is not None and not pid.startswith("@") and prefix not in _seen:
+                base = (
+                    self.expand_iri(pid, _seen=_seen | {prefix}) or pid
+                )
+                return base + suffix
+            return value  # absolute IRI with a scheme (kg:, urn:, ...)
+        if vocab and self.vocab:
+            return self.vocab + value
+        return None
+
+    def _absolute(self, iri: str) -> str:
+        if ":" in iri or not self.base:
+            return iri
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, iri)
+
+    def expand_id(self, value: str) -> str:
+        if value.startswith("_:"):
+            return value
+        tid = self._term_id(value)
+        if tid is not None and not tid.startswith("@"):
+            return self.expand_iri(value) or self._absolute(tid)
+        if ":" in value:
+            expanded = self.expand_iri(value)
+            return expanded if expanded else value
+        return self._absolute(value)
+
+
+def _expand_value(v, ctx: _Context, term_def: dict | None):
+    """compact value → expanded value (value object / node object)."""
+    if isinstance(v, dict):
+        return _expand_obj(v, ctx)
+    coerce = term_def.get("type") if term_def else None
+    if isinstance(v, str):
+        if coerce == "@id":
+            return {"@id": ctx.expand_id(v)}
+        if coerce:
+            return {"@value": v, "@type": ctx.expand_iri(coerce, vocab=True)}
+        lang = (
+            term_def["language"]
+            if term_def and term_def.get("language") is not ...
+            else ctx.language
+        )
+        return {"@value": v, "@language": lang} if lang else v
+    if coerce and not isinstance(v, (dict, list)) and coerce != "@id":
+        return {"@value": v, "@type": ctx.expand_iri(coerce, vocab=True)}
+    return v  # bare numbers / booleans keep native-type expansion
+
+
+def _expand_obj(obj: dict, ctx: _Context) -> dict:
+    """One compact node/value object → expanded form (context applied,
+    @context keys stripped). Pure dict-to-dict, document-local."""
+    if "@context" in obj:
+        ctx = _Context(obj["@context"], parent=ctx)
+    out: dict = {}
+    for key, vals in obj.items():
+        if key == "@context":
+            continue
+        expanded_key = ctx.expand_iri(key, vocab=True) if not key.startswith("@") else key
+        if expanded_key is None:
+            continue  # term with no IRI mapping and no @vocab: dropped
+        if expanded_key == "@id":
+            out["@id"] = ctx.expand_id(vals)
+        elif expanded_key == "@type":
+            if "@value" in obj or any(
+                ctx.expand_iri(k, vocab=True) == "@value"
+                for k in obj if not k.startswith("@")
+            ):
+                out["@type"] = ctx.expand_iri(vals, vocab=True)
+            else:
+                out["@type"] = [
+                    ctx.expand_iri(t, vocab=True) or t for t in _as_list(vals)
+                ]
+        elif expanded_key in ("@value", "@language", "@index"):
+            out[expanded_key] = vals
+        elif expanded_key == "@list":
+            out["@list"] = [_expand_value(x, ctx, None) for x in _as_list(vals)]
+        elif expanded_key == "@graph":
+            out["@graph"] = [_expand_obj(x, ctx) for x in _as_list(vals)]
+        elif expanded_key.startswith("@"):
+            raise JsonLdUnsupportedError(
+                f"unsupported JSON-LD keyword: {expanded_key}"
+            )
+        else:
+            term_def = ctx.terms.get(key)
+            container = term_def.get("container") if term_def else None
+            flat = []
+            for x in _as_list(vals):
+                # {"@set": [...]} flattens into the property's array
+                if isinstance(x, dict) and "@set" in x and set(x) <= {"@set"}:
+                    flat.extend(_as_list(x["@set"]))
+                else:
+                    flat.append(x)
+            items = [_expand_value(x, ctx, term_def) for x in flat]
+            if container == "@list" and not (
+                len(items) == 1 and isinstance(items[0], dict) and "@list" in items[0]
+            ):
+                items = [{"@list": items}]
+            out.setdefault(expanded_key, []).extend(items)
+    return out
+
+
+def expand_document(doc, ctx: _Context | None = None):
+    """Compact JSON-LD (inline @context) → expanded form the flat
+    reader accepts. Documents without @context pass through _expand_obj
+    unchanged in effect (keys already absolute)."""
+    ctx = ctx or _Context(None)
+    if isinstance(doc, list):
+        return [_expand_obj(o, ctx) for o in doc]
+    return _expand_obj(doc, ctx)
+
+
 class _JsonLdReader:
     """One instance per document (fresh-bnode counter is doc-scoped)."""
 
@@ -158,10 +362,13 @@ def parse_jsonld_document(text: str) -> list[tuple]:
     except json.JSONDecodeError:
         # newline-delimited node objects (this module's distributed sink)
         doc = [json.loads(ln) for ln in text.splitlines() if ln.strip()]
-    if isinstance(doc, dict):
-        if set(doc) <= {"@graph", "@context"} and "@graph" in doc:
-            if "@context" in doc:
-                reader.node(doc)  # raises the typed @context error
+    if isinstance(doc, list):
+        if any(isinstance(o, dict) and "@context" in o for o in doc):
+            doc = expand_document(doc)
+    elif isinstance(doc, dict):
+        if "@context" in doc:
+            doc = expand_document(doc)
+        if set(doc) <= {"@graph"} and "@graph" in doc:
             doc = doc["@graph"]
         else:
             doc = [doc]

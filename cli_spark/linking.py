@@ -48,9 +48,9 @@ MERSENNE = (1 << 31) - 1
 
 # Deterministic (a, b) permutation parameters — fixed seed 42 expansion
 # via a simple LCG so the pipeline is reproducible without RNG at runtime.
-def _perm_params(n: int = NUM_PERM) -> list[tuple[int, int]]:
+def _perm_params(n: int = NUM_PERM, seed: int = 42) -> list[tuple[int, int]]:
     params = []
-    state = 42
+    state = seed
     for _ in range(n):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         a = (state % (MERSENNE - 1)) + 1

@@ -27,15 +27,9 @@ BAND_ROWS = 4
 MAX_BUCKET = 50
 
 
-def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
-    params, state = [], seed
-    for _ in range(n):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = (state % (MERSENNE31 - 1)) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = state % MERSENNE31
-        params.append((a, b))
-    return params
+# shared 2-universal permutation parameters (one definition, one seed
+# expansion — cli_spark.linking owns it)
+from ..linking import _perm_params  # noqa: E402
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -104,10 +104,12 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Append a sign-bit LSH bucket column computed in one Arrow-batched
     matmul kernel (the expression-tree version is O(bits×dim) Catalyst
-    nodes per signature — pathological at real embedding dims)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _plane_matrix(bits, dim)
+    nodes per signature — pathological at real embedding dims).
+
+    ``dim=None`` derives the dimension from the first Arrow batch inside
+    the kernel — no driver-side action (the planes are md5-seeded, so
+    every executor derives the identical matrix)."""
+    planes = _plane_matrix(bits, dim) if dim is not None else None
     out_schema = _ddl_of(df) + f", {out_col} long"
     vec_idx = df.columns.index(vec_col)
 
@@ -115,9 +117,12 @@ def hyperplane_buckets(
         import numpy as np
         import pyarrow as pa
 
+        local_planes = planes
         for batch in batches:
             mat = _flat_matrix(batch.column(vec_idx))
-            proj = mat @ planes.T  # (n, bits)
+            if local_planes is None:
+                local_planes = _plane_matrix(bits, mat.shape[1])
+            proj = mat @ local_planes.T  # (n, bits)
             bucket = ((proj > 0).astype(np.int64) << np.arange(bits, dtype=np.int64)).sum(
                 axis=1
             )
@@ -205,9 +210,9 @@ def lsh_topk(
     """Approximate top-k: bucket on hyperplane sign signature (Arrow
     kernel), exact re-rank within the query's bucket. Recall is
     bucket-bound; raise `bits` for selectivity; queries multi-probe all
-    Hamming-distance-1 buckets."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    Hamming-distance-1 buckets. ``dim=None`` is derived inside the
+    bucket kernels (seeded planes — identical on every executor), so
+    no driver action runs."""
     q = hyperplane_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "qv", bits, dim=dim,

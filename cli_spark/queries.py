@@ -1265,8 +1265,13 @@ def q50_jelly_roundtrip(spark, sf_dir):
       FROM (SELECT DISTINCT subj, pred, obj, obj_kind FROM triples)
     ),
     terms AS (
-      SELECT ((rn - 1) // {JELLY_SEG_ROWS}) AS seg, unnest([subj, pred, obj]) AS term, rn
-      FROM numbered
+      -- the REAL-wire name table holds IRI terms only: literal objects
+      -- ride inline in the statement rows
+      SELECT ((rn - 1) // {JELLY_SEG_ROWS}) AS seg, term, rn FROM (
+        SELECT rn, subj AS term FROM numbered
+        UNION ALL SELECT rn, pred FROM numbered
+        UNION ALL SELECT rn, obj FROM numbered WHERE obj_kind = 0
+      )
     ),
     firsts AS (SELECT seg, term, MIN(rn) AS first_rn FROM terms GROUP BY seg, term),
     name_rows AS (
@@ -1363,8 +1368,8 @@ def q09_product_profit(spark, sf_dir):
     "q25_jellytext_roundtrip",
     oracle=TRIPLES_SQL,
     doc="Jelly-text format (S10, RdfToJelly.scala:207-228,261-291 / "
-    "RdfFromJelly.scala:182-203): binary rows → TextFormat-style lines "
-    "(one columnar format_string) → line-parallel regexp parse → decode "
+    "RdfFromJelly.scala:182-203): binary frames → REAL protobuf "
+    "TextFormat blocks (frame-parallel) → parse back to frames → decode "
     "= identity; oracle is the original triple set.",
 )
 def q25_jellytext_roundtrip(spark, sf_dir):
@@ -1377,9 +1382,9 @@ def q25_jellytext_roundtrip(spark, sf_dir):
     )
 
     t = doc_triples(spark, sf_dir)
-    rows = decode_frames(encode_triples(spark, t, prefix_table=True))
-    text = render_jelly_text(rows).select("line")
-    return decode_triples(parse_jelly_text(text)).select(
+    frames = encode_triples(spark, t, prefix_table=True)
+    text = render_jelly_text(frames)
+    return decode_triples(decode_frames(parse_jelly_text(text))).select(
         "subj", "pred", "obj", "obj_kind"
     )
 

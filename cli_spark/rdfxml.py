@@ -10,10 +10,11 @@ text-literal property elements with ``rdf:datatype`` / ``xml:lang``
 (inherited from ancestors), nested node elements, property attributes,
 ``rdf:parseType="Resource"`` and ``="Collection"`` and ``="Literal"``
 (XML-literal text serialized verbatim), ``rdf:li`` membership
-renumbering, reification via ``rdf:ID`` on property elements, and
-``xml:base`` / CLI ``--base`` resolution. NOT supported: DOCTYPE
-entity declarations (rejected by the stdlib parser — a typed error
-names the feature).
+renumbering, reification via ``rdf:ID`` on property elements,
+``xml:base`` / CLI ``--base`` resolution, and internal-subset DOCTYPE
+``<!ENTITY>`` expansion (bounded; external/SYSTEM/PUBLIC entities,
+parameter entities, and expansion bombs raise typed errors — the XXE
+rejection stays).
 
 Design for Spark's execution model (same axes as the Turtle and
 JSON-LD readers):
@@ -78,6 +79,74 @@ def _expand(tag: str) -> str:
     return tag
 
 
+_DOCTYPE_RX = re.compile(r"<!DOCTYPE\s+([^\[>]*)(\[.*?\])?\s*>", re.S)
+_ENTITY_RX = re.compile(
+    r"<!ENTITY\s+(%?)\s*([A-Za-z_][\w.\-]*)\s+"
+    r"(?:\"([^\"]*)\"|'([^']*)'|(SYSTEM|PUBLIC)[^>]*)>",
+    re.S,
+)
+_PREDEFINED = {"amp", "lt", "gt", "quot", "apos"}
+_MAX_EXPANSION = 10_000_000  # bytes; also capped at 10× the input
+
+
+def _expand_internal_entities(text: str) -> str:
+    """Expand internal-subset ``<!ENTITY name "value">`` declarations and
+    strip the DOCTYPE (the Jena-ARP-compatible subset). External
+    entities (SYSTEM/PUBLIC, in the DOCTYPE head or any entity),
+    parameter entities, and expansion blow-ups raise typed errors —
+    untrusted corpus content never reaches expat's DTD machinery."""
+    m = _DOCTYPE_RX.search(text)
+    if not m:
+        raise RdfXmlUnsupportedError("malformed DOCTYPE declaration")
+    head, subset = m.group(1) or "", m.group(2) or ""
+    if re.search(r"\b(SYSTEM|PUBLIC)\b", head):
+        raise RdfXmlUnsupportedError(
+            "external DTD subsets (SYSTEM/PUBLIC) are not supported "
+            "(XXE rejection; only the internal entity subset expands)"
+        )
+    entities: dict[str, str] = {}
+    for pct, name, dq, sq, ext in _ENTITY_RX.findall(subset):
+        if pct:
+            raise RdfXmlUnsupportedError("parameter entities are not supported")
+        if ext:
+            raise RdfXmlUnsupportedError(
+                f"external entity '{name}' is not supported (XXE rejection)"
+            )
+        entities[name] = dq if dq else sq
+    # nested entity values: bounded fixpoint, then one pass over the doc
+    limit = min(_MAX_EXPANSION, max(65536, 10 * len(text)))
+
+    def sub_known(s: str) -> str:
+        return re.sub(
+            r"&([A-Za-z_][\w.\-]*);",
+            lambda mm: entities.get(mm.group(1), mm.group(0))
+            if mm.group(1) not in _PREDEFINED
+            else mm.group(0),
+            s,
+        )
+
+    for _ in range(3):
+        expanded = {k: sub_known(v) for k, v in entities.items()}
+        if expanded == entities:
+            break
+        entities = expanded
+        if sum(len(v) for v in entities.values()) > limit:
+            raise RdfXmlUnsupportedError(
+                "entity expansion exceeds the safety bound"
+            )
+    else:
+        if any(re.search(r"&[A-Za-z_][\w.\-]*;", v) and sub_known(v) != v
+               for v in entities.values()):
+            raise RdfXmlUnsupportedError(
+                "entity definitions nest deeper than the supported bound"
+            )
+    body = text[: m.start()] + text[m.end():]
+    out = sub_known(body)
+    if len(out) > limit:
+        raise RdfXmlUnsupportedError("entity expansion exceeds the safety bound")
+    return out
+
+
 class _RdfXmlReader:
     """One instance per document (fresh-bnode and rdf:li counters are
     document-scoped, per the W3C grammar)."""
@@ -108,16 +177,13 @@ class _RdfXmlReader:
     def parse(self, text: str) -> list[tuple]:
         import xml.etree.ElementTree as ET
 
-        # Reject DOCTYPE outright rather than letting expat expand
-        # entities: documents are untrusted corpus content, and DTD
-        # entity expansion is both a descoped RDF/XML feature and a
-        # denial-of-service vector (billion-laughs) inside an executor.
+        # Bounded internal-subset DOCTYPE support: inline <!ENTITY n "v">
+        # declarations expand (Jena ARP behavior for the common
+        # prefix-abbreviation idiom); everything dangerous stays rejected
+        # — external/SYSTEM/PUBLIC entities (XXE) and expansion blow-ups
+        # (billion-laughs) raise typed errors instead of reaching expat.
         if re.search(r"<!DOCTYPE", text[:4096]):
-            raise RdfXmlUnsupportedError(
-                "RDF/XML DOCTYPE declarations are not supported by this "
-                "engine (descoped: entity expansion; the reference "
-                "delegates to Jena ARP)"
-            )
+            text = _expand_internal_entities(text)
         try:
             root = ET.fromstring(text)
         except ET.ParseError as e:

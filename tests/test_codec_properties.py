@@ -190,63 +190,96 @@ def test_turtle_and_nquads_parsers_agree(row):
 # --------------------------------------------------------- jelly frame rows
 
 
+_jw_name = st.text(min_size=0, max_size=12).filter(lambda s: "\x00" not in s)
+_jw_id = st.integers(0, 2**20)
+
+
+@st.composite
+def _jw_term(draw, depth=0, graph=False):
+    """Normalized jellywire term dicts (the exact decode form), so the
+    wire codec must be an identity on them."""
+    choices = ["iri", "bnode", "literal"]
+    if depth < 2 and not graph:
+        choices.append("quoted")
+    if graph:
+        choices.append("default")
+    kind = draw(st.sampled_from(choices))
+    if kind == "iri":
+        return {"k": 0, "pid": draw(_jw_id), "nid": draw(_jw_id)}
+    if kind == "bnode":
+        return {"k": 1, "v": draw(_jw_name)}
+    if kind == "literal":
+        style = draw(st.sampled_from(["plain", "lang", "dt"]))
+        return {
+            "k": 2,
+            "v": draw(_jw_name),
+            "lang": draw(_lang) if style == "lang" else None,
+            "dt": draw(st.integers(1, 2**10)) if style == "dt" else 0,
+        }
+    if kind == "default":
+        return {"k": 4}
+    return {
+        "k": 3,
+        "s": draw(_jw_term(depth=depth + 1)),
+        "p": draw(_jw_term(depth=depth + 1)),
+        "o": draw(_jw_term(depth=depth + 1)),
+    }
+
+
 @st.composite
 def _jelly_rows(draw):
-    """(encode-form row, expected decode-form row) pairs for every
-    non-options wire row kind (options has its own validation matrix)."""
-    from cli_spark import jelly as J
+    """Normalized jellywire row dicts across every wire row kind,
+    including RDF-star nesting, elided statement terms, and the options
+    row — encode_frame ∘ decode_frame must be the identity."""
+    from cli_spark import jellywire as JW
 
-    vid = st.integers(0, 2**20)
-    name = draw(_lex.filter(lambda s: "\x00" not in s))
     kind = draw(
         st.sampled_from(
-            [J.KIND_TRIPLE, J.KIND_QUAD, J.KIND_NAME, J.KIND_DATATYPE,
-             J.KIND_PREFIX, J.KIND_GRAPH_START, J.KIND_GRAPH_END,
-             J.KIND_NAMESPACE]
+            [JW.K_OPTIONS, JW.K_TRIPLE, JW.K_QUAD, JW.K_NAME, JW.K_DATATYPE,
+             JW.K_PREFIX, JW.K_GRAPH_START, JW.K_GRAPH_END, JW.K_NAMESPACE]
         )
     )
-    if kind in (J.KIND_TRIPLE, J.KIND_QUAD):
-        enc = {
+    if kind == JW.K_OPTIONS:
+        return {
             "kind": kind,
-            "s_id": draw(vid), "p_id": draw(vid), "o_id": draw(vid),
-            "o_kind": draw(st.integers(0, 3)),
-            "spg": draw(st.one_of(st.none(), st.integers(0, 7))),
-            "dt_id": draw(st.one_of(st.none(), vid)),
-            "lang": draw(st.one_of(st.none(), _lang)),
+            "stream_name": draw(_jw_name),
+            "physical": draw(st.integers(0, 3)),
+            "generalized": draw(st.booleans()),
+            "rdf_star": draw(st.booleans()),
+            "logical": draw(st.integers(0, 4)),
+            "version": draw(st.integers(0, 2)),
+            "max_name": draw(st.integers(0, 2**20)),
+            "max_prefix": draw(st.integers(0, 2**16)),
+            "max_dt": draw(st.integers(0, 2**16)),
         }
-        if kind == J.KIND_QUAD:
-            enc["g_id"] = draw(st.one_of(st.none(), vid))
-        exp = dict(enc)
-        exp["spg"] = enc["spg"] or 0
-        exp["dt_id"] = enc["dt_id"] or None
-        if kind == J.KIND_QUAD:
-            exp["g_id"] = enc["g_id"] or None
-        return enc, exp
-    if kind == J.KIND_NAME:
-        enc = {
-            "kind": kind, "name_id": draw(vid),
-            "prefix_id": draw(st.one_of(st.none(), vid)), "name": name,
+    if kind in (JW.K_TRIPLE, JW.K_QUAD):
+        row = {
+            "kind": kind,
+            "s": draw(st.one_of(st.none(), _jw_term())),
+            "p": draw(st.one_of(st.none(), _jw_term())),
+            "o": draw(st.one_of(st.none(), _jw_term())),
         }
-        return enc, {**enc, "prefix_id": enc["prefix_id"] or None}
-    if kind in (J.KIND_DATATYPE, J.KIND_PREFIX):
-        enc = {"kind": kind, "name_id": draw(vid), "name": name}
-        return enc, dict(enc)
-    if kind == J.KIND_GRAPH_START:
-        enc = {"kind": kind, "name_id": draw(vid)}
-        return enc, dict(enc)
-    if kind == J.KIND_GRAPH_END:
-        return {"kind": kind}, {"kind": kind}
-    enc = {"kind": kind, "name": name,
-           "aux": draw(st.one_of(st.none(), _lex.filter(lambda s: "\x00" not in s)))}
-    return enc, {**enc, "aux": enc["aux"] or ""}
+        if kind == JW.K_QUAD:
+            row["g"] = draw(st.one_of(st.none(), _jw_term(graph=True)))
+        return row
+    if kind in (JW.K_NAME, JW.K_DATATYPE, JW.K_PREFIX):
+        return {"kind": kind, "id": draw(_jw_id), "value": draw(_jw_name)}
+    if kind == JW.K_GRAPH_START:
+        return {"kind": kind, "g": draw(_jw_term(graph=True))}
+    if kind == JW.K_GRAPH_END:
+        return {"kind": kind}
+    return {
+        "kind": kind,
+        "name": draw(_jw_name),
+        "iri": {"k": 0, "pid": draw(_jw_id), "nid": draw(_jw_id)},
+    }
 
 
 @settings(max_examples=200, deadline=None)
 @given(st.lists(_jelly_rows(), min_size=1, max_size=12))
-def test_jelly_frame_row_codec_roundtrip(pairs):
-    from cli_spark.jelly import decode_frame, encode_rows_to_frame
+def test_jelly_frame_row_codec_roundtrip(rows):
+    from cli_spark import jellywire as JW
 
-    enc_rows = [p[0] for p in pairs]
-    expected = [p[1] for p in pairs]
-    decoded = decode_frame(encode_rows_to_frame(enc_rows))
-    assert decoded == expected
+    decoded = JW.decode_frame(JW.encode_frame(rows))
+    assert decoded == rows
+

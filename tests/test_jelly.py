@@ -93,10 +93,29 @@ def test_validate_stream_ok_and_violations(spark, triples):
     no_opts = rows.filter(F.col("row_kind") != J.KIND_OPTIONS)
     problems = validate_stream(no_opts)
     assert any("options" in p for p in problems)
-    # dangling refs: drop name entries
-    no_names = rows.filter(F.col("row_kind") != J.KIND_NAME)
-    problems = validate_stream(no_names)
-    assert any("dangling" in p for p in problems)
+    # a malformed stream (statement referencing an undefined name id)
+    # fails in the resolver itself — decode is where ref integrity lives
+    # now that the rows table is fully resolved
+    import pytest
+
+    from cli_spark import jellywire as JW
+
+    bad_frame = JW.encode_frame(
+        [
+            {"kind": JW.K_OPTIONS, "physical": 1, "version": 1, "max_name": 8},
+            {
+                "kind": JW.K_TRIPLE,
+                "s": {"k": 0, "pid": 0, "nid": 99},
+                "p": {"k": 0, "pid": 0, "nid": 99},
+                "o": {"k": 0, "pid": 0, "nid": 99},
+            },
+        ]
+    )
+    bad = spark.createDataFrame(
+        [(0, 0, 2, bytearray(bad_frame))], J.FRAME_SCHEMA
+    )
+    with pytest.raises(Exception, match="undefined name id"):
+        J.decode_frames(bad).collect()
 
 
 def test_inspect_metrics(spark, triples):

@@ -39,9 +39,10 @@ def test_quads_roundtrip(spark, quads):
     rows = J.decode_frames(J.encode_quads(spark, quads))
     kinds = {r.row_kind for r in rows.select("row_kind").distinct().collect()}
     assert J.KIND_QUAD in kinds and J.KIND_TRIPLE not in kinds
-    # default-graph rows carry g_id NULL (wire 0)
+    # default-graph rows carry the default-graph term kind (wire
+    # g_default_graph, resolved graph NULL)
     n_default = rows.filter(
-        (F.col("row_kind") == J.KIND_QUAD) & F.col("g_id").isNull()
+        (F.col("row_kind") == J.KIND_QUAD) & (F.col("graph_kind") == 4)
     ).count()
     assert n_default == 2
 
@@ -102,28 +103,32 @@ def test_prefix_table_roundtrip_and_smaller(spark, iri_triples):
     back = J.decode_triples(J.decode_frames(pref), strict=True)
     key = ["subj", "pred", "obj", "obj_kind"]
     assert _set(back, key) == _set(iri_triples, key)
-    # prefix entry rows exist and name entries reference them
+    # prefix entry rows exist and name entries hold LOCALS (the prefix
+    # was split off — statements carry the prefix ref on the wire)
     rows = J.decode_frames(pref)
     n_prefix = rows.filter(F.col("row_kind") == J.KIND_PREFIX).count()
     assert n_prefix >= 2  # entity/ and vocab# prefixes
-    n_ref = rows.filter(
-        (F.col("row_kind") == J.KIND_NAME) & F.col("prefix_id").isNotNull()
+    n_local = rows.filter(
+        (F.col("row_kind") == J.KIND_NAME) & ~F.col("name").startswith("http")
     ).count()
-    assert n_ref > 0
+    assert n_local > 0
 
 
-def test_prefix_table_cap(spark):
-    """Prefixes past max_prefix_table stay unsplit (bounded table, no
-    eviction) and the stream still round-trips."""
+def test_prefix_table_declared_size_raised(spark):
+    """A configured max_prefix_table smaller than the prefixes actually
+    used gets RAISED in the declared options (ids must stay legal under
+    the real wire's bound contract; the reference evicts instead — both
+    are conformant streams) and the stream still round-trips."""
     rows = [(f"http://p{i}.example/x/e", "kg:p", f"v{i}", 2) for i in range(50)]
     t = spark.createDataFrame(
         rows, "subj string, pred string, obj string, obj_kind int"
     )
     opts = J.StreamOptions(max_prefix_table=4)
     frames = J.encode_triples(spark, t, options=opts, prefix_table=True)
-    dec = J.decode_frames(frames)
+    dec = J.decode_frames(frames, strict=True).cache()
     n_prefix = dec.filter(F.col("row_kind") == J.KIND_PREFIX).count()
-    assert n_prefix <= 4
+    declared = dec.filter(F.col("row_kind") == J.KIND_OPTIONS).first().opt_max_prefix
+    assert n_prefix > 4 and declared >= n_prefix
     back = J.decode_triples(dec)
     key = ["subj", "pred", "obj", "obj_kind"]
     assert _set(back, key) == _set(t, key)
@@ -139,7 +144,9 @@ def test_full_options_roundtrip(spark, iri_triples):
         max_name_table=512,
         max_prefix_table=64,
     )
-    rows = J.decode_frames(J.encode_triples(spark, iri_triples, options=opts))
+    rows = J.decode_frames(
+        J.encode_triples(spark, iri_triples, options=opts, prefix_table=True)
+    )
     opt_row = rows.filter(F.col("row_kind") == J.KIND_OPTIONS).first()
     assert opt_row.opt_version == J.VERSION
     assert opt_row.opt_physical == J.PHYSICAL_TRIPLES
@@ -153,10 +160,9 @@ def test_full_options_roundtrip(spark, iri_triples):
 
 def _opts_row(spark, **overrides):
     """Build a one-row rows-table with the given options fields."""
-    base = dict(
+    base = {c: None for c in J.ROW_SCHEMA.replace(",", "").split()[::2]}
+    base.update(
         seg=0, frame_index=0, row_pos=0, row_kind=J.KIND_OPTIONS,
-        s_id=None, p_id=None, o_id=None, o_kind=None, g_id=None,
-        name_id=None, prefix_id=None, name=None, dt_id=None, lang=None,
         aux="", opt_version=J.VERSION, opt_physical=J.PHYSICAL_TRIPLES,
         opt_logical=0, opt_flags=0, opt_max_name=4096, opt_max_prefix=1024,
         opt_max_dt=4096,
@@ -182,7 +188,9 @@ def test_validate_options_matrix(spark):
     )
     assert any(
         "unsupported stream version" in p
-        for p in J.validate_options(mk(_opts_row(spark, opt_version=J.VERSION + 1)))
+        for p in J.validate_options(
+            mk(_opts_row(spark, opt_version=J.VERSION_MAX + 1))
+        )
     )
     # unknown physical type
     assert any(
@@ -238,16 +246,20 @@ def test_namespace_declarations(spark, iri_triples):
     rows = J.decode_frames(J.encode_triples(spark, iri_triples, namespaces=ns))
     got = {tuple(r) for r in J.namespace_declarations(rows).collect()}
     assert got == {("ex", "http://example.org/ontology/"), ("kg", "kg:")}
-    # declarations ride in frame 0 right after the options row
+    # declarations ride in frame 0: options first, then the name/prefix
+    # entries their IRIs reference, then the namespace rows — and no
+    # namespace row precedes the entries it points at
     first = (
         rows.filter(F.col("frame_index") == 0)
         .orderBy("row_pos")
         .select("row_kind")
-        .limit(3)
         .collect()
     )
-    assert first[0].row_kind == J.KIND_OPTIONS
-    assert J.KIND_NAMESPACE in {r.row_kind for r in first[1:]}
+    kinds = [r.row_kind for r in first]
+    assert kinds[0] == J.KIND_OPTIONS
+    assert J.KIND_NAMESPACE in kinds
+    first_ns = kinds.index(J.KIND_NAMESPACE)
+    assert J.KIND_NAME in kinds[:first_ns]
 
 
 def test_options_from_file_and_cascade(spark, iri_triples, tmp_path):
@@ -301,23 +313,18 @@ def test_logical_type_iri_mapping():
         J.logical_type_from_iri(J.STAX_BASE + "noSuchStream")
 
 
-def test_version_rejection():
-    """ADVICE: a frame from another version fails with a clear error,
-    not a byte-level overrun."""
-    import io
+def test_version_rejection(spark):
+    """A stream declaring a future protocol version fails at decode with
+    a clear error (the reference's jelly-jvm behavior), and
+    validate_options reports it too."""
+    from cli_spark import jellywire as JW
 
-    buf = io.BytesIO()
-    body = io.BytesIO()
-    J._write_varint(body, J.KIND_OPTIONS)
-    J._write_varint(body, 1)  # v1 options row
-    J._write_varint(body, 1)
-    J._write_varint(body, 4096)
-    payload = body.getvalue()
-    buf.write(b"\x0a")
-    J._write_varint(buf, len(payload))
-    buf.write(payload)
-    with pytest.raises(ValueError, match="unsupported stream version 1"):
-        J.decode_frame(buf.getvalue())
+    frame = JW.encode_frame(
+        [{"kind": JW.K_OPTIONS, "physical": 1, "version": 99, "max_name": 16}]
+    )
+    frames = spark.createDataFrame([(0, 0, 1, bytearray(frame))], J.FRAME_SCHEMA)
+    with pytest.raises(Exception, match="unsupported stream version 99"):
+        J.decode_frames(frames).collect()
 
 
 def test_transcode_fast_path(spark, iri_triples, quads):
@@ -366,32 +373,38 @@ def test_transcode_quads_streams(spark, quads):
 
 
 def test_jelly_text_roundtrip(spark, quads, tmp_path):
-    """S10: binary rows → text lines → parse → identical rows table,
-    through the file path too."""
-    rows = J.decode_frames(J.encode_quads(spark, quads, prefix_table=True))
-    text = J.render_jelly_text(rows)
-    back_rows = J.parse_jelly_text(text.select("line"))
-    back = J.decode_quads(back_rows)
+    """S10: binary frames → REAL protobuf TextFormat blocks (the shape
+    RdfFromJellySpec.scala:150-163 expects: `rows { options { ... } }`
+    with `# Frame N` headers in the file form) → parse → identical
+    stream, through the file path too."""
+    frames = J.encode_quads(spark, quads, prefix_table=True)
+    text = J.render_jelly_text(frames).cache()
+    one = text.first().text
+    assert "rows {" in one and ("quad {" in one or "name {" in one)
+    back = J.decode_quads(J.decode_frames(J.parse_jelly_text(text)))
     assert _set(back, QKEY) == _set(quads, QKEY)
-    # file round-trip
+    # file round-trip (reference layout: # Frame N headers, 2-space
+    # indent, enum names)
     p = str(tmp_path / "stream.jelly.txt")
-    J.write_jelly_text_file(rows, p)
-    with open(p) as fh:
-        first = fh.readline()
-    assert first.startswith("row { seg: 0 frame: 0 pos: 0 options {")
-    back2 = J.decode_quads(J.read_jelly_text_file(spark, p))
+    J.write_jelly_text_file(frames, p)
+    content = open(p).read()
+    assert content.startswith("# Frame 0\n")
+    assert "physical_type: PHYSICAL_STREAM_TYPE_QUADS" in content
+    back2 = J.decode_quads(J.decode_frames(J.read_jelly_text_file(spark, p)))
     assert _set(back2, QKEY) == _set(quads, QKEY)
 
 
 def test_jelly_text_escaping(spark):
     t = spark.createDataFrame(
-        [('he said "hi\\there"', "kg:p", 'v "x" \\ y', 2)],
+        [('he said "hi\\there"', "kg:p", 'v "x" \\ y\né', 2)],
         "subj string, pred string, obj string, obj_kind int",
     )
-    rows = J.decode_frames(J.encode_triples(spark, t))
-    back = J.decode_triples(J.parse_jelly_text(J.render_jelly_text(rows).select("line")))
+    frames = J.encode_triples(spark, t)
+    back = J.decode_triples(
+        J.decode_frames(J.parse_jelly_text(J.render_jelly_text(frames)))
+    )
     got = {(r.subj, r.obj) for r in back.collect()}
-    assert got == {('he said "hi\\there"', 'v "x" \\ y')}
+    assert got == {('he said "hi\\there"', 'v "x" \\ y\né')}
 
 
 def test_p8_conformance_grid(spark):

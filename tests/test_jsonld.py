@@ -77,10 +77,11 @@ def test_parse_expanded_document():
     assert rests[n2][4] == RDF_NIL
 
 
-def test_context_raises_typed_error():
-    with pytest.raises(JL.JsonLdUnsupportedError, match="@context"):
-        JL.parse_jsonld_document('{"@context": {}, "@graph": []}')
-    with pytest.raises(JL.JsonLdUnsupportedError, match="@context"):
+def test_context_handled_inline_or_rejected():
+    """Inline contexts now expand (empty context = no-op); only REMOTE
+    contexts keep the typed rejection."""
+    assert JL.parse_jsonld_document('{"@context": {}, "@graph": []}') == []
+    with pytest.raises(JL.JsonLdUnsupportedError, match="remote @context"):
         JL.parse_jsonld_document('[{"@context": "http://x", "@id": "http://s"}]')
 
 
@@ -150,3 +151,99 @@ def test_jsonld_rejects_quoted_triples(spark):
     )
     with pytest.raises(Exception, match="quoted triples"):
         render_jsonld(df).collect()
+
+
+def test_context_expansion_full_subset():
+    """Inline @context: @vocab, @base, prefix terms, term aliases for
+    keywords, @type coercion (@id + datatype), per-term and default
+    @language, @container @list, compact term-ids expanding through
+    prefixes, and nested-node context inheritance."""
+    from cli_spark.jsonld import parse_jsonld_document
+
+    doc = """
+    {
+      "@context": {
+        "@vocab": "http://vocab.org/",
+        "@base": "http://base.org/",
+        "ex": "http://example.org/",
+        "name": "ex:name",
+        "knows": {"@id": "ex:knows", "@type": "@id"},
+        "born": {"@id": "ex:born",
+                 "@type": "http://www.w3.org/2001/XMLSchema#date"},
+        "label": {"@id": "ex:label", "@language": "en"},
+        "tags": {"@id": "ex:tag", "@container": "@list"},
+        "id": "@id", "type": "@type"
+      },
+      "id": "people/alice",
+      "type": "ex:Person",
+      "name": "Alice",
+      "knows": {"id": "people/bob", "name": "Bob"},
+      "born": "1990-01-02",
+      "label": "the alice",
+      "plain": "vocab term",
+      "tags": ["a", "b"]
+    }"""
+    rows = parse_jsonld_document(doc)
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r[2], []).append(r)
+    alice = "http://base.org/people/alice"
+    assert by_pred["http://example.org/name"][0][:2] == (alice, 0)
+    # knows: nested node, context inherited, @base applied
+    knows = [r for r in by_pred["http://example.org/knows"] if r[0] == alice]
+    assert knows[0][4] == "http://base.org/people/bob" and knows[0][5] == 0
+    # datatype coercion
+    born = by_pred["http://example.org/born"][0]
+    assert born[4:8] == (
+        "1990-01-02", 2, "http://www.w3.org/2001/XMLSchema#date", None
+    )
+    # per-term language
+    label = by_pred["http://example.org/label"][0]
+    assert label[4:8] == ("the alice", 2, None, "en")
+    # @vocab fallback for undeclared terms
+    assert "http://vocab.org/plain" in by_pred
+    # @type alias + compact type value
+    types = by_pred["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
+    assert any(r[4] == "http://example.org/Person" for r in types)
+    # @container @list produced an rdf:first/rdf:rest chain
+    firsts = by_pred["http://www.w3.org/1999/02/22-rdf-syntax-ns#first"]
+    assert {r[4] for r in firsts} == {"a", "b"}
+
+
+def test_context_remote_rejected_and_passthrough():
+    import pytest
+
+    from cli_spark.jsonld import JsonLdUnsupportedError, parse_jsonld_document
+
+    with pytest.raises(JsonLdUnsupportedError, match="remote @context"):
+        parse_jsonld_document('{"@context": "http://schema.org/", "@id": "x"}')
+    # expanded documents without @context are untouched (regression)
+    rows = parse_jsonld_document(
+        '[{"@id": "http://e/x", "http://e/p": [{"@value": "v"}]}]'
+    )
+    assert rows[0][:6] == ("http://e/x", 0, "http://e/p", 0, "v", 2)
+
+
+def test_context_roundtrip_through_writer(spark, tmp_path):
+    """compact read → columnar write (expanded NDJSON) → read = same
+    triples: the context layer composes with the existing S4 machinery."""
+    from cli_spark.jsonld import parse_jsonld_document, read_jsonld, write_jsonld
+
+    doc = """
+    {
+      "@context": {"ex": "http://example.org/",
+                   "knows": {"@id": "ex:knows", "@type": "@id"}},
+      "@id": "http://e/alice",
+      "ex:name": "Alice",
+      "knows": "http://e/bob"
+    }"""
+    p = tmp_path / "compact.jsonld"
+    p.write_text(doc)
+    df = read_jsonld(spark, str(p))
+    out = str(tmp_path / "expanded.jsonld")
+    write_jsonld(df, out, single_file=True)
+    back = read_jsonld(spark, out)
+    key = ["subj", "pred", "obj", "obj_kind"]
+    assert {tuple(r) for r in back.select(*key).collect()} == {
+        tuple(r) for r in df.select(*key).collect()
+    }

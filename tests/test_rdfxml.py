@@ -119,11 +119,13 @@ def test_cli_base_overrides_when_no_xml_base():
     assert rows[0][0] == "http://cli.org/dir/rel"
 
 
-def test_doctype_raises_typed_error():
+def test_doctype_internal_subset_accepted():
+    """Internal-subset entity declarations no longer blanket-reject:
+    the DOCTYPE strips and the document parses (detailed expansion
+    coverage in test_doctype_internal_entities_expand)."""
     doc = ('<?xml version="1.0"?><!DOCTYPE rdf:RDF [<!ENTITY e "x">]>'
            f'<rdf:RDF xmlns:rdf="{RX.RDF_NS}"/>')
-    with pytest.raises(RX.RdfXmlUnsupportedError):
-        RX.parse_rdfxml_document(doc)
+    assert RX.parse_rdfxml_document(doc) == []
 
 
 def test_empty_property_with_attrs_is_bnode_object():
@@ -200,3 +202,56 @@ def test_rdfxml_rejects_quoted_triples(spark):
     _, body, _ = render_rdfxml(df)
     with pytest.raises(Exception, match="quoted triples"):
         body.collect()
+
+
+def test_doctype_internal_entities_expand():
+    """Internal-subset <!ENTITY> declarations expand (incl. one level of
+    nesting) before parse — the Jena-ARP-compatible subset; the DOCTYPE
+    itself is stripped."""
+    from cli_spark.rdfxml import parse_rdfxml_document
+
+    doc = """<?xml version="1.0"?>
+<!DOCTYPE rdf:RDF [
+  <!ENTITY ex "http://example.org/">
+  <!ENTITY exp "&ex;prop/">
+]>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:p="&exp;">
+  <rdf:Description rdf:about="&ex;r1">
+    <p:name>uses &ex;stuff</p:name>
+  </rdf:Description>
+</rdf:RDF>"""
+    rows = parse_rdfxml_document(doc)
+    assert [r[:6] for r in rows] == [
+        (
+            "http://example.org/r1", 0, "http://example.org/prop/name", 0,
+            "uses http://example.org/stuff", 2,
+        )
+    ]
+
+
+def test_doctype_dangerous_forms_rejected():
+    """External subsets, external entities, parameter entities, and
+    expansion bombs all raise typed errors (XXE / billion-laughs guards
+    survive the internal-subset support)."""
+    import pytest
+
+    from cli_spark.rdfxml import RdfXmlUnsupportedError, parse_rdfxml_document
+
+    cases = {
+        '<!DOCTYPE r SYSTEM "http://evil/x">\n<a/>': "external DTD",
+        '<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/passwd">]>\n<a>&x;</a>':
+            "external entity",
+        '<!DOCTYPE r [<!ENTITY % p "x">]>\n<a/>': "parameter entities",
+    }
+    for doc, msg in cases.items():
+        with pytest.raises(RdfXmlUnsupportedError, match=msg):
+            parse_rdfxml_document(doc)
+    lol = (
+        '<!DOCTYPE r [<!ENTITY a "xx">'
+        '<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">'
+        '<!ENTITY c "&b;&b;&b;&b;&b;&b;&b;&b;&b;&b;">'
+        '<!ENTITY d "&c;&c;&c;&c;&c;&c;&c;&c;&c;&c;">]>'
+        "<a>" + "&d;" * 60000 + "</a>"
+    )
+    with pytest.raises(RdfXmlUnsupportedError, match="safety bound"):
+        parse_rdfxml_document(lol)
