@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "q36_text_stats",
     "q44_embedding_neardup",
     "q47_rollup_revenue",
+    "q50_jelly_roundtrip",
 ]
 
 

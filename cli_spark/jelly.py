@@ -422,75 +422,200 @@ def _term_from_pre(r, pos: str):
     return {"k": T_DEFAULT_GRAPH}
 
 
+# varint byte cache: dictionary ids follow a Zipf-ish reuse pattern, so
+# most varints in a frame are repeats — a dict lookup beats re-packing.
+_VCACHE: dict[int, bytes] = {}
+
+
+def _vb(v: int) -> bytes:
+    b = _VCACHE.get(v)
+    if b is None:
+        x, out = v, bytearray()
+        while True:
+            lo = x & 0x7F
+            x >>= 7
+            if x:
+                out.append(lo | 0x80)
+            else:
+                out.append(lo)
+                break
+        b = bytes(out)
+        if len(_VCACHE) < (1 << 20):
+            _VCACHE[v] = b
+    return b
+
+
 def _encode_group_fn():
     """applyInPandas encoder: one (seg, frame_index) group of pre-frame
-    rows → one binary frame (real protobuf wire via jellywire)."""
+    rows → one binary frame (real protobuf wire).
+
+    Batch-tuned hot path (the to-jelly throughput lever): columns pull
+    out of pandas ONCE as python lists, statement/entry rows emit
+    protobuf bytes directly into one bytearray with cached varints and
+    precomputed tags — no per-row dicts, no per-field BytesIO. Rare row
+    kinds (options, namespace, graph start/end, quoted terms) fall back
+    to the jellywire dict codec."""
 
     def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(["sort_key", "minor"])
-        rows = []
-        for r in pdf.itertuples():
-            kind = int(r.row_kind)
-            if kind == KIND_OPTIONS:
-                rows.append(
-                    {
-                        "kind": kind,
-                        "stream_name": r.aux if isinstance(r.aux, str) else "",
-                        "physical": int(r.opt_physical),
-                        "generalized": bool(int(r.opt_flags) & 1),
-                        "rdf_star": bool(int(r.opt_flags) & 2),
-                        "logical": int(r.opt_logical),
-                        "version": int(r.opt_version),
-                        "max_name": int(r.opt_max_name),
-                        "max_prefix": int(r.opt_max_prefix),
-                        "max_dt": int(r.opt_max_dt),
-                    }
+        order = np.lexsort(
+            (pdf["minor"].to_numpy(), pdf["sort_key"].to_numpy())
+        )
+        n = len(pdf)
+
+        def col(name):
+            return pdf[name].to_numpy()[order]
+
+        row_kind = col("row_kind")
+        kinds = {}
+        vals = {}
+        nids = {}
+        pids = {}
+        dts = {}
+        langs = {}
+        for p in ("s", "p", "o", "g"):
+            kinds[p] = col(f"{p}_kind")
+            vals[p] = col(f"{p}_val")
+            nids[p] = col(f"{p}_nid")
+            pids[p] = col(f"{p}_pid")
+            dts[p] = col(f"{p}_dt")
+            langs[p] = col(f"{p}_lang")
+        name_id = col("name_id")
+        name = col("name")
+
+        # precomputed tags: term field = base + selector, wire type 2
+        TAGS = {
+            (p, sel): bytes([((i * 4 + sel) << 3) | 2])
+            for i, p in enumerate(("s", "p", "o"))
+            for sel in (1, 2, 3, 4)
+        }
+        G_IRI, G_BNODE, G_DEFAULT, G_LIT = (
+            bytes([(13 << 3) | 2]), bytes([(14 << 3) | 2]),
+            bytes([(15 << 3) | 2]), bytes([(16 << 3) | 2]),
+        )
+        LEX_T, LANG_T, DT_T = b"\x0a", b"\x12", b"\x18"
+        PID_T, NID_T = b"\x08", b"\x10"
+        ENTRY_ID_T, ENTRY_VAL_T = b"\x08", b"\x12"
+        FRAME_ROW_T = b"\x0a"
+
+        def term_bytes(p: str, i: int) -> bytes:
+            k = kinds[p][i]
+            k = int(k)
+            if k == T_IRI:
+                pid = pids[p][i]
+                nid = nids[p][i]
+                body = b""
+                if pid == pid and pid:  # not-NaN and nonzero
+                    body += PID_T + _vb(int(pid))
+                if nid == nid and nid:
+                    body += NID_T + _vb(int(nid))
+                return TAGS[(p, 1)] + _vb(len(body)) + body if p != "g" else (
+                    G_IRI + _vb(len(body)) + body
                 )
-            elif kind in (KIND_TRIPLE, KIND_QUAD):
-                row = {
-                    "kind": kind,
-                    "s": _term_from_pre(r, "s"),
-                    "p": _term_from_pre(r, "p"),
-                    "o": _term_from_pre(r, "o"),
-                }
+            if k == T_BNODE:
+                raw = (vals[p][i] or "").encode("utf-8")
+                tag = TAGS[(p, 2)] if p != "g" else G_BNODE
+                return tag + _vb(len(raw)) + raw
+            if k == T_LITERAL:
+                v = vals[p][i]
+                body = b""
+                if isinstance(v, str) and v:
+                    raw = v.encode("utf-8")
+                    body += LEX_T + _vb(len(raw)) + raw
+                lang = langs[p][i]
+                if isinstance(lang, str) and lang:
+                    lraw = lang.encode("utf-8")
+                    body += LANG_T + _vb(len(lraw)) + lraw
+                dt = dts[p][i]
+                if dt == dt and dt:
+                    body += DT_T + _vb(int(dt))
+                tag = TAGS[(p, 3)] if p != "g" else G_LIT
+                return tag + _vb(len(body)) + body
+            if k == T_QUOTED:
+                body = JW._encode_statement(json.loads(vals[p][i]), quad=False)
+                return TAGS[(p, 4)] + _vb(len(body)) + body
+            # default graph (graph position only)
+            return G_DEFAULT + b"\x00"
+
+        buf = bytearray()
+        n_rows = 0
+        for i in range(n):
+            kind = int(row_kind[i])
+            if kind in (KIND_TRIPLE, KIND_QUAD):
+                body = term_bytes("s", i) + term_bytes("p", i) + term_bytes("o", i)
                 if kind == KIND_QUAD:
-                    row["g"] = _term_from_pre(r, "g") or {"k": T_DEFAULT_GRAPH}
-                rows.append(row)
+                    gk = kinds["g"][i]
+                    if gk == gk and gk is not None:
+                        body += term_bytes("g", i)
+                row = bytes([(kind << 3) | 2]) + _vb(len(body)) + body
             elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
-                rows.append(
-                    {"kind": kind, "id": int(r.name_id), "value": r.name or ""}
-                )
-            elif kind == KIND_GRAPH_START:
-                rows.append(
-                    {"kind": kind, "g": _term_from_pre(r, "g") or {"k": T_DEFAULT_GRAPH}}
-                )
-            elif kind == KIND_GRAPH_END:
-                rows.append({"kind": kind})
-            elif kind == KIND_NAMESPACE:
-                nid = 0 if pd.isna(r.g_nid) else int(r.g_nid)
-                pid = 0 if pd.isna(r.g_pid) else int(r.g_pid)
-                rows.append(
-                    {
-                        "kind": kind,
-                        "name": r.name or "",
-                        "iri": {"k": T_IRI, "pid": pid, "nid": nid},
-                    }
-                )
+                body = b""
+                eid = name_id[i]
+                if eid == eid and eid:
+                    body += ENTRY_ID_T + _vb(int(eid))
+                v = name[i]
+                if isinstance(v, str) and v:
+                    raw = v.encode("utf-8")
+                    body += ENTRY_VAL_T + _vb(len(raw)) + raw
+                row = bytes([(kind << 3) | 2]) + _vb(len(body)) + body
             else:
-                raise ValueError(f"unknown row kind {kind}")
-        frame = JW.encode_frame(rows)
+                # rare kinds: options / graph boundaries / namespaces —
+                # go through the dict codec
+                row = JW.encode_row(_slow_row(pdf, order[i]))
+            buf += FRAME_ROW_T + _vb(len(row)) + row
+            n_rows += 1
         return pd.DataFrame(
             {
                 "seg": [int(pdf.seg.iloc[0])],
                 "frame_index": [int(pdf.frame_index.iloc[0])],
-                "n_rows": [len(rows)],
-                "frame_bytes": [frame],
+                "n_rows": [n_rows],
+                "frame_bytes": [bytes(buf)],
             }
         )
 
     return encode_group
+
+
+def _slow_row(pdf: "pd.DataFrame", idx: int) -> dict:
+    """Dict form of one pre-frame row for the rare row kinds."""
+    import pandas as pd
+
+    r = pdf.iloc[idx]
+    kind = int(r["row_kind"])
+    if kind == KIND_OPTIONS:
+        return {
+            "kind": kind,
+            "stream_name": r["aux"] if isinstance(r["aux"], str) else "",
+            "physical": int(r["opt_physical"]),
+            "generalized": bool(int(r["opt_flags"]) & 1),
+            "rdf_star": bool(int(r["opt_flags"]) & 2),
+            "logical": int(r["opt_logical"]),
+            "version": int(r["opt_version"]),
+            "max_name": int(r["opt_max_name"]),
+            "max_prefix": int(r["opt_max_prefix"]),
+            "max_dt": int(r["opt_max_dt"]),
+        }
+    if kind == KIND_GRAPH_START:
+        class _R:  # attribute view for _term_from_pre
+            pass
+
+        rr = _R()
+        for c in ("g_kind", "g_nid", "g_pid", "g_val", "g_dt", "g_lang"):
+            setattr(rr, c, r[c])
+        return {"kind": kind, "g": _term_from_pre(rr, "g") or {"k": T_DEFAULT_GRAPH}}
+    if kind == KIND_GRAPH_END:
+        return {"kind": kind}
+    if kind == KIND_NAMESPACE:
+        nid = 0 if pd.isna(r["g_nid"]) else int(r["g_nid"])
+        pid = 0 if pd.isna(r["g_pid"]) else int(r["g_pid"])
+        return {
+            "kind": kind,
+            "name": r["name"] or "",
+            "iri": {"k": T_IRI, "pid": pid, "nid": nid},
+        }
+    raise ValueError(f"unknown row kind {kind}")
 
 
 def _canonical_terms(statements: DataFrame, is_quads: bool) -> DataFrame:
@@ -1091,48 +1216,6 @@ def options_from_file(path: str) -> StreamOptions:
 # ---------------------------------------------------------------------------
 
 
-def _resolved_to_rec(frame_index: int, row_pos: int, row: dict) -> dict:
-    rec = {c: None for c in _ROW_COLS}
-    rec["frame_index"] = frame_index
-    rec["row_pos"] = row_pos
-    kind = row["kind"]
-    rec["row_kind"] = kind
-    if kind == KIND_OPTIONS:
-        rec.update(
-            aux=row["stream_name"], opt_version=row["version"],
-            opt_physical=row["physical"], opt_logical=row["logical"],
-            opt_flags=(1 if row["generalized"] else 0)
-            | (2 if row["rdf_star"] else 0),
-            opt_max_name=row["max_name"], opt_max_prefix=row["max_prefix"],
-            opt_max_dt=row["max_dt"],
-        )
-    elif kind in (KIND_TRIPLE, KIND_QUAD):
-        for pos, (vc, kc, dc, lc) in (
-            ("s", ("subj", "subj_kind", "subj_dt", "subj_lang")),
-            ("p", ("pred", "pred_kind", "pred_dt", "pred_lang")),
-            ("o", ("obj", "obj_kind", "obj_datatype", "obj_lang")),
-            ("g", ("graph", "graph_kind", "graph_dt", "graph_lang")),
-        ):
-            t = row.get(pos)
-            if t is None:
-                continue
-            value, tkind, dt, lang = t
-            rec[vc] = value
-            rec[kc] = tkind
-            rec[dc] = dt
-            rec[lc] = lang
-    elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
-        rec["name_id"] = row["id"]
-        rec["name"] = row["value"]
-    elif kind == KIND_GRAPH_START:
-        value, tkind, dt, lang = row["g"]
-        rec.update(graph=value, graph_kind=tkind, graph_dt=dt, graph_lang=lang)
-    elif kind == KIND_NAMESPACE:
-        rec["name"] = row["name"]
-        rec["aux"] = row["iri"]
-    return rec
-
-
 def decode_frames(frames: DataFrame, strict: bool = False) -> DataFrame:
     """frames → fully-resolved rows table. One sequential resolution
     pass per SEGMENT (applyInPandas grouped by seg): segments are
@@ -1140,19 +1223,69 @@ def decode_frames(frames: DataFrame, strict: bool = False) -> DataFrame:
     sequential unit is small and segments run embarrassingly parallel.
     ``strict`` enforces declared table bounds (P8)."""
 
+    # column slot positions for the tuned row materialization below
+    _POS_COLS = {
+        "s": ("subj", "subj_kind", "subj_dt", "subj_lang"),
+        "p": ("pred", "pred_kind", "pred_dt", "pred_lang"),
+        "o": ("obj", "obj_kind", "obj_datatype", "obj_lang"),
+        "g": ("graph", "graph_kind", "graph_dt", "graph_lang"),
+    }
+    _IDX = {c: i for i, c in enumerate(_ROW_COLS)}
+    _NCOLS = len(_ROW_COLS)
+
     def resolve(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
         pdf = pdf.sort_values("frame_index")
         seg = int(pdf["seg"].iloc[0])
         state = JW.StreamState(strict=strict)
-        out = []
+        rows_out: list[list] = []
+        idx = _IDX
+        i_seg, i_frame, i_pos, i_kind = (
+            idx["seg"], idx["frame_index"], idx["row_pos"], idx["row_kind"]
+        )
+        pos_idx = {p: tuple(idx[c] for c in cs) for p, cs in _POS_COLS.items()}
+        i_name_id, i_name, i_aux = idx["name_id"], idx["name"], idx["aux"]
+        opt_idx = tuple(
+            idx[c] for c in (
+                "opt_version", "opt_physical", "opt_logical", "opt_flags",
+                "opt_max_name", "opt_max_prefix", "opt_max_dt",
+            )
+        )
         for frame_index, blob in zip(pdf["frame_index"], pdf["frame_bytes"]):
-            for row_pos, row in enumerate(JW.decode_frame(bytes(blob))):
-                rec = _resolved_to_rec(int(frame_index), row_pos, state.resolve_row(row))
-                rec["seg"] = seg
-                out.append(rec)
-        return pd.DataFrame(out, columns=_ROW_COLS)
+            fi = int(frame_index)
+            for row_pos, raw in enumerate(JW.decode_frame(bytes(blob))):
+                row = state.resolve_row(raw)
+                rec = [None] * _NCOLS
+                kind = row["kind"]
+                rec[i_seg], rec[i_frame], rec[i_pos], rec[i_kind] = (
+                    seg, fi, row_pos, kind
+                )
+                if kind in (KIND_TRIPLE, KIND_QUAD):
+                    for p in ("s", "p", "o", "g"):
+                        t = row.get(p)
+                        if t is not None:
+                            iv, ik, idt, il = pos_idx[p]
+                            rec[iv], rec[ik], rec[idt], rec[il] = t
+                elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
+                    rec[i_name_id], rec[i_name] = row["id"], row["value"]
+                elif kind == KIND_OPTIONS:
+                    rec[i_aux] = row["stream_name"]
+                    flags = (1 if row["generalized"] else 0) | (
+                        2 if row["rdf_star"] else 0
+                    )
+                    for j, v in zip(opt_idx, (
+                        row["version"], row["physical"], row["logical"], flags,
+                        row["max_name"], row["max_prefix"], row["max_dt"],
+                    )):
+                        rec[j] = v
+                elif kind == KIND_GRAPH_START:
+                    iv, ik, idt, il = pos_idx["g"]
+                    rec[iv], rec[ik], rec[idt], rec[il] = row["g"]
+                elif kind == KIND_NAMESPACE:
+                    rec[i_name], rec[i_aux] = row["name"], row["iri"]
+                rows_out.append(rec)
+        return pd.DataFrame(rows_out, columns=_ROW_COLS)
 
     return frames.groupBy("seg").applyInPandas(resolve, ROW_SCHEMA)
 
