@@ -42,6 +42,11 @@ if __name__ == "__main__":
     else:
         legs = os.environ.get("SPARK_GRAFT_SCALE_LEGS", "1,4").replace(",", "_")
         key = f"thread_mode_{legs}"
+    # non-default corpus sizes get their own block (amortization probe:
+    # does efficiency rise with corpus size?)
+    files = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "500000"))
+    if files != 500000:
+        key = f"{key}_{files // 1000}k"
     existing: dict = {}
     if os.path.isfile(out):
         try:
