@@ -195,3 +195,28 @@ def test_reencode_semantic_identity(name):
     # and the delimited file container round-trips
     delim, again = JW.split_delimited(JW.write_delimited(reenc))
     assert delim and [JW.decode_frame(f) for f in again] == raw1
+
+
+def test_strict_mode_table_bounds():
+    """StreamState(strict=True) enforces the declared table sizes (the
+    P8 bound contract): an entry id past max_name_table_size raises."""
+    rows = [
+        {"kind": JW.K_OPTIONS, "physical": 1, "version": 1, "max_name": 4},
+        {"kind": JW.K_NAME, "id": 5, "value": "http://e/x"},
+    ]
+    frames = [JW.encode_frame(rows)]
+    with pytest.raises(JW.StreamError, match="exceeds declared table size"):
+        list(JW.resolve_frames(frames, strict=True))
+    # non-strict decodes fine (lenient reader, like jelly-jvm's default)
+    out = list(JW.resolve_frames(frames, strict=False))
+    assert out[-1][2]["id"] == 5
+
+
+def test_unsupported_version_rejected_pure():
+    frames = [
+        JW.encode_frame(
+            [{"kind": JW.K_OPTIONS, "physical": 1, "version": 3, "max_name": 8}]
+        )
+    ]
+    with pytest.raises(JW.StreamError, match="unsupported stream version"):
+        list(JW.resolve_frames(frames))
