@@ -491,9 +491,10 @@ def _encode_group_fn():
             for i, p in enumerate(("s", "p", "o"))
             for sel in (1, 2, 3, 4)
         }
+        # field 16's tag exceeds one byte — always varint-encode tags
         G_IRI, G_BNODE, G_DEFAULT, G_LIT = (
-            bytes([(13 << 3) | 2]), bytes([(14 << 3) | 2]),
-            bytes([(15 << 3) | 2]), bytes([(16 << 3) | 2]),
+            _vb((13 << 3) | 2), _vb((14 << 3) | 2),
+            _vb((15 << 3) | 2), _vb((16 << 3) | 2),
         )
         LEX_T, LANG_T, DT_T = b"\x0a", b"\x12", b"\x18"
         PID_T, NID_T = b"\x08", b"\x10"
@@ -1357,7 +1358,9 @@ def decode_triples(
         trips = trips.filter(F.col("frame_index").between(lo, hi))
     return trips.select(
         "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang",
-        "subj_kind", "pred_kind", "frame_index",
+        "subj_kind", "pred_kind",
+        "subj_dt", "subj_lang", "pred_dt", "pred_lang",
+        "frame_index",
     )
 
 
@@ -1370,15 +1373,15 @@ def decode_quads(
     if take_frames is not None:
         lo, hi = take_frames
         qs = qs.filter(F.col("frame_index").between(lo, hi))
+    not_default = F.col("graph_kind") != T_DEFAULT_GRAPH
     return qs.select(
         "subj", "pred", "obj", "obj_kind",
-        F.when(F.col("graph_kind") == T_DEFAULT_GRAPH, F.lit(None))
-        .otherwise(F.col("graph"))
-        .alias("graph"),
+        F.when(not_default, F.col("graph")).alias("graph"),
         "obj_datatype", "obj_lang", "subj_kind", "pred_kind",
-        F.when(F.col("graph_kind") == T_DEFAULT_GRAPH, F.lit(None))
-        .otherwise(F.col("graph_kind"))
-        .alias("graph_kind"),
+        F.when(not_default, F.col("graph_kind")).alias("graph_kind"),
+        "subj_dt", "subj_lang", "pred_dt", "pred_lang",
+        F.when(not_default, F.col("graph_dt")).alias("graph_dt"),
+        F.when(not_default, F.col("graph_lang")).alias("graph_lang"),
         "frame_index",
     )
 

@@ -65,6 +65,15 @@ TRIPLE_COLS = [
     "obj", "obj_kind", "obj_datatype", "obj_lang",
     "graph", "graph_kind",
 ]
+# Generalized N-Quads can carry typed/langtagged literals in ANY
+# position ("lit"^^<dt> as subject/predicate/graph — generalized.nq has
+# a datatyped literal GRAPH term). The full column set keeps those
+# annotations; only this module (the generalized-capable text format)
+# and the Jelly codec produce/consume them — the other parsers cannot
+# express non-object literals and stay on the 10-column model.
+TRIPLE_COLS_FULL = TRIPLE_COLS + [
+    "subj_dt", "subj_lang", "pred_dt", "pred_lang", "graph_dt", "graph_lang",
+]
 
 
 def _unescape_segment(c: Column) -> Column:
@@ -239,7 +248,9 @@ def _parse_lines_py(lines: DataFrame, text_col: str) -> DataFrame:
     schema = (
         "subj string, subj_kind int, pred string, pred_kind int, "
         "obj string, obj_kind int, obj_datatype string, obj_lang string, "
-        "graph string, graph_kind int"
+        "graph string, graph_kind int, "
+        "subj_dt string, subj_lang string, pred_dt string, pred_lang string, "
+        "graph_dt string, graph_lang string"
     )
 
     def parse(batches):
@@ -257,12 +268,15 @@ def _parse_lines_py(lines: DataFrame, text_col: str) -> DataFrame:
                     continue
                 if len(t) not in (3, 4):
                     continue
-                sv, sk, _, _ = _classify_py(t[0])
-                pv, pk, _, _ = _classify_py(t[1])
+                sv, sk, sdt, slang = _classify_py(t[0])
+                pv, pk, pdt, plang = _classify_py(t[1])
                 ov, ok, odt, olang = _classify_py(t[2])
-                gv, gk, _, _ = _classify_py(t[3] if len(t) == 4 else None)
-                rows.append((sv, sk, pv, pk, ov, ok, odt, olang, gv, gk))
-            yield pd.DataFrame(rows, columns=TRIPLE_COLS)
+                gv, gk, gdt, glang = _classify_py(t[3] if len(t) == 4 else None)
+                rows.append(
+                    (sv, sk, pv, pk, ov, ok, odt, olang, gv, gk,
+                     sdt, slang, pdt, plang, gdt, glang)
+                )
+            yield pd.DataFrame(rows, columns=TRIPLE_COLS_FULL)
 
     return lines.mapInPandas(parse, schema)
 
@@ -297,17 +311,22 @@ def parse_lines(
             F.when(F.size("t") == 4, F.element_at("t", 4)).alias("g_raw"),
         )
     )
-    sk, sv, _, _ = _classify(F.col("s_raw"), "s")
-    pk, pv, _, _ = _classify(F.col("p_raw"), "p")
+    sk, sv, sdt, slang = _classify(F.col("s_raw"), "s")
+    pk, pv, pdt, plang = _classify(F.col("p_raw"), "p")
     ok, ov, odt, olang = _classify(F.col("o_raw"), "o")
-    gk, gv, _, _ = _classify(F.col("g_raw"), "g")
+    gk, gv, gdt, glang = _classify(F.col("g_raw"), "g")
+    has_g = F.col("g_raw").isNotNull()
     return rows.select(
         sv.alias("subj"), sk.alias("subj_kind"),
         pv.alias("pred"), pk.alias("pred_kind"),
         ov.alias("obj"), ok.alias("obj_kind"),
         odt.alias("obj_datatype"), olang.alias("obj_lang"),
-        F.when(F.col("g_raw").isNotNull(), gv).alias("graph"),
-        F.when(F.col("g_raw").isNotNull(), gk).alias("graph_kind"),
+        F.when(has_g, gv).alias("graph"),
+        F.when(has_g, gk).alias("graph_kind"),
+        sdt.alias("subj_dt"), slang.alias("subj_lang"),
+        pdt.alias("pred_dt"), plang.alias("pred_lang"),
+        F.when(has_g, gdt).alias("graph_dt"),
+        F.when(has_g, glang).alias("graph_lang"),
     )
 
 
@@ -346,11 +365,14 @@ def render_lines(triples: DataFrame) -> DataFrame:
     infer = lambda vcol: F.when(  # noqa: E731
         F.col(vcol).startswith("_:"), F.lit(KIND_BNODE)
     ).otherwise(F.lit(KIND_IRI))
+    null_s = F.lit(None).cast("string")
     s = _render_term(
-        F.col("subj"), col_or("subj_kind", infer("subj")), F.lit(None), F.lit(None)
+        F.col("subj"), col_or("subj_kind", infer("subj")),
+        col_or("subj_dt", null_s), col_or("subj_lang", null_s),
     )
     p = _render_term(
-        F.col("pred"), col_or("pred_kind", F.lit(KIND_IRI)), F.lit(None), F.lit(None)
+        F.col("pred"), col_or("pred_kind", F.lit(KIND_IRI)),
+        col_or("pred_dt", null_s), col_or("pred_lang", null_s),
     )
     o = _render_term(
         F.col("obj"),
@@ -366,8 +388,8 @@ def render_lines(triples: DataFrame) -> DataFrame:
                 _render_term(
                     F.col("graph") if "graph" in cols else F.lit(""),
                     col_or("graph_kind", infer("graph") if "graph" in cols else F.lit(KIND_IRI)),
-                    F.lit(None),
-                    F.lit(None),
+                    col_or("graph_dt", null_s),
+                    col_or("graph_lang", null_s),
                 ),
             ),
         ).otherwise(F.lit(""))

@@ -221,3 +221,45 @@ def test_jvm_and_python_parsers_agree_randomized(spark):
     py = sorted(map(tuple, _parse_lines_py(src, "value").collect()))
     assert len(jvm) == 300
     assert jvm == py
+
+
+def test_generalized_annotations_all_positions(spark):
+    """Typed/langtagged literals outside the object position survive
+    parse → render → parse AND the Jelly wire (the reference's
+    generalized.nq has a datatyped literal GRAPH term). P6 exactness now
+    covers per-term datatype/langtag, not just term kinds."""
+    import os
+
+    from cli_spark.jelly import StreamOptions, roundtrip_quads
+    from cli_spark.nquads import parse_lines, render_lines
+
+    lines = [
+        '"Resource 1" <http://e/p> <http://e/o> "literal graph"^^<http://example.org> .',
+        '"s lit"@en <http://e/p> "42"^^<http://e/int> "g"@fr .',
+        '<http://e/s> "pred lit"^^<http://e/dt> <http://e/o> .',
+    ]
+    if os.path.isfile("/root/reference/src/test/resources/generalized.nq"):
+        with open("/root/reference/src/test/resources/generalized.nq") as fh:
+            lines += [ln.strip() for ln in fh if ln.strip()]
+    df = parse_lines(
+        spark.createDataFrame([(ln,) for ln in lines], "value string")
+    ).cache()
+    # graph-position datatype retained
+    row = df.filter(F.col("graph_dt").isNotNull()).first()
+    assert row.graph == "literal graph" and row.graph_dt == "http://example.org"
+    assert df.filter(F.col("subj_lang") == "en").count() == 1
+    assert df.filter(F.col("pred_dt") == "http://e/dt").count() == 1
+    # text round-trip identity over ALL 16 columns
+    back = parse_lines(render_lines(df), "line")
+    key = sorted(df.columns)
+    assert {tuple(r) for r in back.select(*key).collect()} == {
+        tuple(r) for r in df.select(*key).collect()
+    }
+    # jelly wire round-trip keeps the generalized annotations too
+    opts = StreamOptions(physical_type=2, generalized=True, rdf_star=True)
+    jback = roundtrip_quads(spark, df, options=opts).select(
+        "subj", "subj_kind", "graph", "graph_kind",
+        "subj_dt", "subj_lang", "graph_dt", "graph_lang",
+    )
+    want = df.select(*jback.columns)
+    assert {tuple(r) for r in jback.collect()} == {tuple(r) for r in want.collect()}
