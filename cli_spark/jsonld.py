@@ -8,9 +8,12 @@ top-level array of node objects (or an object with a top-level
 ``@graph``), node objects with ``@id`` / ``@type`` / full-IRI property
 keys, value objects (``@value`` + ``@type``/``@language``), node
 references (``@id``), ``@list`` arrays, nested node objects, and named
-graphs (``@id`` + ``@graph``). NOT supported: ``@context`` processing
-(compaction/expansion) — a document carrying ``@context`` raises a
-typed error telling the user to expand first.
+graphs (``@id`` + ``@graph``), and an inline ``@context`` subset
+(term→IRI maps, compact IRIs, ``@vocab``/``@base``, ``@type``/
+``@language`` coercion, ``@list``/``@set`` containers — see
+``_Context``). NOT supported: remote contexts (a string/URL
+``@context`` raises a typed error — no network I/O from executors),
+``@reverse``, ``@index`` containers, JSON-LD 1.1 scoped contexts.
 
 Design for Spark's execution model:
 

@@ -55,6 +55,7 @@ from .nquads import (
     KIND_QUOTED,
     TERM_RX,
     TRIPLE_COLS,
+    _unescape_py,
 )
 
 if TYPE_CHECKING:
@@ -64,10 +65,10 @@ _TERM_RE = None  # compiled lazily on executors
 
 
 def _nt_unescape(s: str) -> str:
-    return (
-        s.replace(r"\t", "\t").replace(r"\r", "\r").replace(r"\n", "\n")
-        .replace(r"\"", '"').replace("\\\\", "\\")
-    )
+    # single left-to-right pass (nquads._unescape_py): ordered .replace
+    # chains mis-decode an escaped backslash followed by t/r/n/"
+    # ('\\t' must yield backslash + 't', not backslash + TAB)
+    return _unescape_py(s)
 
 
 def _nt_escape(s: str) -> str:

@@ -238,9 +238,11 @@ def test_generalized_annotations_all_positions(spark):
         '"s lit"@en <http://e/p> "42"^^<http://e/int> "g"@fr .',
         '<http://e/s> "pred lit"^^<http://e/dt> <http://e/o> .',
     ]
-    if os.path.isfile("/root/reference/src/test/resources/generalized.nq"):
-        with open("/root/reference/src/test/resources/generalized.nq") as fh:
-            lines += [ln.strip() for ln in fh if ln.strip()]
+    for fx in ("generalized.nq", "generalized.nt"):
+        p = f"/root/reference/src/test/resources/{fx}"
+        if os.path.isfile(p):
+            with open(p) as fh:
+                lines += [ln.strip() for ln in fh if ln.strip()]
     df = parse_lines(
         spark.createDataFrame([(ln,) for ln in lines], "value string")
     ).cache()
