@@ -453,6 +453,108 @@ def _norm_id(value, kind):
     )
 
 
+def _compaction_rules(context) -> dict:
+    """Caller context → driver-side compaction rule set for the writer.
+
+    Only rules whose round-trip is structurally guaranteed against THIS
+    module's reader (and standard JSON-LD 1.0 expansion) are kept:
+
+    - **exact term** (keys / ``@type`` values only): term defined as a
+      plain IRI mapping with no ``@container``/``@type``/``@language``
+      (the writer emits dict value objects, which bypass coercion, but a
+      ``@container: @list`` term would re-interpret the value array).
+    - **compact IRI** ``term:suffix`` (keys, ``@type``, and ``@id``
+      values): term's IRI is a usable namespace; skipped when another
+      term name shadows ``term:…``.
+    - **@vocab suffix** (keys / ``@type`` values only — ``@id`` values
+      are base-resolved, not vocab-resolved): guarded at runtime so the
+      bare suffix is non-empty, has no ``:``, no leading ``@``, and is
+      not itself a defined term.
+
+    The context document itself is embedded verbatim (deterministic
+    key-sorted JSON) in every emitted top-level line, so each line stays
+    a self-contained JSON-LD document."""
+    ctx = _Context(context)
+    term_names = sorted(ctx.terms)
+    key_exact: list[tuple[str, str]] = []
+    prefixes: list[tuple[str, str]] = []
+    for term, d in sorted(ctx.terms.items()):
+        if term.startswith("@") or term == "_":
+            continue
+        resolved = ctx.expand_iri(term, vocab=True)
+        if not resolved or resolved.startswith("@"):
+            continue
+        neutral = (
+            d.get("container") is None
+            and d.get("type") is None
+            and d.get("language") is ...
+        )
+        if neutral:
+            key_exact.append((resolved, term))
+        # usable as a namespace prefix? probe how "term:<x>" expands
+        sentinel = "\x01"
+        probe = ctx.expand_iri(term + ":" + sentinel)
+        shadowed = any(t != term and t.startswith(term + ":") for t in ctx.terms)
+        if probe and probe.endswith(sentinel) and not shadowed:
+            prefixes.append((probe[: -len(sentinel)], term))
+    # longest namespace first: most specific compaction wins
+    prefixes.sort(key=lambda pt: -len(pt[0]))
+    return {
+        "ctx_json": json.dumps(context, sort_keys=True, separators=(",", ":")),
+        "key_exact": key_exact,
+        "prefixes": prefixes,
+        "vocab": ctx.vocab,
+        "term_names": term_names,
+    }
+
+
+def _compact_key_col(col, rules: dict):
+    """IRI column → compacted key/@type column (exact term, compact
+    IRI, @vocab suffix — first match wins, else the IRI unchanged).
+    Pure WHEN chain over the bounded rule set: zero Python per row."""
+    out = col
+    vocab = rules["vocab"]
+    if vocab:
+        suffix = col.substr(F.lit(len(vocab) + 1), F.length(col))
+        cond = (
+            col.startswith(vocab)
+            & (F.length(col) > len(vocab))
+            & ~suffix.contains(":")
+            & ~suffix.startswith("@")
+        )
+        if rules["term_names"]:
+            cond = cond & ~suffix.isin(rules["term_names"])
+        out = F.when(cond, suffix).otherwise(out)
+    for p, t in reversed(rules["prefixes"]):
+        suffix = col.substr(F.lit(len(p) + 1), F.length(col))
+        cond = (
+            col.startswith(p)
+            & (F.length(col) > len(p))
+            & ~suffix.startswith("//")
+        )
+        out = F.when(cond, F.concat(F.lit(t + ":"), suffix)).otherwise(out)
+    for iri, term in rules["key_exact"]:
+        out = F.when(col == iri, F.lit(term)).otherwise(out)
+    return out
+
+
+def _compact_id_col(col, rules: dict):
+    """IRI column → compacted ``@id`` value (compact-IRI rules only:
+    bare terms/@vocab suffixes are not ``@id``-expandable; blank nodes
+    pass through untouched)."""
+    out = col
+    for p, t in reversed(rules["prefixes"]):
+        suffix = col.substr(F.lit(len(p) + 1), F.length(col))
+        cond = (
+            ~col.startswith("_:")
+            & col.startswith(p)
+            & (F.length(col) > len(p))
+            & ~suffix.startswith("//")
+        )
+        out = F.when(cond, F.concat(F.lit(t + ":"), suffix)).otherwise(out)
+    return out
+
+
 def _json_str(col):
     """JSON-encode a string column (quotes + escapes) by round-tripping
     through to_json(struct(...)) and trimming the {"k": ... } wrapper —
@@ -462,8 +564,11 @@ def _json_str(col):
     return j.substr(F.lit(6), F.length(j) - F.lit(6))
 
 
-def _node_lines(triples: DataFrame) -> DataFrame:
-    """Per-(graph, subj) flat expanded node object as a JSON line.
+def _node_lines(triples: DataFrame, rules: dict | None = None) -> DataFrame:
+    """Per-(graph, subj) flat node object as a JSON line (expanded form,
+    or compacted keys/ids when ``rules`` from :func:`_compaction_rules`
+    is given — values stay expanded value objects, which compact
+    documents may legally carry).
 
     Null struct fields are dropped by to_json (Spark default
     jsonGenerator.ignoreNullFields=true), so one sparse struct covers
@@ -474,19 +579,21 @@ def _node_lines(triples: DataFrame) -> DataFrame:
     infer = lambda c: F.when(  # noqa: E731
         F.col(c).startswith("_:"), F.lit(KIND_BNODE)
     ).otherwise(F.lit(KIND_IRI))
+    ckey = (lambda c: _compact_key_col(c, rules)) if rules else (lambda c: c)
+    cid = (lambda c: _compact_id_col(c, rules)) if rules else (lambda c: c)
     s_kind = (F.col("subj_kind") if "subj_kind" in cols else infer("subj")).cast("int")
     o_kind = F.col("obj_kind").cast("int")
     vo = F.struct(
-        F.when(o_kind != KIND_LITERAL, _norm_id(F.col("obj"), o_kind)).alias("@id"),
+        F.when(o_kind != KIND_LITERAL, cid(_norm_id(F.col("obj"), o_kind))).alias("@id"),
         F.when(o_kind == KIND_LITERAL, F.col("obj")).alias("@value"),
-        F.when(o_kind == KIND_LITERAL, get("obj_datatype")).alias("@type"),
+        F.when(o_kind == KIND_LITERAL, ckey(get("obj_datatype"))).alias("@type"),
         F.when(o_kind == KIND_LITERAL, get("obj_lang")).alias("@language"),
     )
     per_pred = (
         triples.select(
-            get("graph").alias("graph"),
-            _norm_id(F.col("subj"), s_kind).alias("sid"),
-            F.col("pred"),
+            cid(get("graph")).alias("graph"),
+            cid(_norm_id(F.col("subj"), s_kind)).alias("sid"),
+            ckey(F.col("pred")).alias("pred"),
             vo.alias("vo"),
         )
         .groupBy("graph", "sid", "pred")
@@ -512,21 +619,40 @@ def _node_lines(triples: DataFrame) -> DataFrame:
     )
 
 
-def render_jsonld(triples: DataFrame) -> DataFrame:
+def render_jsonld(triples: DataFrame, context=None) -> DataFrame:
     """→ DataFrame['line']: default-graph node objects one per line;
     each named graph collapsed to one ``{"@id": g, "@graph":[...]}``
-    line."""
-    nodes = _node_lines(triples)
+    line.
+
+    ``context`` (a JSON-LD ``@context`` value from the supported
+    subset) switches the writer to **compact-on-write**: property keys,
+    ``@type`` datatypes, and ``@id`` values compact through the
+    context's terms / namespace prefixes / ``@vocab`` (rule guards in
+    :func:`_compaction_rules`), and every top-level line embeds the
+    context so it remains a self-contained JSON-LD document. Reading
+    the result back (this reader or any conformant processor) yields
+    the same statements as the expanded form."""
+    rules = _compaction_rules(context) if context is not None else None
+    nodes = _node_lines(triples, rules)
     default = nodes.filter(F.col("graph").isNull()).select(
         F.col("node").alias("line")
     )
+    named_hdr = '{"@id":'
+    if rules:
+        ctx_frag = '{"@context":' + rules["ctx_json"] + ","
+        # node lines already start with '{' — splice the context in
+        default = default.select(
+            F.concat(F.lit(ctx_frag), F.col("line").substr(F.lit(2), F.length("line")))
+            .alias("line")
+        )
+        named_hdr = ctx_frag + '"@id":'
     named = (
         nodes.filter(F.col("graph").isNotNull())
         .groupBy("graph")
         .agg(F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("body"))
         .select(
             F.concat(
-                F.lit('{"@id":'),
+                F.lit(named_hdr),
                 _json_str(F.col("graph")),
                 F.lit(',"@graph":['),
                 F.col("body"),
@@ -537,13 +663,16 @@ def render_jsonld(triples: DataFrame) -> DataFrame:
     return default.unionByName(named)
 
 
-def write_jsonld(triples: DataFrame, path: str, single_file: bool = False) -> None:
+def write_jsonld(
+    triples: DataFrame, path: str, single_file: bool = False, context=None
+) -> None:
     """JSON-LD sink. Distributed mode writes one node object per line
     (newline-delimited flat expanded form — the reader accepts it);
     ``single_file`` assembles a standard JSON array document via
     coalesce(1) with header/footer rows (the bounded artifact path,
-    same contract as the Turtle single-file sink)."""
-    lines = render_jsonld(triples)
+    same contract as the Turtle single-file sink). ``context`` enables
+    compact-on-write (see :func:`render_jsonld`)."""
+    lines = render_jsonld(triples, context=context)
     if not single_file:
         lines.write.mode("overwrite").text(path)
         return

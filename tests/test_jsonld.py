@@ -247,3 +247,62 @@ def test_context_roundtrip_through_writer(spark, tmp_path):
     assert {tuple(r) for r in back.select(*key).collect()} == {
         tuple(r) for r in df.select(*key).collect()
     }
+
+
+def test_compact_on_write_roundtrip(spark, tmp_path):
+    """compact-on-write: keys/@type/@id compact through the caller's
+    context (exact term > longest prefix > @vocab), every line embeds
+    the context, and reading the compacted output back yields exactly
+    the triples of the expanded write. Guard rules: coercing/container
+    terms never become bare keys; bnodes never compact."""
+    from cli_spark.jsonld import read_jsonld, render_jsonld, write_jsonld
+
+    rows = [
+        # (subj, sk, pred, pk, obj, ok, odt, olang, graph, gk)
+        ("http://v/alice", 0, "http://v/name", 0, "Alice", 2, None, None, None, None),
+        ("http://v/alice", 0, "http://ex/knows", 0, "_:b1", 1, None, None, None, None),
+        ("_:b1", 1, "http://v/age", 0, "30", 2,
+         "http://www.w3.org/2001/XMLSchema#integer", None, None, None),
+        ("http://v/alice", 0, "http://lists.example/rel", 0, "hi", 2, None, "en",
+         "http://ex/g1", 0),
+        # IRI exactly equal to a term's id → exact-term key compaction
+        ("http://v/alice", 0, "http://ex/name", 0, "http://ex/obj1", 0,
+         None, None, None, None),
+    ]
+    schema = (
+        "subj string, subj_kind int, pred string, pred_kind int, "
+        "obj string, obj_kind int, obj_datatype string, obj_lang string, "
+        "graph string, graph_kind int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    context = {
+        "@vocab": "http://v/",
+        "ex": "http://ex/",
+        "name": "http://ex/name",
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+        "lst": {"@id": "http://lists.example/", "@container": "@list"},
+    }
+    lines = [r.line for r in render_jsonld(df, context=context).collect()]
+    text = "\n".join(lines)
+    assert all(l.startswith('{"@context":') for l in lines)
+    assert '"name":' in text            # exact term beats prefix ex:name
+    assert '"ex:knows":' in text        # prefix compaction on keys
+    assert '"xsd:integer"' in text      # prefix compaction on @type
+    assert '"@id":"ex:g1"' in text      # prefix compaction on graph @id
+    assert '"lst:rel":' in text         # container term usable as PREFIX only
+    assert '"age":' in text             # @vocab bare-suffix key
+    assert '"_:b1"' in text             # bnodes never compact
+    # http://v/name must stay EXPANDED: bare "name" is shadowed by the
+    # term (it would re-expand to http://ex/name) — the runtime guard
+    assert '"http://v/name":' in text
+    assert "http://ex/knows" not in text
+
+    compact_out = str(tmp_path / "compact_out")
+    write_jsonld(df, compact_out, context=context)
+    expanded_out = str(tmp_path / "expanded_out")
+    write_jsonld(df, expanded_out)
+    key = ["subj", "subj_kind", "pred", "obj", "obj_kind",
+           "obj_datatype", "obj_lang", "graph"]
+    got = {tuple(r) for r in read_jsonld(spark, compact_out).select(*key).collect()}
+    want = {tuple(r) for r in read_jsonld(spark, expanded_out).select(*key).collect()}
+    assert got == want and len(got) == len(rows)
