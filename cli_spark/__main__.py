@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="output format (S4 registry: nt, nq, ttl, trig); "
                     "default: inferred from --to extension (a triples-only "
                     "format triggers the quad guard P4)")
+    fj.add_argument("--jsonld-context", default=None, metavar="FILE",
+                    help="JSON file holding a @context value: switches the "
+                    "JSON-LD sink to compact-on-write (only valid with a "
+                    ".jsonld output)")
 
     ins = rdf.add_parser("inspect")
     ins.add_argument("input")
@@ -313,7 +317,18 @@ def _dispatch(spark, args) -> int:
                 J.ensure_physical(
                     rows, {J.PHYSICAL_TRIPLES}, f"{out_fmt.full_name} output"
                 )
-        out_fmt.write(stmts, args.to, single_file=args.single_file)
+        write_kw = {}
+        if args.jsonld_context is not None:
+            if out_fmt.key != "jsonld":
+                raise ValueError(
+                    "--jsonld-context is only valid with a JSON-LD output "
+                    f"(got {out_fmt.full_name})"
+                )
+            import json as _json
+
+            with open(args.jsonld_context) as fh:
+                write_kw["context"] = _json.load(fh)
+        out_fmt.write(stmts, args.to, single_file=args.single_file, **write_kw)
         return 0
 
     if args.rdf_cmd == "inspect":

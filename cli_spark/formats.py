@@ -62,10 +62,10 @@ def _read_jsonld(spark, path, base=None):
     return read_jsonld(spark, path)
 
 
-def _write_jsonld(df, path, single_file=False):
+def _write_jsonld(df, path, single_file=False, context=None):
     from .jsonld import write_jsonld
 
-    write_jsonld(df, path, single_file=single_file)
+    write_jsonld(df, path, single_file=single_file, context=context)
 
 
 def _read_rdfxml(spark, path, base=None):

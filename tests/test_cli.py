@@ -66,3 +66,29 @@ def test_cli_validate_detects_mismatch(spark, nq_file, tmp_path):
     assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", short]) == 1
     assert main(["rdf", "validate", jelly, "--delimited", "false"]) == 1
     assert main(["rdf", "validate", jelly, "--delimited", "true"]) == 0
+
+
+def test_cli_jsonld_context_flag(spark, tmp_path):
+    """--jsonld-context FILE switches the JSON-LD sink to
+    compact-on-write; the flag with a non-JSON-LD output is a typed
+    exit-1 rejection."""
+    import json
+
+    src = tmp_path / "in.nq"
+    src.write_text('<http://e/s> <http://e/p> <http://e/o> .\n')
+    jelly = str(tmp_path / "s.jelly")
+    assert main(["rdf", "to-jelly", str(src), "--to", jelly]) == 0
+    ctx = tmp_path / "ctx.json"
+    ctx.write_text(json.dumps({"ex": "http://e/"}))
+    out = str(tmp_path / "out.jsonld")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", out, "--jsonld-context", str(ctx),
+    ]) == 0
+    part = next(p for p in os.listdir(out) if p.startswith("part-"))
+    line = open(os.path.join(out, part)).read().strip()
+    assert line.startswith('{"@context":{"ex":"http://e/"}')
+    assert '"ex:p"' in line and '"@id":"ex:s"' in line
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", str(tmp_path / "o.nq"),
+        "--jsonld-context", str(ctx),
+    ]) == 1

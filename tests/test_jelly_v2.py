@@ -476,3 +476,36 @@ def test_spg_roundtrip_kinds(spark):
         ("a literal subject", 2, "bnodepred", 1, "kg:o", 0),
         ("_:b", 1, "kg:p", 0, "val", 2),
     }
+
+
+def test_transcode_upstream_golden_fixtures(spark):
+    """§2.11 against the reference's own binary fixtures: transcoding
+    everythingTriple/everythingQuad.jelly (RDF-star, generalized terms,
+    prefix tables, bounded-id reuse — produced by the upstream protobuf
+    writer) must preserve every statement exactly, including the
+    full-position datatype/langtag annotations."""
+    import os
+
+    base = "/root/reference/src/test/resources"
+    if not os.path.isfile(f"{base}/everythingTriple.jelly"):
+        pytest.skip("reference fixtures not present")
+
+    tkey = [
+        "subj", "subj_kind", "pred", "pred_kind", "obj", "obj_kind",
+        "obj_datatype", "obj_lang", "subj_dt", "subj_lang", "pred_dt",
+        "pred_lang",
+    ]
+    frames = J.read_jelly_file(spark, f"{base}/everythingTriple.jelly")
+    direct = J.decode_triples(J.decode_frames(frames))
+    out = J.transcode_frames(spark, [frames], rows_per_frame=7)
+    back = J.decode_triples(J.decode_frames(out))
+    assert _set(back, tkey) == _set(direct, tkey)
+    assert direct.count() > 0
+
+    qkey = tkey + ["graph", "graph_kind", "graph_dt", "graph_lang"]
+    qframes = J.read_jelly_file(spark, f"{base}/everythingQuad.jelly")
+    qdirect = J.decode_quads(J.decode_frames(qframes))
+    qout = J.transcode_frames(spark, [qframes, qframes], rows_per_frame=5)
+    qback = J.decode_quads(J.decode_frames(qout))
+    assert _set(qback, qkey) == _set(qdirect, qkey)
+    assert qdirect.count() > 0
