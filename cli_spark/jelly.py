@@ -813,16 +813,28 @@ def _encode_statements(
     )
 
     # declared table sizes = max(configured, used): explicit ids stay
-    # within the declared bound for ANY input (two tiny aggregate jobs)
-    used_name = dict_full.agg(F.max("term_id")).first()[0] or 0
-    used_dt = dt_dict.agg(F.max("dt_id")).first()[0] or 0
-    declared_name = max(options.max_name_table, used_name, 8)
-    declared_dt = max(options.max_dt_table, used_dt, 8)
+    # within the declared bound for ANY input. ONE fused aggregate job
+    # (union of the per-dictionary maxima) instead of three — the
+    # persisted dictionaries all materialize concurrently under it.
+    sizes = dict_full.groupBy().agg(F.max("term_id").alias("mx")).select(
+        F.lit("name").alias("which"), "mx"
+    ).unionByName(
+        dt_dict.groupBy().agg(F.max("dt_id").alias("mx")).select(
+            F.lit("dt").alias("which"), "mx"
+        )
+    )
     if prefix_table:
-        used_prefix = prefix_dict.agg(F.max("pid")).first()[0] or 0
-        declared_prefix = max(options.max_prefix_table, used_prefix)
-    else:
-        declared_prefix = 0
+        sizes = sizes.unionByName(
+            prefix_dict.groupBy().agg(F.max("pid").alias("mx")).select(
+                F.lit("prefix").alias("which"), "mx"
+            )
+        )
+    used = {r.which: (r.mx or 0) for r in sizes.collect()}
+    declared_name = max(options.max_name_table, used["name"], 8)
+    declared_dt = max(options.max_dt_table, used["dt"], 8)
+    declared_prefix = (
+        max(options.max_prefix_table, used["prefix"]) if prefix_table else 0
+    )
     version = VERSION_MAX if namespaces is not None else options.version
 
     # --- quoted-term JSON reassembly (ids joined at the atom level)
