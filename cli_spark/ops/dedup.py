@@ -44,8 +44,24 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, h) distinct word n-gram hashes on the full [0, 2^31-1) domain."""
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    wide: bool = False,
+) -> DataFrame:
+    """(id, h) word n-gram hashes — on the [0, 2^31-1) Mersenne domain
+    by default (what the MinHash permutations need), or the full signed
+    64-bit xxhash under ``wide=True`` for callers where a 31-bit
+    collision is a wrong answer rather than sketch noise
+    (decontamination joins).
+
+    ``distinct=True`` (default) dedups per document — one extra shuffle,
+    needed when the caller joins the set directly (Jaccard, banding).
+    ``distinct=False`` keeps the raw zero-shuffle explode for callers
+    that aggregate with ``countDistinct`` anyway (decontamination)."""
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     size = F.size(words)
     grams = F.when(
@@ -57,10 +73,50 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
+    hcol = (
+        F.xxhash64("g") if wide else F.pmod(F.xxhash64("g"), F.lit(MERSENNE31))
+    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g")).select(
+        "id", hcol.alias("h")
+    )
+    return out.distinct() if distinct else out
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Train/test decontamination: (id, n_hit_grams, n_bench_docs) for
+    every TRAINING document that shares at least one word ``n``-gram
+    with any BENCHMARK document (the n-gram-overlap rule used to scrub
+    eval suites out of web-scale training corpora; n=5 by default —
+    long-span matches are contamination, short spans are just language).
+
+    Scale: the benchmark side is an eval suite — MBs against a 100 TB
+    corpus — so its distinct gram set broadcasts (``broadcast_bench``;
+    drop the hint for an unusually large suite and AQE picks the
+    strategy, with runtime bloom-filter pushdown pruning the train-side
+    scan). The train side stays a zero-shuffle explode: no pre-distinct
+    — the per-doc aggregation counts distinct after the (selective)
+    join, so the only full shuffle is the final groupBy on the hits,
+    which are rare by construction."""
+    tg = shingles(train, id_col, text_col, n, distinct=False, wide=True)
+    bg = shingles(bench, id_col, text_col, n, wide=True).select(
+        F.col("id").alias("bench_id"), "h"
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-        .select("id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE31)).alias("h"))
-        .distinct()
+        tg.join(bg, "h")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("h").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
     )
 
 

@@ -1026,6 +1026,88 @@ def q34_ngram_jaccard(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Train/test decontamination: scrub benchmark n-gram overlap out of the
+# training corpus (the standard eval-suite hygiene pass of a web-scale
+# training-data pipeline; 5-grams — long-span matches are contamination,
+# short spans are just language). doc_id % 10 == 7 plays the benchmark
+# suite; everything else is the training split.
+# ---------------------------------------------------------------------------
+
+DECON_N = 5
+
+
+def doc_ngram_hashes(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(doc_id, h): md5-hashed word n-grams (oracle-parity flavor of
+    ops.dedup.shingles; docs with <n tokens drop, mirrored in SQL by the
+    NULL-propagating LEAD concat). Full 60-bit hash — NOT folded into
+    the Mersenne-31 domain like the MinHash shingles: a decontamination
+    join must not manufacture false hits from hash collisions (already
+    observable at sf0.01 in 31 bits)."""
+    toks = doc_tokens(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("g"),
+            F.lead("token", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", md5_int(F.col("g")).alias("h"))
+    )
+
+
+_DECON_GRAM_SQL = " || ' ' || ".join(
+    ["token"] + [f"LEAD(token, {i}) OVER w" for i in range(1, DECON_N)]
+)
+
+DECON_SQL = f"""
+    WITH toks AS ({TOKENS_SQL}),
+    grams AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id, {_DECON_GRAM_SQL} AS g
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE g IS NOT NULL
+    ),
+    bench AS (SELECT doc_id AS bench_id, h FROM grams WHERE doc_id % 10 = 7),
+    train AS (SELECT doc_id, h FROM grams WHERE doc_id % 10 <> 7)
+    SELECT train.doc_id AS doc_id,
+           COUNT(DISTINCT train.h) AS n_hit_grams,
+           COUNT(DISTINCT bench.bench_id) AS n_bench_docs
+    FROM train JOIN bench ON train.h = bench.h
+    GROUP BY train.doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "q64_decontaminate",
+    oracle=DECON_SQL,
+    doc="Train/test decontamination: training docs sharing any word "
+    "5-gram with the benchmark split — broadcast the (tiny) benchmark "
+    "gram set against a zero-pre-shuffle train-side explode; the only "
+    "full shuffle is the final per-doc agg over the (rare) hits. "
+    "Library form: ops.dedup.decontaminate.",
+)
+def q64_decontaminate(spark, sf_dir):
+    grams = doc_ngram_hashes(spark, sf_dir, DECON_N)
+    bench = grams.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    train = grams.filter(F.col("doc_id") % 10 != 7)
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q35_cosine_topk",
     oracle="""

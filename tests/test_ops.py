@@ -306,3 +306,46 @@ def test_textstats_invariants_randomized(spark):
     by_id = {r.id: r for r in t}
     for i, text in rows:
         assert by_id[i].n_ws_tokens == len(text.split())
+
+
+def test_decontaminate(spark):
+    # train doc 10 embeds a verbatim 7-word benchmark span (> n=5), doc 11
+    # shares only a 3-word span (< n), doc 12 is clean, doc 13 hits BOTH
+    # benchmark docs
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "prefix words alpha beta gamma delta epsilon zeta eta tail"),
+            (11, "alpha beta gamma unrelated continuation of words here"),
+            (12, "nothing in common with the benchmark suite at all"),
+            (13, "alpha beta gamma delta epsilon and one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.n_hit_grams, r.n_bench_docs)
+        for r in D.decontaminate(train, bench, "doc_id", "text", n=5).collect()
+    }
+    assert 11 not in out and 12 not in out
+    # doc 10: 7-word shared span -> three distinct 5-grams, one bench doc
+    assert out[10] == (3, 1)
+    # doc 13: one 5-gram from each benchmark doc
+    assert out[13] == (2, 2)
+
+
+def test_decontaminate_short_bench_doc(spark):
+    # a benchmark doc shorter than n collapses to a whole-doc gram and
+    # still matches a train doc with the same short content
+    bench = spark.createDataFrame([(1, "tiny bench")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(2, "tiny bench"), (3, "tiny bench plus more words here")],
+        "doc_id long, text string",
+    )
+    out = {r.id for r in D.decontaminate(train, bench, "doc_id", "text", n=5).collect()}
+    assert out == {2}
