@@ -1,11 +1,12 @@
 """Pure-numpy codecs for media containers: 24-bit BMP, binary PPM (P6),
-PCM-16 WAV, and PNG (via stdlib zlib — no external codec library).
+PCM-16 WAV, PNG (via stdlib zlib), and baseline JPEG
+(:mod:`cli_spark.ops.jpeg_codec`) — no external codec library.
 
 These give :mod:`cli_spark.ops.multimodal` REAL decode / resize /
 frame-sample paths with zero new dependencies — the remaining
-compressed formats (JPEG/MP3/H.264) still raise ``NotImplementedError``
-because their codec libraries are absent from this image. The reference
-CLI has no media path at all; this exists for the
+compressed formats (MP3/H.264) still raise ``NotImplementedError``
+because their codec licenses/libraries are absent from this image. The
+reference CLI has no media path at all; this exists for the
 training-data-pipeline side of the engine (multimodal columns over
 Iceberg binary columns), where uncompressed intermediates are the
 common on-cluster representation.
@@ -136,38 +137,57 @@ def split_ppm_frames(blob: bytes) -> list[np.ndarray]:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """1-D int16 mono PCM → RIFF/WAVE."""
-    pcm = samples.astype("<i2", copy=False).tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    """int16 PCM → RIFF/WAVE: 1-D mono or (n, 2) interleaved stereo."""
+    a = np.asarray(samples)
+    channels = 1 if a.ndim == 1 else a.shape[1]
+    pcm = a.astype("<i2", copy=False).tobytes()
+    block = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16
+    )
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM-16 mono → (sample_rate, int16 ndarray). Walks the
-    chunk list (fmt /data may be separated by LIST etc.)."""
+    """RIFF/WAVE PCM → (sample_rate, 1-D int16 ndarray). Walks the chunk
+    list (fmt /data may be separated by LIST etc.). 8-bit unsigned PCM
+    widens to int16; stereo downmixes to mono (mean of channels — the
+    feature pipeline's convention). Non-PCM codings (μ-law, float,
+    ADPCM…) raise typed errors."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     sample_rate = None
-    data = None
+    channels = bits = None
+    raw = None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         body = pos + 8
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", blob, body)
-            if audio_fmt != 1 or channels != 1:
-                raise NotImplementedError("only PCM mono WAV")
+            if audio_fmt != 1:
+                raise NotImplementedError(f"only PCM WAV (fmt tag {audio_fmt})")
+            if channels not in (1, 2):
+                raise NotImplementedError(f"only mono/stereo WAV ({channels} ch)")
             bits = struct.unpack_from("<H", blob, body + 14)[0]
-            if bits != 16:
-                raise NotImplementedError("only 16-bit WAV")
+            if bits not in (8, 16):
+                raise NotImplementedError(f"only 8/16-bit PCM WAV ({bits}-bit)")
         elif cid == b"data":
-            data = np.frombuffer(blob, dtype="<i2", count=size // 2, offset=body)
+            raw = blob[body : body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned
-    if sample_rate is None or data is None:
+    if sample_rate is None or raw is None or bits is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if bits == 8:  # unsigned 8-bit → centered int16
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+    if channels == 2:
+        n = len(data) // 2
+        pair = data[: 2 * n].reshape(n, 2).astype(np.int32)
+        data = ((pair[:, 0] + pair[:, 1]) // 2).astype(np.int16)
     return sample_rate, data.copy()
 
 
@@ -357,3 +377,13 @@ def audio_features(samples: np.ndarray, bands: int = 16) -> np.ndarray:
     sums = np.add.reduceat(x, edges[:-1])
     widths = np.maximum(np.diff(edges), 1)
     return np.sqrt(sums / widths).astype(np.float32)
+
+
+# ---------------------------------------------------------------- JPEG
+# baseline DCT codec lives in its own module (entropy coder + tables);
+# re-exported here so the multimodal dispatch sees one codec namespace.
+from .jpeg_codec import (  # noqa: E402,F401
+    JpegUnsupportedError,
+    decode_jpeg,
+    encode_jpeg,
+)

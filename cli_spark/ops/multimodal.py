@@ -10,9 +10,11 @@ two tiers:
   (stdlib ``zlib`` inflate + vectorized un-filtering) — via the
   pure-numpy codecs in :mod:`cli_spark.ops.media_codecs`. No new
   dependencies.
+- **Baseline JPEG** decode/encode (pure-numpy DCT + Huffman,
+  :mod:`cli_spark.ops.jpeg_codec`) joins the real set.
 - **Deterministic stubs** (``decode_stub=True``, the default) for
-  everything else: the codec libraries for JPEG/MP3/H.264
-  (Pillow/ffmpeg/librosa) are not in this container, so those blobs
+  everything else: the codec libraries for MP3/H.264
+  (ffmpeg/librosa) are not in this container, so those blobs
   under ``decode_stub=False`` raise ``NotImplementedError``.
   Swapping in a real codec changes only the per-blob decode dispatch,
   never the pipeline.
@@ -94,12 +96,14 @@ def decode_features(blobs: DataFrame, decode_stub: bool = True) -> DataFrame:
                     return mc.image_features(mc.decode_ppm(blob), grid=4).tolist()
                 if blob[:8] == b"\x89PNG\r\n\x1a\n":
                     return mc.image_features(mc.to_rgb(mc.decode_png(blob)), grid=4).tolist()
+                if blob[:3] == b"\xff\xd8\xff":
+                    return mc.image_features(mc.to_rgb(mc.decode_jpeg(blob)), grid=4).tolist()
                 if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                     _, pcm = mc.decode_wav(blob)
                     return mc.audio_features(pcm, bands=FEATURE_DIM).tolist()
                 raise NotImplementedError(
-                    "JPEG/MP3/H.264 decode requires codec libs absent "
-                    "from this image (real paths: BMP / PPM / PNG / PCM WAV)"
+                    "MP3/H.264 decode requires codec libs absent from "
+                    "this image (real paths: BMP / PPM / PNG / JPEG / PCM WAV)"
                 )
             d = hashlib.sha256(blob).digest()
             return [
@@ -138,7 +142,11 @@ def resize_images(
                 return mc.encode_ppm(mc.resize_nearest(mc.decode_ppm(blob), width, height))
             if blob[:8] == b"\x89PNG\r\n\x1a\n":
                 return mc.encode_png(mc.resize_nearest(mc.decode_png(blob), width, height))
-            raise NotImplementedError("JPEG resize requires codec libs absent from this image")
+            if blob[:3] == b"\xff\xd8\xff":
+                return mc.encode_jpeg(
+                    mc.resize_nearest(mc.to_rgb(mc.decode_jpeg(blob)), width, height)
+                )
+            raise NotImplementedError("MP3/H.264 resize requires codec libs absent from this image")
 
         for pdf in it:
             out = pdf["blob"] if decode_stub else pdf["blob"].map(_resize)

@@ -100,20 +100,24 @@ def test_multimodal_real_decode(spark):
         (1, mc.encode_ppm(img)),
         (2, wav),
         (3, mc.encode_png(img)),
+        (4, mc.encode_jpeg(img, quality=95)),
     ]
     blobs = spark.createDataFrame(rows, "id long, blob binary")
 
     feats = {r["id"]: r["features"] for r in decode_features(blobs, decode_stub=False).collect()}
-    assert len(feats) == 4 and all(len(v) == 16 for v in feats.values())
+    assert len(feats) == 5 and all(len(v) == 16 for v in feats.values())
     # BMP, PPM, and PNG of the same image must featurize identically
     assert feats[0] == pytest.approx(feats[1])
     assert feats[0] == pytest.approx(feats[3])
+    # JPEG is lossy: features close, not identical
+    assert feats[4] == pytest.approx(feats[0], abs=0.05)
 
     resized = {
         r["id"]: r["blob"]
         for r in resize_images(blobs.filter("id != 2"), 3, 3, decode_stub=False).collect()
     }
     assert mc.decode_bmp(bytes(resized[0])).shape == (3, 3, 3)
+    assert mc.decode_jpeg(bytes(resized[4])).shape == (3, 3, 3)
     np.testing.assert_array_equal(
         mc.decode_bmp(bytes(resized[0])), mc.decode_ppm(bytes(resized[1]))
     )
@@ -133,10 +137,10 @@ def test_multimodal_real_decode(spark):
     assert bytes(by_id[7][0]["frame_bytes"])[:2] == b"P6"
     sr, pcm0 = mc.decode_wav(bytes(by_id[8][0]["frame_bytes"]))
     assert sr == 8000 and len(pcm0) > 0
-    # JPEG (no codec lib in image) still refused under real decode
+    # an unknown container is still refused under real decode
     with pytest.raises(Exception):
         decode_features(
-            spark.createDataFrame([(9, b"\xff\xd8\xff\xe0jpeg")], "id long, blob binary"),
+            spark.createDataFrame([(9, b"ID3\x04mp3 frame data")], "id long, blob binary"),
             decode_stub=False,
         ).collect()
 
@@ -262,3 +266,112 @@ def test_png_rejects():
     )
     with pytest.raises(NotImplementedError):
         mc.decode_png(interlaced)
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def _smooth_rgb(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        np.stack(
+            [
+                xx * 255 / max(w - 1, 1),
+                yy * 255 / max(h - 1, 1),
+                127 + 120 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            ],
+            axis=-1,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+@pytest.mark.parametrize("h,w", [(48, 64), (37, 21), (8, 8), (9, 17)])
+def test_jpeg_roundtrip_444(h, w):
+    img = _smooth_rgb(h, w)
+    blob = mc.encode_jpeg(img, quality=90)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    out = mc.decode_jpeg(blob)
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 32.0
+
+
+@pytest.mark.parametrize("h,w", [(48, 64), (37, 21)])
+def test_jpeg_roundtrip_420(h, w):
+    img = _smooth_rgb(h, w)
+    out = mc.decode_jpeg(mc.encode_jpeg(img, quality=90, subsample=True))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 28.0
+
+
+def test_jpeg_gray_roundtrip():
+    yy, xx = np.mgrid[0:40, 0:56]
+    g = ((xx + yy) * 255 // (40 + 56)).astype(np.uint8)
+    out = mc.decode_jpeg(mc.encode_jpeg(g, quality=90))
+    assert out.shape == g.shape and out.ndim == 2
+    assert _psnr(g, out) > 40.0
+
+
+def test_jpeg_flat_color_near_exact():
+    flat = np.full((16, 24, 3), (200, 30, 90), dtype=np.uint8)
+    out = mc.decode_jpeg(mc.encode_jpeg(flat, quality=95))
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_jpeg_quality_monotonic_and_lossy_tradeoff():
+    img = _smooth_rgb(64, 64)
+    lo, hi = mc.encode_jpeg(img, quality=30), mc.encode_jpeg(img, quality=95)
+    assert len(hi) > len(lo)
+    assert _psnr(img, mc.decode_jpeg(hi)) > _psnr(img, mc.decode_jpeg(lo))
+
+
+def test_jpeg_rejects_progressive_and_non_jpeg():
+    img = _smooth_rgb(16, 16)
+    blob = bytearray(mc.encode_jpeg(img))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(NotImplementedError):
+        mc.decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        mc.decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
+
+
+def test_jpeg_random_noise_dims_survive():
+    # worst-case content (pure noise) must still round-trip the
+    # container: shape preserved, no entropy-coder desync
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    out = mc.decode_jpeg(mc.encode_jpeg(img, quality=75))
+    assert out.shape == img.shape
+
+
+def test_wav_stereo_downmix_and_8bit():
+    t = np.arange(800)
+    left = (3000 * np.sin(t / 7.0)).astype(np.int16)
+    right = (3000 * np.sin(t / 11.0)).astype(np.int16)
+    rate, mono = mc.decode_wav(mc.encode_wav(np.stack([left, right], axis=1), 8000))
+    assert rate == 8000 and mono.shape == (800,)
+    expect = ((left.astype(np.int32) + right.astype(np.int32)) // 2).astype(np.int16)
+    assert np.array_equal(mono, expect)
+
+    # hand-build an 8-bit unsigned mono WAV
+    u8 = ((np.sin(t / 5.0) * 100) + 128).astype(np.uint8)
+    fmt = np.array([1, 1], dtype="<u2").tobytes() + np.array([8000, 8000], dtype="<u4").tobytes() + np.array([1, 8], dtype="<u2").tobytes()
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(u8).to_bytes(4, "little") + u8.tobytes()
+    blob = b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+    rate, wide = mc.decode_wav(blob)
+    assert rate == 8000
+    assert np.array_equal(wide, (u8.astype(np.int16) - 128) << 8)
+
+    # μ-law (fmt 7) still rejected with a typed error
+    bad = bytearray(blob)
+    bad[20] = 7
+    with pytest.raises(NotImplementedError):
+        mc.decode_wav(bytes(bad))
