@@ -1990,11 +1990,12 @@ def q52_scalar_battery(spark, sf_dir):
     return jsonb.unionByName(dateb)
 
 
-def _codec_roundtrip(df: DataFrame, encode_statement, parse_stream) -> DataFrame:
+def _codec_roundtrip(df: DataFrame, encode_batch, parse_stream) -> DataFrame:
     """Batch-local encode→parse identity through a binary RDF codec
     (the same functions the file sink/source use), evidencing the codec
     on the driver battery without touching disk. Zero shuffle: each
-    Arrow batch encodes to one blob and parses straight back."""
+    Arrow batch encodes to one blob (memoized batch encoder — the same
+    fast path the sinks use) and parses straight back."""
     from cli_spark.nquads import TRIPLE_COLS
 
     schema = (
@@ -2007,8 +2008,8 @@ def _codec_roundtrip(df: DataFrame, encode_statement, parse_stream) -> DataFrame
         import pandas as pd
 
         for pdf in batches:
-            blob = b"".join(
-                encode_statement(tuple(None if pd.isna(v) else v for v in row))
+            blob = encode_batch(
+                tuple(None if pd.isna(v) else v for v in row)
                 for row in pdf.itertuples(index=False, name=None)
             )
             yield pd.DataFrame(parse_stream(blob), columns=TRIPLE_COLS)
@@ -2061,8 +2062,8 @@ def q53_format_roundtrips(spark, sf_dir):
     t = doc_triples(spark, sf_dir)
     lines = render_jsonld(t)
     back = parse_jsonld_lines(lines)
-    back = _codec_roundtrip(back, rdfproto.encode_statement, rdfproto.parse_stream)
-    back = _codec_roundtrip(back, rdfthrift.encode_statement, rdfthrift.parse_stream)
+    back = _codec_roundtrip(back, rdfproto.encode_batch, rdfproto.parse_stream)
+    back = _codec_roundtrip(back, rdfthrift.encode_batch, rdfthrift.parse_stream)
     back = _rdfxml_roundtrip(back)
     return back.select("subj", "pred", "obj", "obj_kind")
 

@@ -319,6 +319,50 @@ def encode_statement(row: tuple) -> bytes:
     return out.getvalue()
 
 
+def _varint_bytes(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_batch(rows) -> bytes:
+    """Batch fast path for the sink: one bytearray and memoized per-term
+    field encodings (terms repeat Zipf-style within a batch), instead of
+    per-row BytesIO + re-encoding every string. Byte-identical to
+    ``encode_statement`` row by row (asserted in test_rdfproto)."""
+    out = bytearray()
+    cache: dict[tuple, bytes] = {}
+
+    def fb(field: int, term, kind, dt, lang) -> bytes:
+        key = (field, term, kind, dt, lang)
+        v = cache.get(key)
+        if v is None:
+            v = _len_field(field, encode_term(term, kind, dt, lang))
+            cache[key] = v
+        return v
+
+    for s, sk, p, pk, o, ok, dt, lang, g, gk in rows:
+        body = (
+            fb(1, s, sk if sk is not None else KIND_IRI, None, None)
+            + fb(2, p, pk if pk is not None else KIND_IRI, None, None)
+            + fb(3, o, ok, dt, lang)
+        )
+        if g is not None:
+            body += fb(4, g, gk if gk is not None else KIND_IRI, None, None)
+            stream_row = _len_field(3, body)  # quad = 3
+        else:
+            stream_row = _len_field(2, body)  # triple = 2
+        out += _varint_bytes(len(stream_row))
+        out += stream_row
+    return bytes(out)
+
+
 def parse_stream(data: bytes) -> list[tuple]:
     """Delimited RDF_StreamRow sequence → TRIPLE_COLS rows. Prefix
     decls update the running map and emit no rows (Jena stream-row
@@ -409,11 +453,11 @@ def write_rdfproto(
         import pandas as pd
 
         for pdf in batches:
-            chunks = [
-                encode_statement(tuple(None if pd.isna(v) else v for v in row))
+            blob = encode_batch(
+                tuple(None if pd.isna(v) else v for v in row)
                 for row in pdf.itertuples(index=False, name=None)
-            ]
-            yield pd.DataFrame({"blob": [b"".join(chunks)]})
+            )
+            yield pd.DataFrame({"blob": [blob]})
 
     blobs = df.mapInPandas(encode, "blob binary")
     if single_file:

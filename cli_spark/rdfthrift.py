@@ -260,6 +260,45 @@ def encode_statement(row: tuple) -> bytes:
     return out.getvalue()
 
 
+# field-id deltas in a statement struct are always 1 (s,p,o,g in order)
+# and the outer RDF_StreamRow field is 2 (triple) or 3 (quad) from last
+# 0, so every compact-protocol header byte is a constant:
+_HDR_INNER = bytes(((1 << 4) | _T_STRUCT,))
+_HDR_TRIPLE = bytes(((2 << 4) | _T_STRUCT,))
+_HDR_QUAD = bytes(((3 << 4) | _T_STRUCT,))
+
+
+def encode_batch(rows) -> bytes:
+    """Batch fast path for the sink: one bytearray, constant framing
+    bytes, memoized per-term struct encodings (terms repeat Zipf-style
+    within a batch). Byte-identical to ``encode_statement`` row by row
+    (asserted in test_rdfthrift)."""
+    out = bytearray()
+    cache: dict[tuple, bytes] = {}
+
+    def tb(term, kind, dt, lang) -> bytes:
+        key = (term, kind, dt, lang)
+        v = cache.get(key)
+        if v is None:
+            v = encode_term(term, kind, dt, lang)
+            cache[key] = v
+        return v
+
+    for s, sk, p, pk, o, ok, dt, lang, g, gk in rows:
+        out += _HDR_QUAD if g is not None else _HDR_TRIPLE
+        out += _HDR_INNER
+        out += tb(s, sk if sk is not None else KIND_IRI, None, None)
+        out += _HDR_INNER
+        out += tb(p, pk if pk is not None else KIND_IRI, None, None)
+        out += _HDR_INNER
+        out += tb(o, ok, dt, lang)
+        if g is not None:
+            out += _HDR_INNER
+            out += tb(g, gk if gk is not None else KIND_IRI, None, None)
+        out += b"\x00\x00"  # inner STOP + outer STOP
+    return bytes(out)
+
+
 def parse_stream(data: bytes) -> list[tuple]:
     """Back-to-back RDF_StreamRow structs → TRIPLE_COLS rows; prefix
     decls update the running map and emit no rows."""
@@ -345,11 +384,11 @@ def write_rdfthrift(
         import pandas as pd
 
         for pdf in batches:
-            chunks = [
-                encode_statement(tuple(None if pd.isna(v) else v for v in row))
+            blob = encode_batch(
+                tuple(None if pd.isna(v) else v for v in row)
                 for row in pdf.itertuples(index=False, name=None)
-            ]
-            yield pd.DataFrame({"blob": [b"".join(chunks)]})
+            )
+            yield pd.DataFrame({"blob": [blob]})
 
     blobs = df.mapInPandas(encode, "blob binary")
     if single_file:

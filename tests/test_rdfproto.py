@@ -100,3 +100,9 @@ def test_format_registry_resolution():
     spec = resolve("data.rpb")
     assert spec.key == "jenaproto" and spec.read is not None
     assert resolve("x", explicit="jena-proto").key == "jenaproto"
+
+
+def test_encode_batch_byte_identical():
+    # the memoized batch fast path must produce exactly the per-row bytes
+    rows = ROWS * 3  # repetition exercises the term cache
+    assert RP.encode_batch(rows) == b"".join(RP.encode_statement(r) for r in rows)

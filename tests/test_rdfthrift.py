@@ -131,3 +131,9 @@ def test_format_registry_resolution():
     spec = resolve("data.trdf")
     assert spec.key == "jenathrift" and spec.read is not None
     assert resolve("x", explicit="jena-thrift").key == "jenathrift"
+
+
+def test_encode_batch_byte_identical():
+    # constant-framing batch fast path == per-row encoder, byte for byte
+    rows = ROWS * 3
+    assert RT.encode_batch(rows) == b"".join(RT.encode_statement(r) for r in rows)
