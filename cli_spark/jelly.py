@@ -17,16 +17,19 @@ Since round 4 this module speaks the ACTUAL Jelly protobuf wire
 
 Spark shape:
 
-- encode: statements → deterministic global order (W1) → bounded
-  per-segment dictionaries via first-occurrence dense_rank (W5) — the
-  name table holds only IRI terms (locals after the prefix split F1),
-  the datatype table literal datatypes; bnode labels and literal
-  lexicals are inline per the wire spec — → frame assignment
-  ``floor((rn-1)/rows_per_frame)`` (W2) → per-frame ``applyInPandas``
-  protobuf encoder → frames table ``(seg, frame_index, n_rows,
-  frame_bytes)``. Every id is written EXPLICITLY (legal Jelly), so any
-  conformant decoder — including a frame-parallel one — can read our
-  streams without sequential state.
+- encode: statements → deterministic global order (W1) → ONE
+  ``applyInPandas`` task per segment builds that segment's bounded
+  dictionaries in-task, first-use ordered (W5) — the name table holds
+  only IRI terms (locals after the prefix split F1), the datatype
+  table literal datatypes; bnode labels and literal lexicals are
+  inline per the wire spec — assigns frames
+  ``floor((rn-1)/rows_per_frame)`` (W2) and packs the protobuf bytes →
+  frames table ``(seg, frame_index, n_rows, frame_bytes)``. One
+  shuffle on the uniform ``seg`` key; no dictionary joins (the
+  join-based strategy survives in :func:`_encode_statements_joins`
+  for namespace-bearing streams). Every id is written EXPLICITLY
+  (legal Jelly), so any conformant decoder — including a
+  frame-parallel one — can read our streams without sequential state.
 - decode: frames table → groupBy(seg) → sequential
   :class:`~cli_spark.jellywire.StreamState` resolution per segment
   (segments are bounded: ≤ max_name_table/nterms statements, so one
@@ -47,6 +50,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import re
 from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import TYPE_CHECKING
@@ -445,9 +449,9 @@ def _vb(v: int) -> bytes:
     return b
 
 
-def _encode_group_fn():
-    """applyInPandas encoder: one (seg, frame_index) group of pre-frame
-    rows → one binary frame (real protobuf wire).
+def _pack_rows(pdf: "pd.DataFrame") -> tuple[int, bytes]:
+    """Pre-frame rows (any order) → (row count, frame payload bytes) on
+    the real protobuf wire.
 
     Batch-tuned hot path (the to-jelly throughput lever): columns pull
     out of pandas ONCE as python lists, statement/entry rows emit
@@ -455,124 +459,130 @@ def _encode_group_fn():
     precomputed tags — no per-row dicts, no per-field BytesIO. Rare row
     kinds (options, namespace, graph start/end, quoted terms) fall back
     to the jellywire dict codec."""
+    import numpy as np
+
+    order = np.lexsort((pdf["minor"].to_numpy(), pdf["sort_key"].to_numpy()))
+    n = len(pdf)
+
+    def col(name):
+        return pdf[name].to_numpy()[order]
+
+    row_kind = col("row_kind")
+    kinds = {}
+    vals = {}
+    nids = {}
+    pids = {}
+    dts = {}
+    langs = {}
+    for p in ("s", "p", "o", "g"):
+        kinds[p] = col(f"{p}_kind")
+        vals[p] = col(f"{p}_val")
+        nids[p] = col(f"{p}_nid")
+        pids[p] = col(f"{p}_pid")
+        dts[p] = col(f"{p}_dt")
+        langs[p] = col(f"{p}_lang")
+    name_id = col("name_id")
+    name = col("name")
+
+    # precomputed tags: term field = base + selector, wire type 2
+    TAGS = {
+        (p, sel): bytes([((i * 4 + sel) << 3) | 2])
+        for i, p in enumerate(("s", "p", "o"))
+        for sel in (1, 2, 3, 4)
+    }
+    # field 16's tag exceeds one byte — always varint-encode tags
+    G_IRI, G_BNODE, G_DEFAULT, G_LIT = (
+        _vb((13 << 3) | 2), _vb((14 << 3) | 2),
+        _vb((15 << 3) | 2), _vb((16 << 3) | 2),
+    )
+    LEX_T, LANG_T, DT_T = b"\x0a", b"\x12", b"\x18"
+    PID_T, NID_T = b"\x08", b"\x10"
+    ENTRY_ID_T, ENTRY_VAL_T = b"\x08", b"\x12"
+    FRAME_ROW_T = b"\x0a"
+
+    def term_bytes(p: str, i: int) -> bytes:
+        k = kinds[p][i]
+        k = int(k)
+        if k == T_IRI:
+            pid = pids[p][i]
+            nid = nids[p][i]
+            body = b""
+            if pid == pid and pid:  # not-NaN and nonzero
+                body += PID_T + _vb(int(pid))
+            if nid == nid and nid:
+                body += NID_T + _vb(int(nid))
+            return TAGS[(p, 1)] + _vb(len(body)) + body if p != "g" else (
+                G_IRI + _vb(len(body)) + body
+            )
+        if k == T_BNODE:
+            raw = (vals[p][i] or "").encode("utf-8")
+            tag = TAGS[(p, 2)] if p != "g" else G_BNODE
+            return tag + _vb(len(raw)) + raw
+        if k == T_LITERAL:
+            v = vals[p][i]
+            body = b""
+            if isinstance(v, str) and v:
+                raw = v.encode("utf-8")
+                body += LEX_T + _vb(len(raw)) + raw
+            lang = langs[p][i]
+            if isinstance(lang, str) and lang:
+                lraw = lang.encode("utf-8")
+                body += LANG_T + _vb(len(lraw)) + lraw
+            dt = dts[p][i]
+            if dt == dt and dt:
+                body += DT_T + _vb(int(dt))
+            tag = TAGS[(p, 3)] if p != "g" else G_LIT
+            return tag + _vb(len(body)) + body
+        if k == T_QUOTED:
+            body = JW._encode_statement(json.loads(vals[p][i]), quad=False)
+            return TAGS[(p, 4)] + _vb(len(body)) + body
+        # default graph (graph position only)
+        return G_DEFAULT + b"\x00"
+
+    buf = bytearray()
+    n_rows = 0
+    for i in range(n):
+        kind = int(row_kind[i])
+        if kind in (KIND_TRIPLE, KIND_QUAD):
+            body = term_bytes("s", i) + term_bytes("p", i) + term_bytes("o", i)
+            if kind == KIND_QUAD:
+                gk = kinds["g"][i]
+                if gk == gk and gk is not None:
+                    body += term_bytes("g", i)
+            row = bytes([(kind << 3) | 2]) + _vb(len(body)) + body
+        elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
+            body = b""
+            eid = name_id[i]
+            if eid == eid and eid:
+                body += ENTRY_ID_T + _vb(int(eid))
+            v = name[i]
+            if isinstance(v, str) and v:
+                raw = v.encode("utf-8")
+                body += ENTRY_VAL_T + _vb(len(raw)) + raw
+            row = bytes([(kind << 3) | 2]) + _vb(len(body)) + body
+        else:
+            # rare kinds: options / graph boundaries / namespaces —
+            # go through the dict codec
+            row = JW.encode_row(_slow_row(pdf, order[i]))
+        buf += FRAME_ROW_T + _vb(len(row)) + row
+        n_rows += 1
+    return n_rows, bytes(buf)
+
+
+def _encode_group_fn():
+    """applyInPandas encoder: one (seg, frame_index) group of pre-frame
+    rows → one binary frame via :func:`_pack_rows`."""
 
     def encode_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import numpy as np
         import pandas as pd
 
-        order = np.lexsort(
-            (pdf["minor"].to_numpy(), pdf["sort_key"].to_numpy())
-        )
-        n = len(pdf)
-
-        def col(name):
-            return pdf[name].to_numpy()[order]
-
-        row_kind = col("row_kind")
-        kinds = {}
-        vals = {}
-        nids = {}
-        pids = {}
-        dts = {}
-        langs = {}
-        for p in ("s", "p", "o", "g"):
-            kinds[p] = col(f"{p}_kind")
-            vals[p] = col(f"{p}_val")
-            nids[p] = col(f"{p}_nid")
-            pids[p] = col(f"{p}_pid")
-            dts[p] = col(f"{p}_dt")
-            langs[p] = col(f"{p}_lang")
-        name_id = col("name_id")
-        name = col("name")
-
-        # precomputed tags: term field = base + selector, wire type 2
-        TAGS = {
-            (p, sel): bytes([((i * 4 + sel) << 3) | 2])
-            for i, p in enumerate(("s", "p", "o"))
-            for sel in (1, 2, 3, 4)
-        }
-        # field 16's tag exceeds one byte — always varint-encode tags
-        G_IRI, G_BNODE, G_DEFAULT, G_LIT = (
-            _vb((13 << 3) | 2), _vb((14 << 3) | 2),
-            _vb((15 << 3) | 2), _vb((16 << 3) | 2),
-        )
-        LEX_T, LANG_T, DT_T = b"\x0a", b"\x12", b"\x18"
-        PID_T, NID_T = b"\x08", b"\x10"
-        ENTRY_ID_T, ENTRY_VAL_T = b"\x08", b"\x12"
-        FRAME_ROW_T = b"\x0a"
-
-        def term_bytes(p: str, i: int) -> bytes:
-            k = kinds[p][i]
-            k = int(k)
-            if k == T_IRI:
-                pid = pids[p][i]
-                nid = nids[p][i]
-                body = b""
-                if pid == pid and pid:  # not-NaN and nonzero
-                    body += PID_T + _vb(int(pid))
-                if nid == nid and nid:
-                    body += NID_T + _vb(int(nid))
-                return TAGS[(p, 1)] + _vb(len(body)) + body if p != "g" else (
-                    G_IRI + _vb(len(body)) + body
-                )
-            if k == T_BNODE:
-                raw = (vals[p][i] or "").encode("utf-8")
-                tag = TAGS[(p, 2)] if p != "g" else G_BNODE
-                return tag + _vb(len(raw)) + raw
-            if k == T_LITERAL:
-                v = vals[p][i]
-                body = b""
-                if isinstance(v, str) and v:
-                    raw = v.encode("utf-8")
-                    body += LEX_T + _vb(len(raw)) + raw
-                lang = langs[p][i]
-                if isinstance(lang, str) and lang:
-                    lraw = lang.encode("utf-8")
-                    body += LANG_T + _vb(len(lraw)) + lraw
-                dt = dts[p][i]
-                if dt == dt and dt:
-                    body += DT_T + _vb(int(dt))
-                tag = TAGS[(p, 3)] if p != "g" else G_LIT
-                return tag + _vb(len(body)) + body
-            if k == T_QUOTED:
-                body = JW._encode_statement(json.loads(vals[p][i]), quad=False)
-                return TAGS[(p, 4)] + _vb(len(body)) + body
-            # default graph (graph position only)
-            return G_DEFAULT + b"\x00"
-
-        buf = bytearray()
-        n_rows = 0
-        for i in range(n):
-            kind = int(row_kind[i])
-            if kind in (KIND_TRIPLE, KIND_QUAD):
-                body = term_bytes("s", i) + term_bytes("p", i) + term_bytes("o", i)
-                if kind == KIND_QUAD:
-                    gk = kinds["g"][i]
-                    if gk == gk and gk is not None:
-                        body += term_bytes("g", i)
-                row = bytes([(kind << 3) | 2]) + _vb(len(body)) + body
-            elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
-                body = b""
-                eid = name_id[i]
-                if eid == eid and eid:
-                    body += ENTRY_ID_T + _vb(int(eid))
-                v = name[i]
-                if isinstance(v, str) and v:
-                    raw = v.encode("utf-8")
-                    body += ENTRY_VAL_T + _vb(len(raw)) + raw
-                row = bytes([(kind << 3) | 2]) + _vb(len(body)) + body
-            else:
-                # rare kinds: options / graph boundaries / namespaces —
-                # go through the dict codec
-                row = JW.encode_row(_slow_row(pdf, order[i]))
-            buf += FRAME_ROW_T + _vb(len(row)) + row
-            n_rows += 1
+        n_rows, blob = _pack_rows(pdf)
         return pd.DataFrame(
             {
                 "seg": [int(pdf.seg.iloc[0])],
                 "frame_index": [int(pdf.frame_index.iloc[0])],
                 "n_rows": [n_rows],
-                "frame_bytes": [bytes(buf)],
+                "frame_bytes": [blob],
             }
         )
 
@@ -673,6 +683,340 @@ def _canonical_terms(statements: DataFrame, is_quads: bool) -> DataFrame:
 _TERM_COLS = lambda pos: [f"{pos}_val", f"{pos}_kind", f"{pos}_dtv", f"{pos}_lang"]  # noqa: E731
 
 
+_FRAME_USED_SCHEMA = FRAME_SCHEMA + ", used_name int, used_prefix int, used_dt int"
+
+
+def _options_row_blob(
+    options: StreamOptions,
+    physical: int,
+    version: int,
+    declared_name: int,
+    declared_prefix: int,
+    declared_dt: int,
+) -> bytes:
+    """Length-delimited ``rows { options { ... } }`` bytes, identical for
+    every segment of a stream (P10 later-options equality)."""
+    row = JW.encode_row(
+        {
+            "kind": KIND_OPTIONS,
+            "stream_name": options.stream_name or "",
+            "physical": physical,
+            "generalized": options.generalized,
+            "rdf_star": options.rdf_star,
+            "logical": options.logical_type,
+            "version": version,
+            "max_name": declared_name,
+            "max_prefix": declared_prefix,
+            "max_dt": declared_dt,
+        }
+    )
+    return b"\x0a" + _vb(len(row)) + row
+
+
+def _encode_segment_fn(physical: int, rows_per_frame: int, prefix_table: bool):
+    """groupBy(seg).applyInPandas encoder: one SEGMENT's canonical
+    statement rows → that segment's frames (minus the options row,
+    prepended by the caller once global declared sizes are known).
+
+    The entire dictionary pipeline — first-use name/prefix/datatype id
+    assignment, RDF-star atomization, graph-run detection, frame
+    assignment — runs in-task over one bounded segment (≤ max_name_table
+    / nterms statements), replacing the join-based path's melt + 3
+    joins + pivot shuffles with plain columnar work. Ids and row order
+    replicate the join path exactly: terms rank by (first use rn, term)
+    — Spark's UTF8_BINARY collation equals Python's code-point order —
+    entry rows land in the frame of first use ahead of the using
+    statement."""
+    is_quads = physical == PHYSICAL_QUADS
+    is_graphs = physical == PHYSICAL_GRAPHS
+    positions = ["s", "p", "o"] + (["g"] if is_quads else [])
+    feed_positions = ["s", "p", "o"] + (["g"] if (is_quads or is_graphs) else [])
+    stmt_kind = KIND_QUAD if is_quads else KIND_TRIPLE
+    prefix_rx = re.compile(_PREFIX_RE)
+
+    def first_use_ids(pairs):
+        """(use_rn, value) pairs → ({value: id}, [(value, first_rn)] in
+        id order). Ids are 1-based dense ranks over (first_rn, value)."""
+        first: dict = {}
+        for rn, v in pairs:
+            o = first.get(v)
+            if o is None or rn < o:
+                first[v] = rn
+        items = sorted(first.items(), key=lambda kv: (kv[1], kv[0]))
+        return {v: i + 1 for i, (v, _) in enumerate(items)}, items
+
+    def encode_segment(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        seg = int(pdf["seg"].iloc[0])
+        n = len(pdf)
+        rns = pdf["rn"].to_numpy()
+
+        # --- dictionary feeds: IRI terms and literal datatypes, with
+        # their first-use rn (top-level positions + quoted-term atoms)
+        iri_pairs: list = []
+        dt_pairs: list = []
+        kinds_np = {p: pdf[f"{p}_kind"].to_numpy() for p in feed_positions}
+        for p in feed_positions:
+            kind = kinds_np[p]
+            vals = pdf[f"{p}_val"].to_numpy()
+            dtvs = pdf[f"{p}_dtv"].to_numpy()
+            m = kind == T_IRI
+            if m.any():
+                iri_pairs.extend(zip(rns[m].tolist(), vals[m].tolist()))
+            md = pd.notna(dtvs)
+            if md.any():
+                dt_pairs.extend(zip(rns[md].tolist(), dtvs[md].tolist()))
+
+        # RDF-star: atomize quoted terms in-task; atoms feed the dicts
+        trees: dict = {}
+        for p in positions:
+            qm = kinds_np[p] == T_QUOTED
+            if not qm.any():
+                continue
+            vals = pdf[f"{p}_val"].to_numpy()
+            for i in np.nonzero(qm)[0]:
+                atoms = _quoted_atoms_py(vals[i])
+                trees[(int(i), p)] = atoms
+                rn = int(rns[i])
+                for _path, k, v, dt, _lang in atoms:
+                    if k == T_IRI:
+                        iri_pairs.append((rn, v))
+                    if dt is not None:
+                        dt_pairs.append((rn, dt))
+
+        term_ids, term_items = first_use_ids(iri_pairs)
+        dt_ids, dt_items = first_use_ids(dt_pairs)
+        if prefix_table:
+            term_pfx = {}
+            pfx_first: dict = {}
+            for t, frn in term_items:
+                m = prefix_rx.match(t)
+                pfx = m.group(1) if m else ""
+                term_pfx[t] = pfx
+                o = pfx_first.get(pfx)
+                if o is None or frn < o:
+                    pfx_first[pfx] = frn
+            pfx_items = sorted(pfx_first.items(), key=lambda kv: (kv[1], kv[0]))
+            pfx_ids = {v: i + 1 for i, (v, _) in enumerate(pfx_items)}
+            term_pid = {t: pfx_ids[term_pfx[t]] for t in term_pfx}
+        else:
+            pfx_items, pfx_ids, term_pfx, term_pid = [], {}, {}, {}
+
+        # --- quoted-term ref-JSON (ids resolved from the in-task dicts;
+        # tree shape and dump flags mirror _reassemble_quoted)
+        qjson_by_cell = {}
+        for (i, p), atoms in trees.items():
+            nodes: dict = {}
+            for path, k, v, dt, lang in atoms:
+                if k == T_QUOTED:
+                    node = {"k": T_QUOTED, "s": None, "p": None, "o": None}
+                elif k == T_IRI:
+                    node = {
+                        "k": T_IRI,
+                        "pid": term_pid.get(v, 0),
+                        "nid": term_ids.get(v, 0),
+                    }
+                elif k == T_BNODE:
+                    node = {"k": T_BNODE, "v": v}
+                else:
+                    node = {
+                        "k": T_LITERAL,
+                        "v": v if isinstance(v, str) else "",
+                        "lang": lang if isinstance(lang, str) else None,
+                        "dt": dt_ids.get(dt, 0) if dt is not None else 0,
+                    }
+                nodes[path] = node
+            root = {"k": T_QUOTED, "s": None, "p": None, "o": None}
+            for path, node in nodes.items():
+                if "." in path:
+                    parent, idx = path.rsplit(".", 1)
+                    nodes[parent][("s", "p", "o")[int(idx)]] = node
+                else:
+                    root[("s", "p", "o")[int(path)]] = node
+            qjson_by_cell[(i, p)] = json.dumps(
+                root, ensure_ascii=False, sort_keys=True
+            )
+
+        # --- statement pre-rows (vectorized: dict maps over columns)
+        pre_parts = []
+        stmt = pd.DataFrame(
+            {
+                "seg": np.full(n, seg, dtype="int64"),
+                "frame_index": (rns - 1) // rows_per_frame,
+                "sort_key": rns,
+                "minor": np.full(n, _MINOR_STATEMENT, dtype="int64"),
+                "row_kind": np.full(n, stmt_kind, dtype="int64"),
+            }
+        )
+        for p in positions:
+            kind = pd.Series(kinds_np[p])
+            vals = pdf[f"{p}_val"]
+            is_iri = kind == T_IRI
+            is_lit = kind == T_LITERAL
+            stmt[f"{p}_kind"] = kind
+            stmt[f"{p}_nid"] = vals.map(term_ids).where(is_iri)
+            stmt[f"{p}_pid"] = (
+                vals.map(term_pid).where(is_iri)
+                if prefix_table
+                else pd.Series([None] * n, dtype=object)
+            )
+            val_out = vals.copy()
+            for (i, pp), qj in qjson_by_cell.items():
+                if pp == p:
+                    val_out.iloc[i] = qj
+            stmt[f"{p}_val"] = val_out
+            stmt[f"{p}_dt"] = pdf[f"{p}_dtv"].map(dt_ids).where(is_lit)
+            stmt[f"{p}_lang"] = pdf[f"{p}_lang"].where(is_lit)
+        pre_parts.append(stmt)
+
+        # --- lookup-table entry pre-rows: frame of first use
+        def entry_rows(items, minor, row_kind, render):
+            if not items:
+                return None
+            frn = np.maximum(np.array([r for _, r in items], dtype="int64"), 1)
+            return pd.DataFrame(
+                {
+                    "seg": np.full(len(items), seg, dtype="int64"),
+                    "frame_index": (frn - 1) // rows_per_frame,
+                    "sort_key": frn,
+                    "minor": np.full(len(items), minor, dtype="int64"),
+                    "row_kind": np.full(len(items), row_kind, dtype="int64"),
+                    "name_id": np.arange(1, len(items) + 1, dtype="int64"),
+                    "name": [render(v) for v, _ in items],
+                }
+            )
+
+        pre_parts.append(
+            entry_rows(
+                term_items, _MINOR_NAME, KIND_NAME,
+                (lambda t: t[len(term_pfx[t]):]) if prefix_table else (lambda t: t),
+            )
+        )
+        pre_parts.append(
+            entry_rows(dt_items, _MINOR_DATATYPE, KIND_DATATYPE, lambda v: v)
+        )
+        if prefix_table:
+            pre_parts.append(
+                entry_rows(pfx_items, _MINOR_PREFIX, KIND_PREFIX, lambda v: v)
+            )
+
+        # --- graph runs (GRAPHS): contiguous by construction (W3 —
+        # ordering is graph-first), so change points delimit runs
+        if is_graphs:
+            gk = kinds_np["g"]
+            gv = pdf["g_val"].to_numpy()
+            gd = pdf["g_dtv"].to_numpy()
+            gl = pdf["g_lang"].to_numpy()
+            starts = [0]
+            for i in range(1, n):
+                if (gk[i], gv[i], gd[i], gl[i]) != (
+                    gk[i - 1], gv[i - 1], gd[i - 1], gl[i - 1]
+                ):
+                    starts.append(i)
+            ends = [i - 1 for i in starts[1:]] + [n - 1]
+            g_rows = []
+            for si, ei in zip(starts, ends):
+                k = int(gk[si])
+                is_lit = k == T_LITERAL
+                g_rows.append(
+                    {
+                        "seg": seg,
+                        "frame_index": (int(rns[si]) - 1) // rows_per_frame,
+                        "sort_key": int(rns[si]),
+                        "minor": _MINOR_GRAPH_START,
+                        "row_kind": KIND_GRAPH_START,
+                        "g_kind": k,
+                        "g_nid": term_ids.get(gv[si]) if k == T_IRI else None,
+                        "g_pid": term_pid.get(gv[si]) if k == T_IRI else None,
+                        "g_val": gv[si] if k in (T_BNODE, T_LITERAL) else None,
+                        "g_dt": dt_ids.get(gd[si]) if is_lit else None,
+                        "g_lang": gl[si] if is_lit else None,
+                    }
+                )
+                g_rows.append(
+                    {
+                        "seg": seg,
+                        "frame_index": (int(rns[ei]) - 1) // rows_per_frame,
+                        "sort_key": int(rns[ei]),
+                        "minor": _MINOR_GRAPH_END,
+                        "row_kind": KIND_GRAPH_END,
+                    }
+                )
+            pre_parts.append(pd.DataFrame(g_rows))
+
+        pre = pd.concat(
+            [p for p in pre_parts if p is not None], ignore_index=True
+        ).reindex(columns=_PRE_COLS)
+
+        out = []
+        for fi, sub in pre.groupby("frame_index", sort=True):
+            n_rows, blob = _pack_rows(sub)
+            out.append((seg, int(fi), n_rows, blob))
+        res = pd.DataFrame(
+            out, columns=["seg", "frame_index", "n_rows", "frame_bytes"]
+        )
+        res["used_name"] = len(term_ids)
+        res["used_prefix"] = len(pfx_ids)
+        res["used_dt"] = len(dt_ids)
+        return res
+
+    return encode_segment
+
+
+def _encode_segments_fused(
+    ordered: DataFrame,
+    physical: int,
+    rows_per_frame: int,
+    seg_rows: int,
+    options: StreamOptions,
+    prefix_table: bool,
+) -> DataFrame:
+    """Fused fast path (see :func:`_encode_statements`): one shuffle on
+    the uniform ``seg`` key, dictionaries built per-task. The frames
+    persist once so a single tiny job learns the global used maxima;
+    the options row — identical for every segment, declared sizes =
+    max(configured, used) — is then prepended to each segment's first
+    frame (a pure bytes concat, no re-encode)."""
+    enc = ordered.groupBy("seg").applyInPandas(
+        _encode_segment_fn(physical, rows_per_frame, prefix_table),
+        _FRAME_USED_SCHEMA,
+    ).persist()
+    mx = enc.groupBy().agg(
+        F.max("used_name").alias("n"),
+        F.max("used_prefix").alias("p"),
+        F.max("used_dt").alias("d"),
+    ).collect()[0]
+    declared_name = max(options.max_name_table, mx["n"] or 0, 8)
+    declared_dt = max(options.max_dt_table, mx["d"] or 0, 8)
+    declared_prefix = (
+        max(options.max_prefix_table, mx["p"] or 0) if prefix_table else 0
+    )
+    blob = _options_row_blob(
+        options, physical, options.version, declared_name, declared_prefix,
+        declared_dt,
+    )
+    # each segment's first frame is at a deterministic global index:
+    # segments are full (rns are contiguous) and seg_rows is a multiple
+    # of rows_per_frame
+    stride = seg_rows // rows_per_frame
+
+    def patch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            m = pdf["frame_index"] == pdf["seg"] * stride
+            if m.any():
+                pdf = pdf.copy()
+                pdf.loc[m, "frame_bytes"] = pdf.loc[m, "frame_bytes"].map(
+                    lambda b: blob + b
+                )
+                pdf.loc[m, "n_rows"] += 1
+            yield pdf[["seg", "frame_index", "n_rows", "frame_bytes"]]
+
+    return enc.mapInPandas(patch, FRAME_SCHEMA)
+
+
 def _encode_statements(
     spark: SparkSession,
     statements: DataFrame,
@@ -682,16 +1026,30 @@ def _encode_statements(
     prefix_table: bool,
     namespaces: DataFrame | None,
 ) -> DataFrame:
-    """Shared TRIPLES/QUADS encoder: statements → real-wire frames.
+    """Shared TRIPLES/QUADS/GRAPHS encoder: statements → real-wire frames.
 
     Layout per the reference's stream contract: each segment's first
     frame starts with an options row (P10, RdfValidate.scala:118-121);
     each lookup-table entry row lands in the frame of its first use,
     before the statement that uses it. Global row order comes from the
     partition-offset rank (cli_spark.order), not a single-task window.
-    Declared table sizes are max(configured, used): two tiny driver
-    aggregates on the persisted dictionaries keep explicit ids legal
-    even when RDF-star atoms push past the configured bound."""
+
+    Two physical strategies produce the same stream:
+
+    - fused fast path (default): ONE applyInPandas task per segment
+      builds that segment's dictionaries in-task and emits its frames —
+      a single shuffle on the uniform `seg` key after the global rank,
+      no dictionary joins (segments are bounded by the declared name
+      table, so per-task work is small and constant; segments are the
+      embarrassingly-parallel unit at 100 TB, mirroring the decode
+      side's per-segment resolver).
+    - join-based path (namespace declarations only): namespaces feed
+      the seg-0 dictionary ahead of first use, which needs the
+      Spark-side dictionary/join machinery.
+
+    Declared table sizes are max(configured, used) in both paths, kept
+    identical across every segment's options row (P10 later-options
+    equality)."""
     from .order import global_row_number
 
     is_quads = physical == PHYSICAL_QUADS
@@ -710,7 +1068,6 @@ def _encode_statements(
 
     # statement rows carry g only for QUADS; GRAPHS carries the graph
     # out-of-band (runs), but its terms still feed the dictionaries
-    positions = ["s", "p", "o"] + (["g"] if is_quads else [])
     feed_positions = ["s", "p", "o"] + (["g"] if (is_quads or is_graphs) else [])
     canon = _canonical_terms(statements, is_quads or is_graphs).dropDuplicates()
     keys = [c for p in feed_positions for c in _TERM_COLS(p)]
@@ -720,6 +1077,34 @@ def _encode_statements(
     ordered = global_row_number(canon, keys).withColumn(
         "seg", F.floor((F.col("rn") - 1) / seg_rows).cast("long")
     )
+
+    if namespaces is None:
+        return _encode_segments_fused(
+            ordered, physical, rows_per_frame, seg_rows, options, prefix_table
+        )
+    return _encode_statements_joins(
+        ordered, physical, rows_per_frame, seg_rows, options, prefix_table,
+        namespaces,
+    )
+
+
+def _encode_statements_joins(
+    ordered: DataFrame,
+    physical: int,
+    rows_per_frame: int,
+    seg_rows: int,
+    options: StreamOptions,
+    prefix_table: bool,
+    namespaces: DataFrame | None,
+) -> DataFrame:
+    """Join-based encoder (see :func:`_encode_statements`): Spark-side
+    dictionaries + melt/resolve/pivot. Kept for streams with namespace
+    declarations, whose IRIs must enter the seg-0 dictionary before
+    first statement use."""
+    is_quads = physical == PHYSICAL_QUADS
+    is_graphs = physical == PHYSICAL_GRAPHS
+    positions = ["s", "p", "o"] + (["g"] if is_quads else [])
+    feed_positions = ["s", "p", "o"] + (["g"] if (is_quads or is_graphs) else [])
 
     # --- quoted-term atoms (RDF-star): component IRIs/datatypes feed the
     # dictionaries; trees reassemble into ref-JSON after the id joins
