@@ -297,10 +297,14 @@ def _dispatch(spark, args) -> int:
             raise ValueError(f"{out_fmt.full_name} is not a writable output format")
         take = _parse_range(args.take_frames) if args.take_frames else None
         if args.input.endswith(".jelly.txt"):
-            rows = J.decode_frames(J.read_jelly_text_file(spark, args.input)).cache()
+            frames = J.read_jelly_text_file(spark, args.input)
         else:
-            rows = J.decode_frames(J.read_jelly_file(spark, args.input)).cache()
-        phys = J.stream_physical_types(rows)
+            frames = J.read_jelly_file(spark, args.input)
+        # physical-type branching + P4 guard read the frames with the
+        # tag-peek (no resolution); the full decode then runs exactly
+        # once, inside the write action — no cache of the rows table
+        phys = J.peek_physical_types(frames)
+        rows = J.decode_frames(frames)
         if phys <= {J.PHYSICAL_TRIPLES}:
             stmts = J.decode_triples(rows, take_frames=take, strict=False)
         else:
@@ -314,8 +318,8 @@ def _dispatch(spark, args) -> int:
                 stmts = stmts.drop("graph")
             elif not out_fmt.supports_quads:
                 # P4 guard (RdfFromJelly.scala:144-153)
-                J.ensure_physical(
-                    rows, {J.PHYSICAL_TRIPLES}, f"{out_fmt.full_name} output"
+                J.ensure_physical_frames(
+                    frames, {J.PHYSICAL_TRIPLES}, f"{out_fmt.full_name} output"
                 )
         write_kw = {}
         if args.jsonld_context is not None:

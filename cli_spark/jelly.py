@@ -1715,17 +1715,62 @@ def stream_physical_types(rows: DataFrame) -> set[int]:
     }
 
 
+def _raise_physical(bad: set[int], context: str) -> None:
+    names = {1: "TRIPLES", 2: "QUADS", 3: "GRAPHS"}
+    raise ValueError(
+        f"stream physical type {sorted(names.get(b, b) for b in bad)} "
+        f"cannot be written to {context}; use --merge-graphs to drop "
+        f"graph names or choose a quad-capable format"
+    )
+
+
 def ensure_physical(rows: DataFrame, allowed: set[int], context: str) -> None:
     """P4 guard (RdfFromJelly.scala:144-153): converting a QUADS/GRAPHS
-    stream into a triples-only sink is an error, not silent data loss."""
+    stream into a triples-only sink is an error, not silent data loss.
+
+    Operates on the RESOLVED rows table — its Spark job re-runs the
+    per-segment resolution unless the caller cached it. Hot paths that
+    still hold the frames should use :func:`ensure_physical_frames`
+    (a tag-peek, no resolution)."""
     bad = stream_physical_types(rows) - allowed - {None}
     if bad:
-        names = {1: "TRIPLES", 2: "QUADS", 3: "GRAPHS"}
-        raise ValueError(
-            f"stream physical type {sorted(names.get(b, b) for b in bad)} "
-            f"cannot be written to {context}; use --merge-graphs to drop "
-            f"graph names or choose a quad-capable format"
-        )
+        _raise_physical(bad, context)
+
+
+def peek_physical_types(frames: DataFrame) -> set[int]:
+    """Distinct declared physical types, read from the FRAMES with the
+    tag-peek scanner (`jellywire.peek_options`): one varint per row, a
+    parse per options row, no dictionary resolution. The cheap form of
+    :func:`stream_physical_types` for callers that still hold frames."""
+
+    def peek(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            phys = sorted(
+                {
+                    o["physical"]
+                    for blob in pdf["frame_bytes"]
+                    for o in JW.peek_options(bytes(blob))
+                }
+            )
+            yield pd.DataFrame({"physical": pd.array(phys, dtype="Int64")})
+
+    return {
+        r[0]
+        for r in frames.mapInPandas(peek, "physical long").distinct().collect()
+    }
+
+
+def ensure_physical_frames(
+    frames: DataFrame, allowed: set[int], context: str
+) -> None:
+    """P4 guard evaluated directly on frames — same error contract as
+    :func:`ensure_physical`, but the probe job is a tag-peek instead of
+    a full second resolution pass."""
+    bad = peek_physical_types(frames) - allowed - {None}
+    if bad:
+        _raise_physical(bad, context)
 
 
 def namespace_declarations(rows: DataFrame) -> DataFrame:
@@ -1798,8 +1843,14 @@ def decode_quads_graphs(rows: DataFrame) -> DataFrame:
 
 
 def roundtrip(spark: SparkSession, triples: DataFrame, **kw) -> DataFrame:
-    """encode → decode, for equivalence gates (SURVEY §5 pillar 2)."""
-    return decode_triples(decode_frames(encode_triples(spark, triples, **kw)))
+    """encode → decode, for equivalence gates (SURVEY §5 pillar 2).
+
+    The P4 guard runs as the frames-level tag-peek: `strict=True` on the
+    rows table would re-run the whole per-segment resolution just to
+    read the options rows (measured: it doubled q50's decode cost)."""
+    frames = encode_triples(spark, triples, **kw)
+    ensure_physical_frames(frames, {PHYSICAL_TRIPLES}, "a triples-only sink")
+    return decode_triples(decode_frames(frames), strict=False)
 
 
 def roundtrip_quads(spark: SparkSession, quads: DataFrame, **kw) -> DataFrame:

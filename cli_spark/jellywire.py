@@ -341,6 +341,34 @@ def encode_row(row: dict) -> bytes:
     return out.getvalue()
 
 
+def _decode_options(v: bytes) -> dict:
+    row = {
+        "kind": K_OPTIONS, "stream_name": "", "physical": 0,
+        "generalized": False, "rdf_star": False, "logical": 0,
+        "version": 0, "max_name": 0, "max_prefix": 0, "max_dt": 0,
+    }
+    for field, _fw, fv in _fields(v):
+        if field == 1:
+            row["stream_name"] = fv.decode("utf-8")
+        elif field == 2:
+            row["physical"] = fv
+        elif field == 3:
+            row["generalized"] = bool(fv)
+        elif field == 4:
+            row["rdf_star"] = bool(fv)
+        elif field == 9:
+            row["max_name"] = fv
+        elif field == 10:
+            row["max_prefix"] = fv
+        elif field == 11:
+            row["max_dt"] = fv
+        elif field == 14:
+            row["logical"] = fv
+        elif field == 15:
+            row["version"] = fv
+    return row
+
+
 def decode_row(data: bytes) -> dict:
     it = _fields(data)
     try:
@@ -348,31 +376,7 @@ def decode_row(data: bytes) -> dict:
     except StopIteration:
         raise ValueError("empty RdfStreamRow") from None
     if kind == K_OPTIONS:
-        row = {
-            "kind": K_OPTIONS, "stream_name": "", "physical": 0,
-            "generalized": False, "rdf_star": False, "logical": 0,
-            "version": 0, "max_name": 0, "max_prefix": 0, "max_dt": 0,
-        }
-        for field, _fw, fv in _fields(v):
-            if field == 1:
-                row["stream_name"] = fv.decode("utf-8")
-            elif field == 2:
-                row["physical"] = fv
-            elif field == 3:
-                row["generalized"] = bool(fv)
-            elif field == 4:
-                row["rdf_star"] = bool(fv)
-            elif field == 9:
-                row["max_name"] = fv
-            elif field == 10:
-                row["max_prefix"] = fv
-            elif field == 11:
-                row["max_dt"] = fv
-            elif field == 14:
-                row["logical"] = fv
-            elif field == 15:
-                row["version"] = fv
-        return row
+        return _decode_options(v)
     if kind in (K_TRIPLE, K_QUAD):
         return _decode_statement(v, quad=kind == K_QUAD)
     if kind == K_GRAPH_START:
@@ -429,6 +433,23 @@ def decode_frame(data: bytes) -> list[dict]:
             rows.append(decode_row(v))
         # any other frame field (e.g. v1.1 metadata) is skipped leniently
     return rows
+
+
+def peek_options(data: bytes) -> list[dict]:
+    """Options rows of one frame WITHOUT decoding statements: scan the
+    frame's TLV structure, read only each row's oneof kind tag (one
+    varint), and parse just the options bodies. O(rows) tag reads +
+    O(options) parses — the W4 header-peek primitive, also backing the
+    P4 physical-type guard so it never re-runs a full resolution pass."""
+    out = []
+    for field, wire, v in _fields(data):
+        if field != 1 or wire != 2 or not v:
+            continue
+        tag, pos = read_varint(v, 0)
+        if tag >> 3 == K_OPTIONS and tag & 7 == 2:
+            ln, pos = read_varint(v, pos)
+            out.append(_decode_options(v[pos:pos + ln]))
+    return out
 
 
 def split_delimited(data: bytes) -> tuple[bool, list[bytes]]:

@@ -220,3 +220,43 @@ def test_unsupported_version_rejected_pure():
     ]
     with pytest.raises(JW.StreamError, match="unsupported stream version"):
         list(JW.resolve_frames(frames))
+
+
+@needs_fixtures
+@pytest.mark.parametrize("name", [
+    "everythingTriple.jelly", "everythingQuad.jelly",
+    "options.jelly", "firstEmptyFrame.jelly",
+])
+def test_peek_options_matches_full_decode(name):
+    """The tag-peek scanner returns exactly the options rows a full
+    frame decode yields — on every upstream golden fixture."""
+    _, frames = JW.split_delimited(load(name))
+    for blob in frames:
+        full = [r for r in JW.decode_frame(blob) if r["kind"] == JW.K_OPTIONS]
+        assert JW.peek_options(blob) == full
+
+
+def test_peek_options_skips_statements_without_parsing():
+    """A frame whose statement bodies are not even valid messages still
+    peeks (only tags are read outside options rows)."""
+    opts = JW.encode_row({
+        "kind": JW.K_OPTIONS, "stream_name": "", "physical": 2,
+        "generalized": False, "rdf_star": False, "logical": 2,
+        "version": 1, "max_name": 16, "max_prefix": 8, "max_dt": 8,
+    })
+    # a syntactically framed row whose BODY is garbage: kind tag for
+    # K_TRIPLE, length 3, then bytes that are not a valid RdfTriple
+    bogus_body = b"\xff\xff\xff"
+    bogus = bytes([JW.K_TRIPLE << 3 | 2, len(bogus_body)]) + bogus_body
+    import io
+
+    frame = io.BytesIO()
+    for rowmsg in (opts, bogus):
+        frame.write(bytes([1 << 3 | 2]))
+        JW.write_varint(frame, len(rowmsg))
+        frame.write(rowmsg)
+    got = JW.peek_options(frame.getvalue())
+    assert len(got) == 1 and got[0]["physical"] == 2
+    # the full decoder would choke on the same frame
+    with pytest.raises(Exception):
+        JW.decode_frame(frame.getvalue())

@@ -76,6 +76,17 @@ def test_p4_quad_in_triple_sink_guard(spark, quads):
     assert J.decode_triples(rows, strict=False).count() == 0
 
 
+def test_p4_frames_level_guard(spark, quads):
+    """The frames-level P4 guard (tag-peek, no resolution pass) agrees
+    with the rows-level one, and the peek reads the declared physical
+    type without decoding statements."""
+    frames = J.encode_quads(spark, quads)
+    assert J.peek_physical_types(frames) == {J.PHYSICAL_QUADS}
+    with pytest.raises(ValueError, match="QUADS"):
+        J.ensure_physical_frames(frames, {J.PHYSICAL_TRIPLES}, "a triples-only sink")
+    J.ensure_physical_frames(frames, {J.PHYSICAL_QUADS}, "a quad sink")
+
+
 @pytest.fixture(scope="module")
 def iri_triples(spark):
     # long shared prefixes — the prefix table's target shape
