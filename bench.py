@@ -118,6 +118,11 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
             spec = Q.REGISTRY.get(name)
             if spec is None:
                 continue
+            # queries may persist intermediates internally (e.g. the
+            # jelly roundtrips persist their frames table); a repeat
+            # trial must not reuse the previous trial's cache, or the
+            # min-over-trials estimator measures the cache, not the query
+            spark.catalog.clearCache()
             t0 = time.time()
             _noop_write(spec.fn(spark, sf_dir))
             query_trials[name].append(round(time.time() - t0, 3))

@@ -1847,8 +1847,11 @@ def roundtrip(spark: SparkSession, triples: DataFrame, **kw) -> DataFrame:
 
     The P4 guard runs as the frames-level tag-peek: `strict=True` on the
     rows table would re-run the whole per-segment resolution just to
-    read the options rows (measured: it doubled q50's decode cost)."""
-    frames = encode_triples(spark, triples, **kw)
+    read the options rows (measured: it doubled q50's decode cost). The
+    frames persist first — they are the in-memory analog of the .jelly
+    file both jobs would otherwise read — so the peek does not re-run
+    the encode."""
+    frames = encode_triples(spark, triples, **kw).persist()
     ensure_physical_frames(frames, {PHYSICAL_TRIPLES}, "a triples-only sink")
     return decode_triples(decode_frames(frames), strict=False)
 

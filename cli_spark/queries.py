@@ -1456,9 +1456,11 @@ def q09_product_profit(spark, sf_dir):
 )
 def q25_jellytext_roundtrip(spark, sf_dir):
     from cli_spark.jelly import (
+        PHYSICAL_TRIPLES,
         decode_frames,
         decode_triples,
         encode_triples,
+        ensure_physical_frames,
         parse_jelly_text,
         render_jelly_text,
     )
@@ -1466,7 +1468,12 @@ def q25_jellytext_roundtrip(spark, sf_dir):
     t = doc_triples(spark, sf_dir)
     frames = encode_triples(spark, t, prefix_table=True)
     text = render_jelly_text(frames)
-    return decode_triples(decode_frames(parse_jelly_text(text))).select(
+    # parsed frames persist (the in-memory analog of the .jelly.txt file
+    # both jobs would read); the P4 guard is the tag-peek — strict=True
+    # on the rows table would re-run the whole resolution as a probe job
+    parsed = parse_jelly_text(text).persist()
+    ensure_physical_frames(parsed, {PHYSICAL_TRIPLES}, "a triples-only sink")
+    return decode_triples(decode_frames(parsed), strict=False).select(
         "subj", "pred", "obj", "obj_kind"
     )
 
