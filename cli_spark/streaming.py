@@ -24,6 +24,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -238,6 +239,152 @@ def streaming_dedup(
         fn,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms else "NoTimeout",
+    )
+
+
+LSH_STATE_SCHEMA = StructType(
+    [StructField("members", ArrayType(LongType()))]
+)
+LSH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("left_id", LongType()),
+        StructField("right_id", LongType()),
+    ]
+)
+
+
+def _row_local_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) with ZERO shuffles — the streaming-legal
+    form of :func:`cli_spark.ops.dedup.minhash_signatures` (which
+    dedups shingles and groupBy-min-aggregates them; neither is allowed
+    before a stateful operator). Shingle hashes stay a per-row array and
+    each permutation is an ``array_min(transform(...))``; duplicate
+    shingles are harmless under MIN, so the signatures are bit-identical
+    to the batch path (same gram text, same xxhash64→Mersenne domain,
+    same 2-universal parameters)."""
+    from .linking import MERSENNE, _perm_params  # noqa: PLC0415
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # materialize each HOF input as a real column first: Catalyst does
+    # not CSE through higher-order functions (cf. linking.py)
+    step = df.select(F.col(id_col).cast("long").alias("id"), words.alias("words"))
+    size = F.size(F.col("words"))
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("words"), i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
+    step = step.select("id", grams.alias("grams"))
+    hs = F.transform(
+        F.col("grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE))
+    )
+    step = step.select("id", hs.alias("hs"))
+
+    def perm_min(a: int, b: int):
+        # factory keeps the lambda unary (F.transform passes (elem, idx))
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE)),
+            )
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm)])
+    return step.select("id", sig.alias("sig"))
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    band_rows: int = 4,
+    max_bucket: int = 20,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup CANDIDATE pairs: as documents
+    arrive, emit (left_id, right_id) for every pair that shares an LSH
+    band bucket — the streaming form of the batch
+    :func:`cli_spark.ops.dedup.minhash_lsh_pairs` candidate stage, for
+    dedup-at-ingest instead of dedup-as-a-batch-pass.
+
+    Shape: signature + banding are one narrow zero-shuffle map
+    (:func:`_row_local_minhash` + the same band-hash recipe as batch),
+    then ONE stateful operator keyed by (band_id, band_hash). State per
+    bucket is the member-id list capped at ``max_bucket`` (the batch
+    cap, arrival-ordered instead of id-ordered): ≤ 20 longs per distinct
+    bucket, sharded across executors by key hash — no global structure,
+    no join. Each new member emits pairs against the existing members
+    (the within-bucket clique, incrementally).
+
+    Same-pair emissions can repeat ACROSS bands (batch dedups them with
+    a ``distinct()``, which streaming append mode cannot add after a
+    stateful op without a second state store); downstream consumers
+    dedup, or the connected-components clustering absorbs repeats.
+    ``ttl_ms`` expires idle buckets for unbounded streams (same
+    compromise as :func:`streaming_dedup`)."""
+    sigs = _row_local_minhash(docs, id_col, text_col, num_perm)
+    n_bands = num_perm // band_rows
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * band_rows + 1, band_rows))
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+    def fn(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        members: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        pairs: list[tuple[int, int]] = []
+        for pdf in batches:
+            # ascending id order makes the emitted pair set independent
+            # of chunk boundaries within a trigger
+            for i in sorted(int(x) for x in pdf["id"]):
+                if i in seen:
+                    continue
+                if len(members) >= max_bucket:
+                    break  # the batch cap: over-full buckets stop banding
+                pairs.extend(
+                    (m, i) if m < i else (i, m) for m in members
+                )
+                members.append(i)
+                seen.add(i)
+        state.update((members,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["left_id", "right_id"])
+
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        fn,
+        outputStructType=LSH_OUTPUT_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="ProcessingTimeTimeout" if ttl_ms else "NoTimeout",
     )

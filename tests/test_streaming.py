@@ -120,3 +120,75 @@ def test_streaming_dedup(spark, tmp_path):
     by_text = {t: kept[r.digest] for t, r in zip("ABCDE", texts)}
     assert by_text["D"] == 6 and by_text["E"] == 8
     assert by_text["A"] in (0, 3, 5) and by_text["B"] in (1, 4, 7) and by_text["C"] in (2, 9)
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path):
+    """Streaming LSH candidate pairs (distinct) equal the batch
+    candidate set (minhash_lsh_pairs at threshold 0) on the same docs,
+    regardless of how the corpus splits into micro-batches — the
+    row-local streaming signature is bit-identical to the batch one,
+    and the stateful bucket clique reproduces the bucket join."""
+    import os
+
+    from cli_spark.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = []
+    for i in range(8):
+        rows.append((i, base + f" tail {i % 2}"))          # two near-dup groups
+    rows += [(20, "completely different text about spark streaming state"),
+             (21, "completely different text about spark streaming state"),
+             (30, "a unique singleton document with no relatives at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    # split across two files = two micro-batches, interleaving the groups
+    df.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d + "/f1")
+    df.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(d + "/f2")
+    schema = spark.read.parquet(d + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    S.run_to_memory_sink(S.streaming_lsh_candidates(stream), "lsh_out")
+    got = {
+        (r.left_id, r.right_id)
+        for r in spark.sql("SELECT * FROM lsh_out").collect()
+    }
+    want = {
+        (r.left_id, r.right_id)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture really produces candidates
+
+
+def test_streaming_lsh_bucket_cap(spark, tmp_path):
+    """A bucket beyond max_bucket stops banding: with 5 identical docs
+    and max_bucket=3, only the first 3 arrivals pair (3 choose 2)."""
+    import os
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, "same words every single time for all docs") for i in range(5)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d + "/f1")
+    schema = spark.read.parquet(d + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    S.run_to_memory_sink(
+        S.streaming_lsh_candidates(stream, max_bucket=3), "lsh_cap_out"
+    )
+    got = {
+        (r.left_id, r.right_id)
+        for r in spark.sql("SELECT * FROM lsh_cap_out").collect()
+    }
+    # ids 0,1,2 enter each bucket (ascending order within the trigger)
+    assert got == {(0, 1), (0, 2), (1, 2)}
