@@ -241,55 +241,117 @@ def _encode_statement(row: dict, quad: bool) -> bytes:
     return buf.getvalue()
 
 
+# The three statement-path decoders walk bytes inline instead of going
+# through the `_fields` generator: frame decode is the from-jelly hot
+# loop, and the generator machinery (2M resumptions per sf0.1 batch) was
+# ~60% of its profile. Tags and lengths take the single-byte fast path
+# (minimal varints < 0x80 — every field here is <= 16, every message is
+# small) with a read_varint fallback; unknown fields skip leniently,
+# identical to `_fields`.
+
+
 def _decode_iri(data: bytes) -> dict:
-    t = {"k": T_IRI, "pid": 0, "nid": 0}
-    for field, _w, v in _fields(data):
-        if field == 1:
-            t["pid"] = v
-        elif field == 2:
-            t["nid"] = v
-    return t
+    pid = nid = 0
+    pos, end = 0, len(data)
+    while pos < end:
+        tag = data[pos]
+        pos += 1
+        if tag & 0x80:
+            tag, pos = read_varint(data, pos - 1)
+        if tag == 0x08:  # field 1 varint: prefix_id
+            v = data[pos]
+            pos += 1
+            if v & 0x80:
+                v, pos = read_varint(data, pos - 1)
+            pid = v
+        elif tag == 0x10:  # field 2 varint: name_id
+            v = data[pos]
+            pos += 1
+            if v & 0x80:
+                v, pos = read_varint(data, pos - 1)
+            nid = v
+        else:
+            pos = _skip_field(data, pos, tag & 7)
+    return {"k": T_IRI, "pid": pid, "nid": nid}
 
 
 def _decode_literal(data: bytes) -> dict:
-    t = {"k": T_LITERAL, "v": "", "lang": None, "dt": 0}
-    for field, _w, v in _fields(data):
-        if field == 1:
-            t["v"] = v.decode("utf-8")
-        elif field == 2:
-            t["lang"] = v.decode("utf-8")
-        elif field == 3:
-            t["dt"] = v
-    return t
+    lex, lang, dt = "", None, 0
+    pos, end = 0, len(data)
+    while pos < end:
+        tag = data[pos]
+        pos += 1
+        if tag & 0x80:
+            tag, pos = read_varint(data, pos - 1)
+        if tag == 0x0A or tag == 0x12:  # fields 1/2 bytes: lex / langtag
+            n = data[pos]
+            pos += 1
+            if n & 0x80:
+                n, pos = read_varint(data, pos - 1)
+            s = data[pos : pos + n].decode("utf-8")
+            pos += n
+            if tag == 0x0A:
+                lex = s
+            else:
+                lang = s
+        elif tag == 0x18:  # field 3 varint: datatype_id
+            v = data[pos]
+            pos += 1
+            if v & 0x80:
+                v, pos = read_varint(data, pos - 1)
+            dt = v
+        else:
+            pos = _skip_field(data, pos, tag & 7)
+    return {"k": T_LITERAL, "v": lex, "lang": lang, "dt": dt}
 
 
 def _decode_statement(data: bytes, quad: bool) -> dict:
-    row = {"kind": K_QUAD if quad else K_TRIPLE, "s": None, "p": None, "o": None}
-    if quad:
-        row["g"] = None
-    for field, _w, v in _fields(data):
+    s = p = o = g = None
+    pos, end = 0, len(data)
+    while pos < end:
+        tag = data[pos]
+        pos += 1
+        if tag & 0x80:
+            tag, pos = read_varint(data, pos - 1)
+        field, wire = tag >> 3, tag & 7
+        if wire != 2:
+            pos = _skip_field(data, pos, wire)
+            continue
+        n = data[pos]
+        pos += 1
+        if n & 0x80:
+            n, pos = read_varint(data, pos - 1)
+        v = data[pos : pos + n]
+        pos += n
         if 1 <= field <= 12:
-            key = ("s", "p", "o")[(field - 1) // 4]
             sel = (field - 1) % 4
             if sel == 0:
-                row[key] = _decode_iri(v)
+                term = _decode_iri(v)
             elif sel == 1:
-                row[key] = {"k": T_BNODE, "v": v.decode("utf-8")}
+                term = {"k": T_BNODE, "v": v.decode("utf-8")}
             elif sel == 2:
-                row[key] = _decode_literal(v)
+                term = _decode_literal(v)
             else:
                 sub = _decode_statement(v, quad=False)
-                row[key] = {
-                    "k": T_QUOTED, "s": sub["s"], "p": sub["p"], "o": sub["o"]
-                }
+                term = {"k": T_QUOTED, "s": sub["s"], "p": sub["p"], "o": sub["o"]}
+            slot = (field - 1) // 4
+            if slot == 0:
+                s = term
+            elif slot == 1:
+                p = term
+            else:
+                o = term
         elif field == 13:
-            row["g"] = _decode_iri(v)
+            g = _decode_iri(v)
         elif field == 14:
-            row["g"] = {"k": T_BNODE, "v": v.decode("utf-8")}
+            g = {"k": T_BNODE, "v": v.decode("utf-8")}
         elif field == 15:
-            row["g"] = {"k": T_DEFAULT_GRAPH}
+            g = {"k": T_DEFAULT_GRAPH}
         elif field == 16:
-            row["g"] = _decode_literal(v)
+            g = _decode_literal(v)
+    row = {"kind": K_QUAD if quad else K_TRIPLE, "s": s, "p": p, "o": o}
+    if quad:
+        row["g"] = g
     return row
 
 
@@ -371,15 +433,27 @@ def _decode_options(v: bytes) -> dict:
 
 
 def decode_row(data: bytes) -> dict:
-    it = _fields(data)
-    try:
-        kind, _w, v = next(it)
-    except StopIteration:
-        raise ValueError("empty RdfStreamRow") from None
-    if kind == K_OPTIONS:
-        return _decode_options(v)
+    if not data:
+        raise ValueError("empty RdfStreamRow")
+    # inline first-field read (the oneof kind tag; every kind here is
+    # <= 11 so the tag is one byte on conforming streams)
+    tag = data[0]
+    pos = 1
+    if tag & 0x80:
+        tag, pos = read_varint(data, 0)
+    kind, wire = tag >> 3, tag & 7
+    if wire == 2:
+        n = data[pos]
+        pos += 1
+        if n & 0x80:
+            n, pos = read_varint(data, pos - 1)
+        v = data[pos : pos + n]
+    else:
+        v, _pos = (read_varint(data, pos) if wire == 0 else (data[pos:], pos))
     if kind in (K_TRIPLE, K_QUAD):
         return _decode_statement(v, quad=kind == K_QUAD)
+    if kind == K_OPTIONS:
+        return _decode_options(v)
     if kind == K_GRAPH_START:
         row = {"kind": K_GRAPH_START, "g": {"k": T_DEFAULT_GRAPH}}
         for field, _fw, fv in _fields(v):
@@ -429,10 +503,22 @@ def encode_frame(rows: Iterable[dict]) -> bytes:
 
 def decode_frame(data: bytes) -> list[dict]:
     rows = []
-    for field, wire, v in _fields(data):
-        if field == 1 and wire == 2:
-            rows.append(decode_row(v))
-        # any other frame field (e.g. v1.1 metadata) is skipped leniently
+    pos, end = 0, len(data)
+    while pos < end:
+        tag = data[pos]
+        pos += 1
+        if tag & 0x80:
+            tag, pos = read_varint(data, pos - 1)
+        if tag == 0x0A:  # field 1 wire 2: one RdfStreamRow
+            n = data[pos]
+            pos += 1
+            if n & 0x80:
+                n, pos = read_varint(data, pos - 1)
+            rows.append(decode_row(data[pos : pos + n]))
+            pos += n
+        else:
+            # any other frame field (e.g. v1.1 metadata) skips leniently
+            pos = _skip_field(data, pos, tag & 7)
     return rows
 
 
