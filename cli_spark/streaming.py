@@ -390,6 +390,50 @@ def streaming_lsh_candidates(
     )
 
 
+def streaming_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Decontaminate-at-ingest: flag every streaming TRAINING document
+    that shares at least one word ``n``-gram with the static BENCHMARK
+    set — the streaming form of :func:`cli_spark.ops.dedup.decontaminate`
+    (same gram recipe, same wide 64-bit hashes), for filtering eval
+    contamination as a corpus is ingested rather than in a batch pass.
+
+    Shape: the stream side is a zero-shuffle explode (per-row gram
+    array, no pre-distinct); the benchmark side is a bounded eval suite,
+    so its distinct gram set is a STATIC broadcast — a stream-static
+    join is stateless in Structured Streaming. The only state is the
+    ``dropDuplicates`` on the flagged ids (hits are rare by
+    construction; one key per contaminated doc).
+
+    Returns a streaming DataFrame of (id) — contaminated document ids,
+    append mode, each id once."""
+    from .ops.dedup import shingles  # noqa: PLC0415
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    step = train.select(F.col(id_col).cast("long").alias("id"), words.alias("words"))
+    size = F.size(F.col("words"))
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("words"), i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
+    step = step.select("id", grams.alias("grams"))
+    tg = step.select(
+        "id", F.explode(F.col("grams")).alias("g")
+    ).select("id", F.xxhash64("g").alias("h"))
+    bg = F.broadcast(shingles(bench, id_col, text_col, n, wide=True).select("h"))
+    return tg.join(bg, "h", "left_semi").select("id").dropDuplicates(["id"])
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a bounded stream to completion synchronously (test harness):
     memory sink + processAllAvailable."""

@@ -192,3 +192,42 @@ def test_streaming_lsh_bucket_cap(spark, tmp_path):
     }
     # ids 0,1,2 enter each bucket (ascending order within the trigger)
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Contaminated-id set from the stream-static join equals the batch
+    decontaminate() ids on the same data (same gram recipe and hashes),
+    regardless of micro-batch splits."""
+    import os
+
+    from cli_spark.ops.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark question about ancient rome empire"),
+         (1, "compute the derivative of x squared plus three x")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (10, "notes on the secret benchmark question about ancient rome empire and more"),
+        (11, "a completely unrelated training document about cooking pasta"),
+        (12, "students must compute the derivative of x squared plus three x today"),
+        (13, "another innocent doc with no overlap whatsoever in any span"),
+        (14, "short doc"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "train")
+    os.makedirs(d)
+    train.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d + "/f1")
+    train.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(d + "/f2")
+    schema = spark.read.parquet(d + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    S.run_to_memory_sink(S.streaming_decontaminate(stream, bench), "decon_out")
+    got = {r.id for r in spark.sql("SELECT * FROM decon_out").collect()}
+    want = {r.id for r in decontaminate(train, bench, "doc_id", "text").collect()}
+    assert got == want
+    assert want == {10, 12}
