@@ -92,3 +92,33 @@ def test_cli_jsonld_context_flag(spark, tmp_path):
         "rdf", "from-jelly", jelly, "--to", str(tmp_path / "o.nq"),
         "--jsonld-context", str(ctx),
     ]) == 1
+
+
+def test_cli_quads_to_triples_sink_guard(spark, tmp_path):
+    """P4 through the CLI: a QUADS .jelly decoded into a triples-only
+    output errors (exit 1, frames-level tag-peek guard) unless
+    --merge-graphs drops the graph names."""
+    src = str(tmp_path / "g.nq")
+    with open(src, "w") as fh:
+        fh.write('<kg:s1> <kg:p> "a" <kg:g1> .\n')
+        fh.write('<kg:s2> <kg:p> "b" <kg:g2> .\n')
+        fh.write('<kg:s3> <kg:p> "c" .\n')
+    jelly = str(tmp_path / "g.jelly")
+    assert main(["rdf", "to-jelly", src, "--to", jelly]) == 0
+    # triples-only sink: refused
+    assert main(["rdf", "from-jelly", jelly, "--to", str(tmp_path / "out.nt")]) == 1
+    # --merge-graphs: graphs dropped, accepted
+    out = str(tmp_path / "merged.nt")
+    assert main(
+        ["rdf", "from-jelly", jelly, "--to", out, "--merge-graphs", "--single-file"]
+    ) == 0
+    import os as _os
+
+    part = next(p for p in _os.listdir(out) if p.startswith("part-"))
+    with open(_os.path.join(out, part)) as fh:
+        lines = set(fh.read().splitlines())
+    assert lines == {
+        '<kg:s1> <kg:p> "a" .',
+        '<kg:s2> <kg:p> "b" .',
+        '<kg:s3> <kg:p> "c" .',
+    }
