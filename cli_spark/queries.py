@@ -2381,3 +2381,234 @@ def q63_turtle_roundtrip(spark, sf_dir):
         "obj",
         F.when(F.col("obj_kind") == 2, F.lit(2)).otherwise(F.lit(0)).alias("obj_kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation battery (ops.curation): the training-data stages between
+# extraction and training — repetition quality signals, PII scrubbing,
+# deterministic splits/shards, sequence packing, vocabulary stats. Extends
+# the reference's per-record inspect/aggregate surface (RdfInspect.scala:84-122)
+# to document curation.
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = (
+    "WITH toks AS (" + TOKENS_SQL + "),\n"
+    """
+    lines AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), l -> l <> '')) AS line
+      FROM documents
+    ),
+    lc AS (SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line),
+    ls AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_line_frac,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS DOUBLE)
+               / SUM(cnt * length(line)) AS dup_line_char_frac
+      FROM lc GROUP BY doc_id
+    ),
+    tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token),
+    ts AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_token_frac
+      FROM tc GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, token || ' ' || LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM toks
+      ) WHERE g IS NOT NULL
+    ),
+    gc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g),
+    gs AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+             CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac
+      FROM gc GROUP BY doc_id
+    )
+    SELECT COALESCE(ls.doc_id, ts.doc_id) AS id,
+           COALESCE(n_lines, 0) AS n_lines,
+           COALESCE(dup_line_frac, 0.0) AS dup_line_frac,
+           COALESCE(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(dup_token_frac, 0.0) AS dup_token_frac,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM ls FULL JOIN ts ON ls.doc_id = ts.doc_id
+    LEFT JOIN gs ON COALESCE(ls.doc_id, ts.doc_id) = gs.doc_id
+    ORDER BY id
+    """
+)
+
+
+@query(
+    "q65_repetition_stats",
+    oracle=_REPETITION_SQL,
+    doc="Gopher-style repetition quality signals per document "
+    "(ops.curation.repetition_stats): duplicate-line count/char "
+    "fractions, duplicate-token fraction, top-bigram coverage. Two "
+    "shuffles keyed by (doc, unit) with map-side combine; extends the "
+    "reference's per-record inspect stats (A1-A4) to curation filters.",
+)
+def q65_repetition_stats(spark, sf_dir):
+    from cli_spark.ops.curation import repetition_stats
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text").orderBy("id")
+
+
+# Deterministic PII planting: the synthetic corpus carries no PII, so the
+# battery query appends md5-free arithmetic-derived spans (email, IPv4,
+# phone) to every document before scrubbing — the operator itself is
+# general (ops.curation.PII_PATTERNS).
+from cli_spark.ops.curation import EMAIL_RX as _EMAIL_RX  # noqa: E402
+from cli_spark.ops.curation import IPV4_RX as _IPV4_RX  # noqa: E402
+from cli_spark.ops.curation import PHONE_RX as _PHONE_RX  # noqa: E402
+
+_PLANT_SQL = (
+    "SELECT doc_id, text || ' contact user' || doc_id || '@ex' || (doc_id % 7)"
+    " || '.org via 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)"
+    " || ' call +1-555 ' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)"
+    " AS t FROM documents"
+)
+
+_PII_SQL = (
+    "WITH planted AS (" + _PLANT_SQL + "),\n"
+    "red AS (SELECT doc_id, t, regexp_replace(regexp_replace(regexp_replace(t, '"
+    + _EMAIL_RX
+    + "', '[EMAIL]', 'g'), '"
+    + _IPV4_RX
+    + "', '[IPV4]', 'g'), '"
+    + _PHONE_RX
+    + "', '[PHONE]', 'g') AS redacted FROM planted)\n"
+    "SELECT doc_id AS id,\n"
+    "  len(regexp_extract_all(t, '" + _EMAIL_RX + "')) AS n_email,\n"
+    "  len(regexp_extract_all(t, '" + _IPV4_RX + "')) AS n_ipv4,\n"
+    "  len(regexp_extract_all(t, '" + _PHONE_RX + "')) AS n_phone,\n"
+    "  length(redacted) AS n_redacted_chars, md5(redacted) AS redacted_sha\n"
+    "FROM red ORDER BY id"
+)
+
+
+@query(
+    "q66_pii_scrub",
+    oracle=_PII_SQL,
+    doc="PII scrubbing (ops.curation.pii_scrub): per-pattern match "
+    "counts + chained redaction, verified via redacted-text md5. "
+    "Zero-shuffle whole-stage-codegen columnar map (regexp_extract_all "
+    "+ regexp_replace; RE2/Java-regex-portable patterns). The corpus "
+    "has no PII, so deterministic spans are planted first.",
+)
+def q66_pii_scrub(spark, sf_dir):
+    from cli_spark.ops.curation import pii_scrub
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" call +1-555 "),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("t"),
+    )
+    return pii_scrub(planted, "doc_id", "t").orderBy("id")
+
+
+_SPLIT_SQL = """
+    SELECT doc_id AS id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 16 AS shard,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT AS ord
+    FROM documents ORDER BY id
+"""
+
+
+@query(
+    "q67_split_shard",
+    oracle=_SPLIT_SQL,
+    doc="Deterministic train/val/test split + shard + shuffle-order "
+    "assignment from md5(id) (ops.curation.deterministic_split): "
+    "engine-, partitioning- and rerun-stable — the property a "
+    "decontamination-safe split needs. Pure projection, zero shuffle.",
+)
+def q67_split_shard(spark, sf_dir):
+    from cli_spark.ops.curation import deterministic_split
+
+    d = load(spark, sf_dir, "documents")
+    return deterministic_split(d, "doc_id").orderBy("id")
+
+
+_PACK_SQL = """
+    WITH keyed AS (
+      SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 8 AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT AS ord
+      FROM documents
+    ),
+    cum AS (
+      SELECT id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM keyed
+    )
+    SELECT id, shard, n_tokens, cum_before,
+           CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin
+    FROM cum ORDER BY id
+"""
+
+
+@query(
+    "q68_pack_bins",
+    oracle=_PACK_SQL,
+    doc="Contiguous-fill sequence packing (ops.curation.pack_bins): "
+    "deterministic md5 shuffle order within md5 shards, window cumsum "
+    "per shard, bin = floor(cum_before/max_len). Window parallelism = "
+    "shard count (never a single-task global sort; plan-audited). The "
+    "strict-capacity next-fit variant is pack_sequences_nextfit "
+    "(applyInPandas per shard, invariant-tested in tests/test_curation).",
+)
+def q68_pack_bins(spark, sf_dir):
+    from cli_spark.ops.curation import pack_bins
+
+    d = load(spark, sf_dir, "documents")
+    return pack_bins(d, "doc_id", "n_chars", max_len=2048, n_shards=8).orderBy("id")
+
+
+_DOCFREQ_SQL = (
+    "WITH toks AS (" + TOKENS_SQL + "),\n"
+    """
+    dfreq AS (
+      SELECT token, COUNT(*) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+    ),
+    tfreq AS (SELECT token, COUNT(*) AS term_freq FROM toks GROUP BY token)
+    SELECT dfreq.token AS token, doc_freq, term_freq
+    FROM dfreq JOIN tfreq USING (token) ORDER BY token
+    """
+)
+
+
+@query(
+    "q69_doc_frequency",
+    oracle=_DOCFREQ_SQL,
+    doc="Corpus vocabulary statistics (ops.curation.doc_frequency): "
+    "per-token document frequency (distinct-per-doc explode) + total "
+    "term frequency, one partial-aggregated groupBy each. Integer "
+    "outputs only; IDF is a client-side transform of exact counts.",
+)
+def q69_doc_frequency(spark, sf_dir):
+    from cli_spark.ops.curation import doc_frequency
+
+    d = load(spark, sf_dir, "documents")
+    return doc_frequency(d, "doc_id", "text").orderBy("token")
