@@ -45,6 +45,7 @@ HEADLINE_QUERIES = [
     "q30_minhash_signatures",
     "q36_text_stats",
     "q44_embedding_neardup",
+    "q65_repetition_stats",
     "q47_rollup_revenue",
     "q50_jelly_roundtrip",
 ]
