@@ -329,3 +329,64 @@ def doc_frequency(
         )
         .filter(F.col("doc_freq") >= min_df)
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | None = None,
+    rates: dict[str, float] | None = None,
+    strata_col: str | None = None,
+    salt: str = "s0",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic (seedless-rerun-stable) Bernoulli sampling: keep a
+    row iff ``md5(id || ':' || salt)``'s first 8 hex digits, mod 10^6,
+    fall under rate·10^6. Unlike ``df.sample`` the decision is a pure
+    function of (id, salt) — stable across reruns, partitionings, and
+    engines, so a downstream join of two independently sampled tables
+    sees consistent membership.
+
+    ``fraction`` applies one rate to all rows; ``rates`` +
+    ``strata_col`` gives per-stratum keep rates (quality-weighted
+    corpus mixing), falling back to ``default_rate``. Zero shuffle —
+    a filter projection that pushes down onto the scan.
+    """
+    if (fraction is None) == (rates is None):
+        raise ValueError("exactly one of fraction / rates is required")
+    bucket = _md5_bucket(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)), 1, 8, 1_000_000
+    )
+    if fraction is not None:
+        thresh = F.lit(int(fraction * 1_000_000))
+    else:
+        assert strata_col is not None, "rates requires strata_col"
+        thresh = F.lit(int(default_rate * 1_000_000))
+        for value, rate in rates.items():
+            thresh = F.when(
+                F.col(strata_col) == value, F.lit(int(rate * 1_000_000))
+            ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum quantiles of a numeric column. ``exact=True`` uses
+    the sort-based exact `percentile` aggregate (linear interpolation,
+    bit-identical to DuckDB's `quantile_cont` — verified); at 100 TB
+    switch ``exact=False`` for `approx_percentile` (mergeable KLL-style
+    sketch, one partial-aggregated pass, no per-group sort) — same
+    schema, rank error ≤ 1/10000.
+    """
+    fn = F.percentile if exact else (
+        lambda c, q: F.percentile_approx(c, q, 10000).cast("double")
+    )
+    aggs = [
+        fn(F.col(value_col), q).alias(f"p{int(q * 100)}") for q in quantiles
+    ] + [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(strata_col).agg(*aggs)

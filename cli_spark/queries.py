@@ -2612,3 +2612,58 @@ def q69_doc_frequency(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return doc_frequency(d, "doc_id", "text").orderBy("token")
+
+
+_SAMPLE_SQL = """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(doc_id || ':s0'), 1, 8))::BIGINT % 1000000 <
+      CASE source WHEN 'src0' THEN 100000 WHEN 'src1' THEN 500000
+                  WHEN 'src2' THEN 900000 ELSE 700000 END
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "q70_weighted_sample",
+    oracle=_SAMPLE_SQL,
+    doc="Quality-weighted deterministic downsampling "
+    "(ops.curation.deterministic_sample): per-source keep rates via a "
+    "pure md5(id:salt) membership function — rerun/partitioning/engine "
+    "stable, zero shuffle, filter pushes onto the scan. The corpus-"
+    "mixing stage of a pretraining pipeline.",
+)
+def q70_weighted_sample(spark, sf_dir):
+    from cli_spark.ops.curation import deterministic_sample
+
+    d = load(spark, sf_dir, "documents")
+    return deterministic_sample(
+        d,
+        "doc_id",
+        rates={"src0": 0.1, "src1": 0.5, "src2": 0.9},
+        strata_col="source",
+        default_rate=0.7,
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+_QUANTILES_SQL = """
+    SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query(
+    "q71_grouped_quantiles",
+    oracle=_QUANTILES_SQL,
+    doc="Per-stratum exact quantiles (ops.curation.grouped_quantiles): "
+    "sort-based percentile, linear interpolation bit-identical to "
+    "DuckDB quantile_cont (verified incl. ulp-sensitive cases); "
+    "exact=False switches to the mergeable approx_percentile sketch "
+    "for the 100 TB path (same schema, one partial-agg pass).",
+)
+def q71_grouped_quantiles(spark, sf_dir):
+    from cli_spark.ops.curation import grouped_quantiles
+
+    d = load(spark, sf_dir, "documents")
+    return grouped_quantiles(d, "lang", "n_chars").orderBy("lang")

@@ -145,3 +145,66 @@ def test_doc_frequency_counts(spark):
     assert out == {"a": (1, 2), "b": (3, 3), "c": (1, 1)}
     out2 = doc_frequency(df, "doc_id", "text", min_df=2).collect()
     assert [r["token"] for r in out2] == ["b"]
+
+
+def test_deterministic_sample_stability_and_rates(spark):
+    from cli_spark.ops.curation import deterministic_sample
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    a = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(df, "doc_id", fraction=0.3).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(
+            df.repartition(17), "doc_id", fraction=0.3
+        ).collect()
+    )
+    assert a == b  # membership is a pure function of (id, salt)
+    assert 0.27 < len(a) / 10000 < 0.33
+    c = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(df, "doc_id", fraction=0.3, salt="s1").collect()
+    )
+    assert c != a  # different salt, different (same-sized) sample
+    assert 0.27 < len(c) / 10000 < 0.33
+
+
+def test_deterministic_sample_strata_rates(spark):
+    from cli_spark.ops.curation import deterministic_sample
+
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep_most").otherwise("keep_few").alias("src"),
+    )
+    out = deterministic_sample(
+        df, "doc_id", rates={"keep_most": 0.9, "keep_few": 0.1}, strata_col="src"
+    ).groupBy("src").count().collect()
+    got = {r["src"]: r["count"] / 4000 for r in out}
+    assert 0.85 < got["keep_most"] < 0.95
+    assert 0.07 < got["keep_few"] < 0.13
+
+
+def test_deterministic_sample_arg_validation(spark):
+    from cli_spark.ops.curation import deterministic_sample
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", fraction=0.5, rates={"a": 0.1})
+
+
+def test_grouped_quantiles_exact_vs_approx(spark):
+    from cli_spark.ops.curation import grouped_quantiles
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") * 3 % 997).alias("v")
+    )
+    exact = grouped_quantiles(df, "g", "v").orderBy("g")
+    approx = grouped_quantiles(df, "g", "v", exact=False).orderBy("g")
+    assert exact.columns == approx.columns == ["g", "p50", "p90", "n"]
+    for e, a in zip(exact.collect(), approx.collect()):
+        assert abs(e["p50"] - a["p50"]) <= 10  # sketch ≈ exact at this accuracy
+        assert e["n"] == a["n"]
