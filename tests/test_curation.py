@@ -208,3 +208,48 @@ def test_grouped_quantiles_exact_vs_approx(spark):
     for e, a in zip(exact.collect(), approx.collect()):
         assert abs(e["p50"] - a["p50"]) <= 10  # sketch ≈ exact at this accuracy
         assert e["n"] == a["n"]
+
+
+def test_repetition_stats_differential_random(spark):
+    """Differential: Spark operator vs an independent pure-Python
+    computation over 40 seeded random multi-line docs (token/line dup
+    fractions have subtle beyond-first vs all-occurrences definitions —
+    pin them)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(4242)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for i in range(40):
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 5))
+        ]
+        rows.append((i, "\n".join(lines)))
+    df = _docs(spark, rows)
+    got = {r["id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+    for i, text in rows:
+        lines = [ln for ln in text.split("\n") if ln != ""]
+        lc = Counter(lines)
+        toks = [t for t in text.split() if t != ""]
+        tc = Counter(toks)
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        gc = Counter(grams)
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        assert r["dup_line_frac"] == pytest.approx(
+            (len(lines) - len(lc)) / len(lines)
+        )
+        tot_chars = sum(len(ln) * c for ln, c in lc.items())
+        dup_chars = sum(len(ln) * c for ln, c in lc.items() if c > 1)
+        assert r["dup_line_char_frac"] == pytest.approx(dup_chars / tot_chars)
+        assert r["n_tokens"] == len(toks)
+        assert r["dup_token_frac"] == pytest.approx((len(toks) - len(tc)) / len(toks))
+        if grams:
+            assert r["n_bigrams"] == len(grams)
+            assert r["top_bigram_frac"] == pytest.approx(
+                max(gc.values()) / len(grams)
+            )
+        else:
+            assert r["n_bigrams"] == 0 and r["top_bigram_frac"] == 0.0
