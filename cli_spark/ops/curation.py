@@ -57,84 +57,95 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     - ``n_bigrams`` / ``top_bigram_frac`` — coverage of the single most
       frequent word bigram.
 
-    Shape: explode → groupBy(id, unit) → per-id agg. Two shuffles, both
-    keyed by (id, unit) with map-side combine; skew is bounded by the
-    largest single document. No Python, no global window.
+    Shape: every signal is doc-local, so the whole operator is ONE
+    zero-shuffle columnar pass — no explode, no groupBy, no window.
+    Duplicate fractions come from `array_distinct` sizes; duplicated
+    character mass and top-bigram coverage come from a run-length scan
+    of the sorted unit array (`array_sort` + `F.aggregate`,
+    O(n log n) per document, all JVM expression codegen). At 100 TB
+    this keeps the repetition filter embarrassingly parallel — the
+    explode → groupBy(doc, unit) formulation would shuffle the entire
+    corpus twice for per-document answers.
     """
-    ident = F.col(id_col).alias("id")
-    lines = (
-        df.select(ident, F.explode(F.split(F.col(text_col), "\n")).alias("line"))
-        .filter(F.col("line") != "")
-        .groupBy("id", "line")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.sum("cnt").alias("n_lines"),
-            (
-                (F.sum("cnt") - F.count(F.lit(1))).cast("double") / F.sum("cnt")
-            ).alias("dup_line_frac"),
-            (
-                F.sum(
-                    F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(
-                        F.lit(0)
-                    )
-                ).cast("double")
-                / F.sum(F.col("cnt") * F.length("line"))
-            ).alias("dup_line_char_frac"),
+
+    def _frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    # run-length scan over a sorted array: total duplicated character
+    # mass (runs of length > 1, all occurrences) and longest run.
+    def _run_scan(sorted_arr):
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dupchars"),
+            F.lit(0).cast("long").alias("best"),
         )
+
+        def step(acc, x):
+            same = acc["prev"] == x
+            flushed_dup = acc["dupchars"] + F.when(
+                (~same) & (acc["run"] > 1), acc["run"] * F.length(acc["prev"])
+            ).otherwise(F.lit(0))
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                flushed_dup.alias("dupchars"),
+                F.greatest(
+                    acc["best"], F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+                ).alias("best"),
+            )
+
+        def finish(acc):
+            return F.struct(
+                (
+                    acc["dupchars"]
+                    + F.when(
+                        acc["run"] > 1, acc["run"] * F.length(acc["prev"])
+                    ).otherwise(F.lit(0))
+                ).alias("dupchars"),
+                acc["best"].alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, init, step, finish)
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    toks = df.select(
-        ident,
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("toks"),
+    base = df.select(
+        F.col(id_col).alias("id"),
+        lines.alias("_lines"),
+        toks.alias("_toks"),
+        grams.alias("_grams"),
+    ).select(
+        "id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("_lines")).cast("long").alias("_nl_d"),
+        _run_scan(F.array_sort("_lines"))["dupchars"].alias("_dup_chars"),
+        F.aggregate(
+            "_lines", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("_tot_chars"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("_nt_d"),
+        F.size("_grams").cast("long").alias("n_bigrams"),
+        _run_scan(F.array_sort("_grams"))["best"].alias("_top_gram"),
     )
-    tok_stats = (
-        toks.select("id", F.explode("toks").alias("token"))
-        .groupBy("id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            (
-                (F.sum("cnt") - F.count(F.lit(1))).cast("double") / F.sum("cnt")
-            ).alias("dup_token_frac"),
-        )
-    )
-    bigrams = (
-        toks.select(
-            "id",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
-                    F.slice(
-                        F.col("toks"),
-                        2,
-                        F.greatest(F.size("toks") - 1, F.lit(0)),
-                    ),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("gram"),
-        )
-        .groupBy("id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("id")
-        .agg(
-            F.sum("cnt").alias("n_bigrams"),
-            (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
-        )
-    )
-    return (
-        lines.join(tok_stats, "id", "full")
-        .join(bigrams, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
-            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("dup_token_frac", F.lit(0.0)).alias("dup_token_frac"),
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-        )
+    return base.select(
+        "id",
+        "n_lines",
+        _frac(F.col("n_lines") - F.col("_nl_d"), F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        _frac(F.col("_dup_chars"), F.col("_tot_chars")).alias("dup_line_char_frac"),
+        "n_tokens",
+        _frac(F.col("n_tokens") - F.col("_nt_d"), F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        "n_bigrams",
+        _frac(F.col("_top_gram"), F.col("n_bigrams")).alias("top_bigram_frac"),
     )
 
 
