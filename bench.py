@@ -179,10 +179,21 @@ def _load_precomputed_scaling() -> dict | None:
         return None
 
 
-def _scaling_leg(master: str, label: str, cores: int, n_files: int) -> dict:
+def _scaling_leg(
+    master: str,
+    label: str,
+    cores: int,
+    n_files: int,
+    timeout: float | None = None,
+) -> dict:
     """One probe leg in a fresh subprocess: a reused driver JVM carries
     heap/cache state from the previous leg and contaminates the second
-    measurement (observed 2-3x swings when both legs share a process)."""
+    measurement (observed 2-3x swings when both legs share a process).
+
+    ``timeout`` (seconds) kills the subprocess and returns
+    ``{"timeout": True}`` — used by scripts/window_watcher.py to abort a
+    gate trial early once the wall time alone proves the window is
+    degraded (a quiet 4x2/500k leg finishes in ~77 s)."""
     import subprocess
 
     # SPARK_GRAFT_SCALE_PARTITIONS sizes shuffle partitions explicitly
@@ -206,12 +217,16 @@ def _scaling_leg(master: str, label: str, cores: int, n_files: int) -> dict:
         "                  'triples_per_sec': round(nt / sec, 1)}))\n"
         "spark.stop()\n"
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return {"timeout": True, "timeout_seconds": timeout}
     last = proc.stdout.strip().rsplit("\n", 1)[-1]
     return json.loads(last)
 
