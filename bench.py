@@ -151,6 +151,14 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
         "total_seconds": total,
         "cpus": cpus,
     }
+    # Window quality: the pipeline leg is the same job as the quiet-window
+    # record (local[32], 500k files → 207,650 t/s on 2026-08-17), so the
+    # ratio self-reports how degraded the host was DURING this bench run
+    # (co-tenancy is invisible in load average — BENCH.md variance
+    # tables). <0.85 means the value is a co-tenancy lower bound, not an
+    # engine regression.
+    if n_files == 500_000 and str(cpus) == "32":
+        result["window_quality_vs_quiet_ref"] = round(tps / 207_650.0, 3)
     scaling = _load_precomputed_scaling()
     if scaling is not None:
         result["scaling"] = scaling
@@ -311,14 +319,22 @@ def _headline(res: dict) -> dict:
         "trials": res["pipeline"]["trials"],
         "estimator": "min",
         "detail": "BENCH_VERBOSE.json",
-        "scaling_efficiency": (
-            (res.get("scaling") or {}).get("executor_mode") or {}
-        ).get(
-            "scaling_efficiency_1_to_4",
-            (res.get("scaling") or {}).get("scaling_efficiency_1_to_4"),
-        ),
+        "window_quality_vs_quiet_ref": res.get("window_quality_vs_quiet_ref"),
+        "scaling_efficiency": _best_scaling_eff(res.get("scaling") or {}),
         "scaling_detail": "SCALING.json + BENCH.md",
     }
+
+
+def _best_scaling_eff(scaling: dict) -> float | None:
+    """The representative 1→4-executor efficiency for the headline:
+    prefer a gated quiet-window round-4 block, then the 2026-08-17
+    quiet-window grouped block, then a legacy flat layout."""
+    for key in ("executor_mode_r4_quiet", "executor_mode"):
+        blk = scaling.get(key) or {}
+        eff = blk.get("scaling_efficiency_1_to_4")
+        if eff is not None:
+            return eff
+    return scaling.get("scaling_efficiency_1_to_4")
 
 
 if __name__ == "__main__":
