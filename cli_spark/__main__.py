@@ -317,9 +317,12 @@ def _dispatch(spark, args) -> int:
             if args.merge_graphs:
                 stmts = stmts.drop("graph")
             elif not out_fmt.supports_quads:
-                # P4 guard (RdfFromJelly.scala:144-153)
-                J.ensure_physical_frames(
-                    frames, {J.PHYSICAL_TRIPLES}, f"{out_fmt.full_name} output"
+                # P4 guard (RdfFromJelly.scala:144-153) — phys is already
+                # in hand from the tag-peek above; raise directly instead
+                # of re-scanning every frame a second time
+                J._raise_physical(
+                    phys - {J.PHYSICAL_TRIPLES} - {None},
+                    f"{out_fmt.full_name} output",
                 )
         write_kw = {}
         if args.jsonld_context is not None:

@@ -175,7 +175,14 @@ def canonical_bnode_labels(triples: DataFrame, rounds: int = REFINE_ROUNDS) -> D
                 )
             ).alias("h")
         ).localCheckpoint()
-    return labels.select("graph", "label", F.concat(F.lit("_:c"), F.col("h")).alias("canon"))
+    from .session import release_on_gc
+
+    return release_on_gc(
+        labels.select(
+            "graph", "label", F.concat(F.lit("_:c"), F.col("h")).alias("canon")
+        ),
+        occ,
+    )
 
 
 def canonicalize_bnodes(triples: DataFrame) -> DataFrame:
@@ -235,8 +242,12 @@ def precision_recall(
     """North-rule scorer: P = |E∩A|/|A|, R = |E∩A|/|E|."""
     e = expected.select(*keys).distinct().persist()
     a = actual.select(*keys).distinct().persist()
-    ne, na = e.count(), a.count()
-    ni = e.join(a, list(keys)).count()
+    try:
+        ne, na = e.count(), a.count()
+        ni = e.join(a, list(keys)).count()
+    finally:
+        e.unpersist()
+        a.unpersist()
     return {
         "n_expected": ne,
         "n_actual": na,
@@ -294,17 +305,43 @@ def validate_stream(rows: DataFrame) -> list[str]:
     ).count()
     if unresolved:
         problems.append(f"{unresolved} statement(s) with unresolved terms")
-    dup_ids = (
-        rows.filter(F.col("row_kind") == KIND_NAME)
-        .groupBy("seg", "name_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
+    # Re-assigning a previously-used entry id is LEGAL Jelly (bounded
+    # tables overwrite slots once full), so id reuse is not a problem.
+    # What IS a violation: an entry id above the table size the stream's
+    # own options declared — no decoder can store it.
+    from .jelly import KIND_DATATYPE, KIND_PREFIX
+
+    seg_limits = F.broadcast(
+        rows.filter(F.col("row_kind") == KIND_OPTIONS)
+        .groupBy("seg")
+        .agg(
+            F.max("opt_max_name").alias("_max_name"),
+            F.max("opt_max_prefix").alias("_max_prefix"),
+            F.max("opt_max_dt").alias("_max_dt"),
+        )
+    )
+    entry_limit = (
+        F.when(F.col("row_kind") == KIND_NAME, F.col("_max_name"))
+        .when(F.col("row_kind") == KIND_PREFIX, F.col("_max_prefix"))
+        .otherwise(F.col("_max_dt"))
+    )
+    oob_ids = (
+        rows.filter(
+            F.col("row_kind").isin(KIND_NAME, KIND_PREFIX, KIND_DATATYPE)
+        )
+        .join(seg_limits, "seg")
+        .filter(
+            entry_limit.isNotNull()
+            & (entry_limit > 0)
+            & (F.col("name_id") > entry_limit)
+        )
         .count()
     )
-    if dup_ids:
-        # legal Jelly (bounded-table id reuse) but a conformance signal
-        # for OUR encoder, which always emits unique explicit ids
-        problems.append(f"{dup_ids} reused name ids within a segment")
+    if oob_ids:
+        problems.append(
+            f"{oob_ids} dictionary entry id(s) exceed the declared "
+            f"lookup-table size"
+        )
     if "opt_flags" in rows.columns:
         s_kind = F.col("subj_kind")
         p_kind = F.col("pred_kind")

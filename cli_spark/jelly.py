@@ -534,6 +534,13 @@ def _pack_rows(pdf: "pd.DataFrame") -> tuple[int, bytes]:
             tag = TAGS[(p, 3)] if p != "g" else G_LIT
             return tag + _vb(len(body)) + body
         if k == T_QUOTED:
+            if p == "g":
+                # the real wire has no quoted-triple graph field
+                # (RdfQuad's graph oneof is iri/bnode/default/literal) —
+                # same typed error as jellywire._encode_statement
+                raise ValueError(
+                    f"term kind {k} invalid in graph position"
+                )
             body = JW._encode_statement(json.loads(vals[p][i]), quad=False)
             return TAGS[(p, 4)] + _vb(len(body)) + body
         # default graph (graph position only)
@@ -1014,7 +1021,9 @@ def _encode_segments_fused(
                 pdf.loc[m, "n_rows"] += 1
             yield pdf[["seg", "frame_index", "n_rows", "frame_bytes"]]
 
-    return enc.mapInPandas(patch, FRAME_SCHEMA)
+    from .session import release_on_gc
+
+    return release_on_gc(enc.mapInPandas(patch, FRAME_SCHEMA), enc)
 
 
 def _encode_statements(
@@ -1463,9 +1472,15 @@ def _encode_statements_joins(
         all_rows = all_rows.unionByName(b)
     # seg_rows is a multiple of rows_per_frame ⇒ each frame belongs to
     # exactly one segment; grouping carries both for the output schema.
-    return all_rows.groupBy("seg", "frame_index").applyInPandas(
+    from .session import release_on_gc
+
+    frames_out = all_rows.groupBy("seg", "frame_index").applyInPandas(
         _encode_group_fn(), FRAME_SCHEMA
     )
+    cached = [dict_full, dt_dict] + (
+        [prefix_dict] if prefix_dict is not None else []
+    )
+    return release_on_gc(frames_out, *cached)
 
 
 def encode_triples(
@@ -1696,11 +1711,19 @@ def assign_segments(rows: DataFrame) -> DataFrame:
     w = W.partitionBy("seg").orderBy("frame_index", "row_pos").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
+    sub = (
+        F.sum(
+            F.when(F.col("row_kind") == KIND_OPTIONS, 1).otherwise(0)
+        ).over(w)
+        - 1
+    )
+    # composite struct key, NOT seg*K+sub arithmetic: file segs come from
+    # monotonically_increasing_id (partitionId<<33 | row), so any
+    # multiplier overflows int64 once partition ids reach the thousands —
+    # exactly the many-file scan this exists for. Struct keys group,
+    # join, and order (field-wise) like any other column.
     return rows.withColumn(
-        "seg",
-        F.col("seg") * 1_000_000
-        + F.sum(F.when(F.col("row_kind") == KIND_OPTIONS, 1).otherwise(0)).over(w)
-        - 1,
+        "seg", F.struct(F.col("seg").alias("file"), sub.alias("sub"))
     )
 
 
@@ -1815,6 +1838,12 @@ def decode_quads(
     if take_frames is not None:
         lo, hi = take_frames
         qs = qs.filter(F.col("frame_index").between(lo, hi))
+    return _select_quad_cols(qs)
+
+
+def _select_quad_cols(qs: DataFrame) -> DataFrame:
+    """Full quad projection: every term position keeps its kind and
+    datatype/langtag annotations; default graph ⇒ all graph cols NULL."""
     not_default = F.col("graph_kind") != T_DEFAULT_GRAPH
     return qs.select(
         "subj", "pred", "obj", "obj_kind",
@@ -1831,15 +1860,10 @@ def decode_quads(
 def decode_quads_graphs(rows: DataFrame) -> DataFrame:
     """GRAPHS rows table → quads: the resolver attaches the enclosing
     GraphStart's graph to each triple row (the reference decoder's
-    `currentGraph` state), so this is a pure filter+select."""
-    trips = rows.filter(F.col("row_kind") == KIND_TRIPLE)
-    return trips.select(
-        "subj", "pred", "obj", "obj_kind",
-        F.when(F.col("graph_kind") == T_DEFAULT_GRAPH, F.lit(None))
-        .otherwise(F.col("graph"))
-        .alias("graph"),
-        "frame_index",
-    )
+    `currentGraph` state), so this is a pure filter+select. Carries the
+    same full projection as :func:`decode_quads` — typed/langtagged
+    literals must survive a GRAPHS-physical decode too."""
+    return _select_quad_cols(rows.filter(F.col("row_kind") == KIND_TRIPLE))
 
 
 def roundtrip(spark: SparkSession, triples: DataFrame, **kw) -> DataFrame:
@@ -1851,9 +1875,13 @@ def roundtrip(spark: SparkSession, triples: DataFrame, **kw) -> DataFrame:
     frames persist first — they are the in-memory analog of the .jelly
     file both jobs would otherwise read — so the peek does not re-run
     the encode."""
+    from .session import release_on_gc
+
     frames = encode_triples(spark, triples, **kw).persist()
     ensure_physical_frames(frames, {PHYSICAL_TRIPLES}, "a triples-only sink")
-    return decode_triples(decode_frames(frames), strict=False)
+    return release_on_gc(
+        decode_triples(decode_frames(frames), strict=False), frames
+    )
 
 
 def roundtrip_quads(spark: SparkSession, quads: DataFrame, **kw) -> DataFrame:
@@ -2340,7 +2368,12 @@ def transcode_frames(
             out, columns=["seg", "frame_index", "n_rows", "frame_bytes"]
         )
 
-    return tagged.groupBy("stream", "seg").applyInPandas(shift_fn, FRAME_SCHEMA)
+    from .session import release_on_gc
+
+    return release_on_gc(
+        tagged.groupBy("stream", "seg").applyInPandas(shift_fn, FRAME_SCHEMA),
+        tagged,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -328,11 +328,16 @@ def link_near_dup_files(
         ids.select(F.col("fid").alias("right_fid"), F.col("file_iri").alias("right_iri")),
         "right_fid",
     )
-    return decoded.select(
-        F.col("left_iri").alias("subj"),
-        F.lit(PRED_SAME_AS).alias("pred"),
-        F.col("right_iri").alias("obj"),
-        F.lit(KIND_IRI).alias("obj_kind"),
+    from .session import release_on_gc
+
+    return release_on_gc(
+        decoded.select(
+            F.col("left_iri").alias("subj"),
+            F.lit(PRED_SAME_AS).alias("pred"),
+            F.col("right_iri").alias("obj"),
+            F.lit(KIND_IRI).alias("obj_kind"),
+        ),
+        sigs,
     )
 
 

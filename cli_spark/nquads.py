@@ -261,17 +261,21 @@ def _parse_lines_py(lines: DataFrame, text_col: str) -> DataFrame:
             for line in pdf[text_col]:
                 try:
                     t = _tokenize_terms_py(line)
-                except ValueError:
-                    # malformed/unterminated IRI: the JVM regex path
-                    # silently drops such lines — match that, don't
-                    # crash the task (divergent failure mode otherwise)
+                    if len(t) not in (3, 4):
+                        continue
+                    sv, sk, sdt, slang = _classify_py(t[0])
+                    pv, pk, pdt, plang = _classify_py(t[1])
+                    ov, ok, odt, olang = _classify_py(t[2])
+                    gv, gk, gdt, glang = _classify_py(
+                        t[3] if len(t) == 4 else None
+                    )
+                except (ValueError, AttributeError, IndexError):
+                    # malformed line (unterminated IRI/literal, truncated
+                    # term): the JVM regex path silently drops such lines
+                    # — match that, don't crash the task (divergent
+                    # failure mode otherwise). AttributeError covers
+                    # _classify_py's literal regex returning None.
                     continue
-                if len(t) not in (3, 4):
-                    continue
-                sv, sk, sdt, slang = _classify_py(t[0])
-                pv, pk, pdt, plang = _classify_py(t[1])
-                ov, ok, odt, olang = _classify_py(t[2])
-                gv, gk, gdt, glang = _classify_py(t[3] if len(t) == 4 else None)
                 rows.append(
                     (sv, sk, pv, pk, ov, ok, odt, olang, gv, gk,
                      sdt, slang, pdt, plang, gdt, glang)

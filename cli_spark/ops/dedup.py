@@ -104,8 +104,16 @@ def decontaminate(
     — the per-doc aggregation counts distinct after the (selective)
     join, so the only full shuffle is the final groupBy on the hits,
     which are rare by construction."""
-    tg = shingles(train, id_col, text_col, n, distinct=False, wide=True)
-    bg = shingles(bench, id_col, text_col, n, wide=True).select(
+    # Empty/whitespace-only docs share no CONTENT with anything — but
+    # shingles' whole-doc fallback would hash both sides to xxhash64(""),
+    # flagging every empty training doc as contaminated by any empty
+    # bench doc. Drop them before shingling (cheap codegen'd filter).
+    nonempty = F.trim(F.col(text_col)) != ""
+    tg = shingles(
+        train.filter(nonempty), id_col, text_col, n,
+        distinct=False, wide=True,
+    )
+    bg = shingles(bench.filter(nonempty), id_col, text_col, n, wide=True).select(
         F.col("id").alias("bench_id"), "h"
     )
     if broadcast_bench:
@@ -192,8 +200,13 @@ def minhash_lsh_pairs(
             / F.lit(num_perm),
         )
     )
-    return scored.filter(F.col("score") >= threshold).select(
-        "left_id", "right_id", "score"
+    from ..session import release_on_gc
+
+    return release_on_gc(
+        scored.filter(F.col("score") >= threshold).select(
+            "left_id", "right_id", "score"
+        ),
+        sigs,
     )
 
 
@@ -288,7 +301,11 @@ def ngram_jaccard(
             F.col("n_inter") / (F.col("n_left") + F.col("n_right") - F.col("n_inter")),
         )
     )
-    return out.select("left_id", "right_id", "n_inter", "jaccard")
+    from ..session import release_on_gc
+
+    return release_on_gc(
+        out.select("left_id", "right_id", "n_inter", "jaccard"), sh
+    )
 
 
 def select_survivors(

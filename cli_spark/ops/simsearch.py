@@ -388,11 +388,14 @@ def ivf_topk(
     else:
         scored = arrow_cosine(cand, "qv", "nv")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
-    return (
+    from ..session import release_on_gc
+
+    return release_on_gc(
         scored.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rnk")
+        .select("query_id", "neighbor_id", "cosine", "rnk"),
+        centroids,
     )
 
 

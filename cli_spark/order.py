@@ -47,6 +47,11 @@ def global_row_number(
     mapping = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
+    # NOTE: `local` must stay persisted for the life of the returned
+    # plan — NOT auto-released on GC. The offsets collected above are
+    # baked into the plan; repartitionByRange + spark_partition_id
+    # re-sample boundaries on recompute, so an unpersist-then-recompute
+    # silently pairs new pids with stale offsets (wrong ranks).
     return (
         local.withColumn(rn_col, mapping[F.col("_pid")] + F.col("_lidx"))
         .drop("_pid", "_lidx")
@@ -90,6 +95,8 @@ def global_prefix_sum(
         offsets[pid] = acc
         acc += totals[pid] or 0
     mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # same pinning contract as global_row_number: offsets are baked into
+    # the plan against THIS pid assignment — never auto-release `local`
     return (
         local.withColumn(out_col, mapping[F.col("_pid")] + F.col("_lcum"))
         .drop("_pid", "_lcum")

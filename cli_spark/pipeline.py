@@ -18,6 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _bucket_expr(n: int, col: str):
+    """bucket(n, col) partition transform — from the non-deprecated
+    module when available (pyspark>=4: functions.partitioning)."""
+    try:
+        from pyspark.sql.functions import partitioning
+
+        return partitioning.bucket(n, F.col(col))
+    except ImportError:
+        return F.bucket(n, F.col(col))
+
 from .canonicalize import canonical_map, rewrite_triples
 from .extract import extract_triples
 from .linking import link_modules_cross_lang, link_near_dup_files
@@ -67,13 +78,30 @@ def materialize_triples(
         "SPARK_GRAFT_ICEBERG"
     ) == "1"
     if use_iceberg:
-        table = iceberg_table or out_path  # catalog.db.table identifier
+        if iceberg_table is None:
+            raise ValueError(
+                "SPARK_GRAFT_ICEBERG=1 requires iceberg_table="
+                "<catalog.db.table>: a filesystem out_path is not a "
+                "catalog identifier"
+            )
+        # Order of operations matters: Iceberg's v2 write re-distributes
+        # rows by the partition spec AFTER any sortWithinPartitions we do
+        # here, so pre-sorting is wasted work. Instead stamp the table
+        # (schema + bucket spec + hash distribution), declare the sort
+        # order on the table, and let the append apply both — this is
+        # the clustering contract every later append inherits too.
+        spark = triples.sparkSession
         (
-            triples.sortWithinPartitions("subj", "pred", "obj")
-            .writeTo(table)
-            .partitionedBy(F.bucket(n_buckets, F.col("subj")))
+            triples.limit(0)
+            .writeTo(iceberg_table)
+            .partitionedBy(_bucket_expr(n_buckets, "subj"))
+            .tableProperty("write.distribution-mode", "hash")
             .createOrReplace()
         )
+        spark.sql(
+            f"ALTER TABLE {iceberg_table} WRITE ORDERED BY subj, pred"
+        )
+        triples.writeTo(iceberg_table).append()
         return
     (
         triples.withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
@@ -112,7 +140,36 @@ def run_kg_pipeline(
     # The source table feeds extract, both linkers, and the lineage
     # check — persist it once (the cluster analog is the Iceberg scan's
     # data locality; recomputing a synthetic generator 3× is pure waste).
+    # Every handle persisted here is released in the finally: the
+    # function returns a plain count, so nothing lazy escapes, and a
+    # long-lived session calling this in a loop must not accumulate
+    # executor storage.
     repos = repos.persist()
+    _cached: list[DataFrame] = [repos]
+    try:
+        return _run_kg_pipeline_body(
+            spark, repos, workdir, link_threshold, engine, check_lineage,
+            check_input, extract_chunks, _cached,
+        )
+    finally:
+        for df in _cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def _run_kg_pipeline_body(
+    spark: SparkSession,
+    repos: DataFrame,
+    workdir: str | None,
+    link_threshold: float,
+    engine: str,
+    check_lineage: bool,
+    check_input: bool,
+    extract_chunks: int,
+    _cached: list[DataFrame],
+) -> int:
     if check_input:
         dup = (
             repos.groupBy("repo", "path", "commit")
@@ -149,6 +206,7 @@ def run_kg_pipeline(
     if workdir is None:
         # no parquet checkpoint to re-read — persist across the 3 uses
         triples = triples.persist()
+        _cached.append(triples)
 
     def _link() -> DataFrame:
         near_dup = link_near_dup_files(repos, threshold=link_threshold)
@@ -158,6 +216,7 @@ def run_kg_pipeline(
     same_as = run_stage(spark, workdir, "20_link", _link, lineage_cols=["subj", "obj"])
     if workdir is None:
         same_as = same_as.persist()
+        _cached.append(same_as)
 
     def _canon() -> DataFrame:
         mapping = canonical_map(same_as.select("subj", "pred", "obj"))
@@ -171,6 +230,7 @@ def run_kg_pipeline(
         # no parquet checkpoint to re-read, persist so the canonicalize
         # joins run once
         canon = canon.persist()
+        _cached.append(canon)
 
     if check_lineage:
         assert lineage_violations(repos, canon) == 0, "lineage invariant violated"

@@ -1473,8 +1473,13 @@ def q25_jellytext_roundtrip(spark, sf_dir):
     # on the rows table would re-run the whole resolution as a probe job
     parsed = parse_jelly_text(text).persist()
     ensure_physical_frames(parsed, {PHYSICAL_TRIPLES}, "a triples-only sink")
-    return decode_triples(decode_frames(parsed), strict=False).select(
-        "subj", "pred", "obj", "obj_kind"
+    from .session import release_on_gc
+
+    return release_on_gc(
+        decode_triples(decode_frames(parsed), strict=False).select(
+            "subj", "pred", "obj", "obj_kind"
+        ),
+        parsed,
     )
 
 

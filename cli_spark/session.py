@@ -113,3 +113,36 @@ def warmup_python_workers(spark: SparkSession, partitions: int | None = None) ->
     spark.range(n * 4, numPartitions=n).mapInArrow(_arrow_noop, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+
+
+def release_on_gc(result, *cached):
+    """Unpersist ``cached`` DataFrames when ``result`` is garbage-collected.
+
+    Library functions that persist an intermediate AND return a lazy
+    DataFrame built on it cannot unpersist eagerly (the cache is the
+    point — e.g. roundtrip()'s encoded frames feed both the P4 peek and
+    the decode). But never unpersisting leaks executor storage in a
+    long-lived session that calls them in a loop. CPython refcounting
+    frees the returned handle as soon as the caller drops it, and this
+    finalizer releases the parents' storage at that moment.
+
+    ONLY safe when the parent recomputes deterministically: unpersist
+    means a later action may recompute the parent, and if driver-side
+    values were collected from the first materialization and baked into
+    the returned plan (offsets, declared sizes), a nondeterministic
+    recompute silently invalidates them. cli_spark.order pins pid
+    assignments exactly this way (repartitionByRange re-samples per
+    job) and therefore must NOT use this helper; the codec dictionaries
+    and signature kernels are pure functions of their input and may.
+    """
+    import weakref
+
+    def _release(dfs=cached):
+        for df in dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped / interpreter shutdown
+
+    weakref.finalize(result, _release)
+    return result

@@ -414,23 +414,22 @@ def streaming_decontaminate(
     append mode, each id once."""
     from .ops.dedup import shingles  # noqa: PLC0415
 
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    step = train.select(F.col(id_col).cast("long").alias("id"), words.alias("words"))
-    size = F.size(F.col("words"))
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(0), size - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("words"), i + j + 1) for j in range(n)]
-            ),
+    # Same gram recipe as the batch form — literally the same function
+    # (distinct=False keeps the stream side a stateless zero-shuffle
+    # explode), so the two paths cannot drift. Empty docs are dropped on
+    # both sides: an empty doc shares no content, and the whole-doc
+    # fallback would otherwise hash both sides to xxhash64("").
+    nonempty = F.trim(F.col(text_col)) != ""
+    tg = shingles(
+        train.filter(nonempty).withColumn(
+            id_col, F.col(id_col).cast("long")
         ),
-    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
-    step = step.select("id", grams.alias("grams"))
-    tg = step.select(
-        "id", F.explode(F.col("grams")).alias("g")
-    ).select("id", F.xxhash64("g").alias("h"))
-    bg = F.broadcast(shingles(bench, id_col, text_col, n, wide=True).select("h"))
+        id_col, text_col, n, distinct=False, wide=True,
+    )
+    bg = F.broadcast(
+        shingles(bench.filter(nonempty), id_col, text_col, n, wide=True)
+        .select("h")
+    )
     return tg.join(bg, "h", "left_semi").select("id").dropDuplicates(["id"])
 
 

@@ -182,6 +182,31 @@ def test_graphs_physical_roundtrip(spark):
     assert got == want
 
 
+def test_graphs_decode_keeps_typed_literals(spark):
+    """A GRAPHS-physical decode must preserve datatype/langtag
+    annotations — decode_quads_graphs once silently stripped them
+    (only decode_quads carried the full projection)."""
+    quads = spark.createDataFrame(
+        [
+            ("s1", "p", "5", 2, "kg:graph/a", "http://www.w3.org/2001/XMLSchema#integer", None),
+            ("s2", "p", "hei", 2, "kg:graph/a", None, "no"),
+            ("s3", "p", "o3", 0, None, None, None),
+        ],
+        "subj string, pred string, obj string, obj_kind int, graph string, "
+        "obj_datatype string, obj_lang string",
+    )
+    frames = J.encode_quads_graphs(spark, quads, rows_per_frame=4)
+    out = J.decode_quads_graphs(J.decode_frames(frames))
+    got = {
+        (r.subj, r.obj, r.obj_kind, r.graph, r.obj_datatype, r.obj_lang)
+        for r in out.collect()
+    }
+    assert ("s1", "5", 2, "kg:graph/a",
+            "http://www.w3.org/2001/XMLSchema#integer", None) in got
+    assert ("s2", "hei", 2, "kg:graph/a", None, "no") in got
+    assert ("s3", "o3", 0, None, None, None) in got
+
+
 def test_graphs_runs_span_frames(spark):
     """Graph state must survive frame boundaries: 40 quads in one graph
     with rows_per_frame=8 ⇒ the run spans ≥5 frames, later frames carry
@@ -195,6 +220,23 @@ def test_graphs_runs_span_frames(spark):
     out = J.decode_quads_graphs(rows)
     assert out.count() == 40
     assert out.filter(F.col("graph") == "kg:graph/only").count() == 40
+
+
+def test_quoted_graph_term_typed_error(spark):
+    """The real wire has no quoted-triple graph field (RdfQuad's graph
+    oneof is iri/bnode/default/literal): encoding one must raise the
+    typed 'invalid in graph position' error, not an opaque KeyError."""
+    import pytest
+
+    quads = spark.createDataFrame(
+        [("s", "p", "o", 0, '["<a>","<b>","<c>"]', 3)],
+        "subj string, pred string, obj string, obj_kind int, "
+        "graph string, graph_kind int",
+    )
+    with pytest.raises(Exception, match="invalid in graph position"):
+        # the fused encoder's declared-size job is eager, so the error
+        # can surface from encode_quads itself or from the collect
+        J.encode_quads(spark, quads).collect()
 
 
 def test_roundtrip_typed_literals(spark):

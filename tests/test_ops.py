@@ -349,3 +349,19 @@ def test_decontaminate_short_bench_doc(spark):
     )
     out = {r.id for r in D.decontaminate(train, bench, "doc_id", "text", n=5).collect()}
     assert out == {2}
+
+
+def test_decontaminate_empty_docs_never_match(spark):
+    # empty/whitespace-only docs share no CONTENT: an empty train doc
+    # must not be flagged just because the bench suite also has an empty
+    # row (both would otherwise hash to the same whole-doc "" gram)
+    bench = spark.createDataFrame(
+        [(1, ""), (2, "real benchmark content words here six seven")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(10, ""), (11, "   \t  "), (12, "real benchmark content words here six")],
+        "doc_id long, text string",
+    )
+    out = {r.id for r in D.decontaminate(train, bench, "doc_id", "text", n=5).collect()}
+    assert out == {12}

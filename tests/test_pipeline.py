@@ -90,3 +90,14 @@ def test_materialize_iceberg_flag(spark, repos, tmp_path):
         assert "ice" in msg or "CATALOG" in msg.upper() or "TABLE" in msg.upper(), msg
     else:  # jars + catalog present: verify the table exists
         assert spark.table("ice.db.triples").count() == 10
+
+    # flag set but no catalog identifier: typed error, never a path-as-
+    # table parse failure deep inside the writer
+    import os
+
+    os.environ["SPARK_GRAFT_ICEBERG"] = "1"
+    try:
+        with pytest.raises(ValueError, match="catalog identifier"):
+            materialize_triples(triples, str(tmp_path / "t2"))
+    finally:
+        del os.environ["SPARK_GRAFT_ICEBERG"]
