@@ -11,12 +11,28 @@ MINIMUM — the interference-resistant estimator (any single trial is an
 upper bound on true cost; the min is the tightest observed bound).
 Per-trial values are emitted alongside so the spread is auditable.
 
+Window gating (round-5): co-tenancy on this host is INVISIBLE to load
+average — the only reliable detector is a same-config control run
+(BENCH.md "window variance"; the r4 driver record landed in a 0.401
+window and understated the engine 2x). So before the battery, bench()
+now runs one pipeline trial as a WINDOW CONTROL and compares it to the
+quiet-window reference for this exact config; while the ratio is below
+SPARK_GRAFT_WINDOW_MIN (default 0.7) it sleeps and retries within
+SPARK_GRAFT_BENCH_BUDGET_S (default 1500 s). Every attempt is kept:
+control trials are full pipeline executions, so they join the
+min-over-trials pool. If no attempt reaches the bar the headline says
+so explicitly (`window_all_attempts_degraded: true`) instead of
+letting a degraded number masquerade as the engine.
+
 Env knobs:
   SPARK_GRAFT_SF_DIR       parquet dir for the query battery (default sf0.1)
   SPARK_GRAFT_CPUS         local[] parallelism (default 16: this host
                            advertises 32 vCPUs but saturates ~16)
   SPARK_GRAFT_BENCH_FILES  synthetic corpus size for the KG pipeline (default 100000)
   SPARK_GRAFT_TRIALS       timed repetitions per leg, min reported (default 3)
+  SPARK_GRAFT_WINDOW_MIN   min control/quiet-ref ratio to accept the window (0.7)
+  SPARK_GRAFT_BENCH_BUDGET_S  wall budget for window retries (default 1500)
+  SPARK_GRAFT_RETRY_SLEEP  seconds between degraded-window retries (default 60)
 
 Usage: python bench.py            # one JSON line on stdout
        python bench.py --scaling  # also run the two-parallelism scaling probe
@@ -86,6 +102,49 @@ def run_pipeline(spark, n_files: int, trials: int = 1) -> tuple[int, list[float]
     return n_triples, secs
 
 
+# Quiet-window pipeline throughput per local[N] config, 500k files
+# (BENCH.md milestone table; measured 2026-08-17/18 on idle windows).
+# The control ratio against these is the window-quality gate.
+QUIET_REF_TPS = {"32": 207_650.0, "16": 167_829.0, "8": 147_943.1}
+
+
+def _window_gate(spark, n_files: int, cpus: str) -> tuple[list[float], dict]:
+    """Run single-trial pipeline controls until one lands in an
+    acceptable window or the retry budget is spent. Returns (all control
+    trial seconds — valid members of the min-over-trials pool — and the
+    gate record for the verbose artifact)."""
+    ref = QUIET_REF_TPS.get(str(cpus)) if n_files == 500_000 else None
+    gate_min = float(os.environ.get("SPARK_GRAFT_WINDOW_MIN", "0.7"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_RETRY_SLEEP", "60"))
+    record: dict = {
+        "rule": f"pipeline control vs quiet ref; accept >= {gate_min}",
+        "quiet_ref_tps": ref,
+        "attempts": [],
+    }
+    if ref is None:
+        record["skipped"] = (
+            f"no quiet reference for cpus={cpus}/n_files={n_files}; "
+            "gate inactive"
+        )
+        return [], record
+    t_start = time.time()
+    secs: list[float] = []
+    while True:
+        nt, s = run_pipeline(spark, n_files, trials=1)
+        secs.extend(s)
+        quality = round((nt / s[0]) / ref, 3)
+        record["attempts"].append({"seconds": s[0], "quality": quality})
+        if quality >= gate_min:
+            record["passed"] = True
+            return secs, record
+        elapsed = time.time() - t_start
+        if elapsed + retry_sleep > budget:
+            record["passed"] = False
+            return secs, record
+        time.sleep(retry_sleep)
+
+
 def bench(master: str | None = None, quiet: bool = True) -> dict:
     from cli_spark import queries as Q
     from cli_spark.session import get_spark
@@ -99,6 +158,11 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
     n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "500000"))
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     spark = get_spark("bench", master=master or f"local[{cpus}]")
+
+    # Window gate FIRST (VERDICT r4 #1): the control trials double as
+    # pipeline trials, so a passing gate means the battery below runs
+    # inside the blessed window and nothing was spent twice.
+    control_secs, gate_record = _window_gate(spark, n_files, cpus)
 
     # Warm pass at the smallest SF: first-query time otherwise includes
     # JIT + codegen + parquet-footer caches, not the operator. Steady
@@ -129,7 +193,18 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
             query_trials[name].append(round(time.time() - t0, 3))
     per_query = {n: min(ts) for n, ts in query_trials.items() if ts}
 
-    n_triples, pipe_secs = run_pipeline(spark, n_files, trials=trials)
+    # Pipeline leg: the window-gate control trials are full pipeline
+    # executions (clearCache between), so they join the trial pool. A
+    # failed gate already sampled the degraded window repeatedly —
+    # one confirming trial is enough then.
+    if not control_secs:
+        reg_trials = trials
+    elif gate_record.get("passed"):
+        reg_trials = max(1, trials - 1)
+    else:
+        reg_trials = 1
+    n_triples, pipe_secs = run_pipeline(spark, n_files, trials=reg_trials)
+    pipe_secs = control_secs + pipe_secs
     pipe_sec = min(pipe_secs)
     tps = n_triples / pipe_sec if pipe_sec > 0 else 0.0
     total = round(sum(per_query.values()) + pipe_sec, 3)
@@ -152,13 +227,18 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
         "cpus": cpus,
     }
     # Window quality: the pipeline leg is the same job as the quiet-window
-    # record (local[32], 500k files → 207,650 t/s on 2026-08-17), so the
-    # ratio self-reports how degraded the host was DURING this bench run
-    # (co-tenancy is invisible in load average — BENCH.md variance
-    # tables). <0.85 means the value is a co-tenancy lower bound, not an
-    # engine regression.
-    if n_files == 500_000 and str(cpus) == "32":
-        result["window_quality_vs_quiet_ref"] = round(tps / 207_650.0, 3)
+    # reference for this config, so the ratio self-reports how degraded
+    # the host was DURING this bench run (co-tenancy is invisible in
+    # load average — BENCH.md variance tables). The gate above already
+    # retried degraded windows; if it never passed, the flag says the
+    # recorded value is a co-tenancy lower bound, not the engine.
+    ref = QUIET_REF_TPS.get(str(cpus)) if n_files == 500_000 else None
+    if ref is not None:
+        result["window_quality_vs_quiet_ref"] = round(tps / ref, 3)
+        result["window_all_attempts_degraded"] = not gate_record.get(
+            "passed", False
+        )
+    result["window_gate"] = gate_record
     scaling = _load_precomputed_scaling()
     if scaling is not None:
         result["scaling"] = scaling
@@ -320,6 +400,8 @@ def _headline(res: dict) -> dict:
         "estimator": "min",
         "detail": "BENCH_VERBOSE.json",
         "window_quality_vs_quiet_ref": res.get("window_quality_vs_quiet_ref"),
+        "window_all_attempts_degraded": res.get("window_all_attempts_degraded"),
+        "window_gate_attempts": len((res.get("window_gate") or {}).get("attempts", [])),
         "scaling_efficiency": _best_scaling_eff(res.get("scaling") or {}),
         "scaling_detail": "SCALING.json + BENCH.md",
     }
@@ -329,7 +411,12 @@ def _best_scaling_eff(scaling: dict) -> float | None:
     """The representative 1→4-executor efficiency for the headline:
     prefer a gated quiet-window round-4 block, then the 2026-08-17
     quiet-window grouped block, then a legacy flat layout."""
-    for key in ("executor_mode_r4_quiet", "executor_mode"):
+    for key in (
+        "executor_mode_r5_quiet",
+        "executor_mode_interleaved_r5",
+        "executor_mode_r4_quiet",
+        "executor_mode",
+    ):
         blk = scaling.get(key) or {}
         eff = blk.get("scaling_efficiency_1_to_4")
         if eff is not None:

@@ -961,94 +961,67 @@ def _unquote_text(tok: str) -> str:
         return raw
 
 
-def _text_tokens(text: str) -> list[str]:
-    # findall + list comp: one C-level scan, no per-token generator
-    # resumption (3.9M tokens per sf0.1 frame batch made that visible)
-    return [
-        '"' + _unquote_text(t) if t[0] == '"' else t  # '"' marks strings
-        for t in _TOKEN_RX.findall(text)
-        if t[0] != "#"
-    ]
+_ENUM_BY_NAME = {**_PHYSICAL_BY_NAME, **_LOGICAL_BY_NAME}
 
 
-def _parse_message(tokens: list[str], pos: int) -> tuple[dict, int]:
-    """tokens from '{'-interior → {field: [values...]}, next pos."""
-    msg: dict[str, list] = {}
-    while pos < len(tokens):
-        tok = tokens[pos]
-        if tok == "}":
-            return msg, pos + 1
-        field = tok
-        pos += 1
-        if pos < len(tokens) and tokens[pos] == ":":
-            pos += 1
-        if pos < len(tokens) and tokens[pos] == "{":
-            val, pos = _parse_message(tokens, pos + 1)
+def _parse_block(toks: list[str], i: int) -> tuple[dict, int]:
+    """``toks[i]`` = first token after ``{`` → (field dict, index past the
+    closing ``}``). Specialized flat walk of a TextFormat message body —
+    scalar fields are ``name : value``, submessages ``name [:] {`` — that
+    replaced the r4 generic dict-of-lists recursion (the parse side was
+    29 us/row, ~50% of it here; singular fields don't repeat in this
+    schema, so plain last-wins assignment is both correct per protobuf's
+    singular-field rule and half the dict traffic)."""
+    msg: dict = {}
+    while True:
+        t = toks[i]
+        if t == "}":
+            return msg, i + 1
+        i += 1
+        nxt = toks[i]
+        if nxt == ":":
+            # escape-free strings (the vast majority) skip the regex sub
+            # AND the latin-1/utf-8 redecode inside _scalar_value
+            msg[t] = _scalar_value(toks[i + 1])
+            i += 2
         else:
-            val = tokens[pos]
-            pos += 1
-            if isinstance(val, str) and val.startswith('"'):
-                val = val[1:]
-            elif val in ("true", "false"):
-                val = val == "true"
-            elif val in _PHYSICAL_BY_NAME:
-                val = _PHYSICAL_BY_NAME[val]
-            elif val in _LOGICAL_BY_NAME:
-                val = _LOGICAL_BY_NAME[val]
+            if nxt == "{":
+                i += 1
+            elif toks[i + 1] == "{":  # optional colon before a submessage
+                i += 2
             else:
-                try:
-                    val = int(val)
-                except ValueError:
-                    pass
-        msg.setdefault(field, []).append(val)
-    return msg, pos
-
-
-def _one(msg: dict, field: str, default=None):
-    v = msg.get(field)
-    return v[0] if v else default
+                raise ValueError(f"expected ':' or '{{' after field {t!r}")
+            msg[t], i = _parse_block(toks, i)
 
 
 def _term_from_msg(prefix: str, msg: dict) -> dict | None:
-    if f"{prefix}_iri" in msg:
-        m = _one(msg, f"{prefix}_iri") or {}
-        return {"k": T_IRI, "pid": _one(m, "prefix_id", 0), "nid": _one(m, "name_id", 0)}
-    if f"{prefix}_bnode" in msg:
-        return {"k": T_BNODE, "v": _one(msg, f"{prefix}_bnode", "")}
-    if f"{prefix}_literal" in msg:
-        m = _one(msg, f"{prefix}_literal") or {}
+    m = msg.get(prefix + "_iri")
+    if m is not None:
+        return {"k": T_IRI, "pid": m.get("prefix_id", 0), "nid": m.get("name_id", 0)}
+    v = msg.get(prefix + "_bnode")
+    if v is not None:
+        return {"k": T_BNODE, "v": v}
+    m = msg.get(prefix + "_literal")
+    if m is not None:
         return {
-            "k": T_LITERAL, "v": _one(m, "lex", ""),
-            "lang": _one(m, "langtag"), "dt": _one(m, "datatype", 0),
+            "k": T_LITERAL, "v": m.get("lex", ""),
+            "lang": m.get("langtag"), "dt": m.get("datatype", 0),
         }
-    if f"{prefix}_triple_term" in msg:
-        m = _one(msg, f"{prefix}_triple_term") or {}
+    m = msg.get(prefix + "_triple_term")
+    if m is not None:
         return {
             "k": T_QUOTED,
             "s": _term_from_msg("s", m),
             "p": _term_from_msg("p", m),
             "o": _term_from_msg("o", m),
         }
-    if f"{prefix}_default_graph" in msg:
+    if prefix + "_default_graph" in msg:
         return {"k": T_DEFAULT_GRAPH}
     return None
 
 
 def parse_row_text_msg(name: str, msg: dict) -> dict:
     kind = _ROW_KIND_BY_NAME[name]
-    if kind == K_OPTIONS:
-        return {
-            "kind": kind,
-            "stream_name": _one(msg, "stream_name", ""),
-            "physical": _one(msg, "physical_type", 0),
-            "generalized": bool(_one(msg, "generalized_statements", False)),
-            "rdf_star": bool(_one(msg, "rdf_star", False)),
-            "max_name": _one(msg, "max_name_table_size", 0),
-            "max_prefix": _one(msg, "max_prefix_table_size", 0),
-            "max_dt": _one(msg, "max_datatype_table_size", 0),
-            "logical": _one(msg, "logical_type", 0),
-            "version": _one(msg, "version", 0),
-        }
     if kind in (K_TRIPLE, K_QUAD):
         row = {
             "kind": kind,
@@ -1059,30 +1032,145 @@ def parse_row_text_msg(name: str, msg: dict) -> dict:
         if kind == K_QUAD:
             row["g"] = _term_from_msg("g", msg)
         return row
+    if kind in (K_NAME, K_PREFIX, K_DATATYPE):
+        return {"kind": kind, "id": msg.get("id", 0), "value": msg.get("value", "")}
+    if kind == K_OPTIONS:
+        return {
+            "kind": kind,
+            "stream_name": msg.get("stream_name", ""),
+            "physical": msg.get("physical_type", 0),
+            "generalized": bool(msg.get("generalized_statements", False)),
+            "rdf_star": bool(msg.get("rdf_star", False)),
+            "max_name": msg.get("max_name_table_size", 0),
+            "max_prefix": msg.get("max_prefix_table_size", 0),
+            "max_dt": msg.get("max_datatype_table_size", 0),
+            "logical": msg.get("logical_type", 0),
+            "version": msg.get("version", 0),
+        }
     if kind == K_GRAPH_START:
         return {"kind": kind, "g": _term_from_msg("g", msg) or {"k": T_DEFAULT_GRAPH}}
     if kind == K_GRAPH_END:
         return {"kind": kind}
-    if kind in (K_NAME, K_PREFIX, K_DATATYPE):
-        return {"kind": kind, "id": _one(msg, "id", 0), "value": _one(msg, "value", "")}
     if kind == K_NAMESPACE:
-        m = _one(msg, "value") or {}
+        m = msg.get("value") or {}
         return {
-            "kind": kind, "name": _one(msg, "name", ""),
-            "iri": {"k": T_IRI, "pid": _one(m, "prefix_id", 0), "nid": _one(m, "name_id", 0)},
+            "kind": kind, "name": msg.get("name", ""),
+            "iri": {"k": T_IRI, "pid": m.get("prefix_id", 0), "nid": m.get("name_id", 0)},
         }
     raise ValueError(f"unknown row field {name}")
 
 
+def _scalar_value(v: str):
+    """Scalar TextFormat value text → python value (shared by the line
+    and token parsers). Check order = observed frequency: table/term ids
+    (ints), then strings, then bools/enum names."""
+    c = v[0]
+    if c == '"':
+        return _unquote_text(v) if "\\" in v else v[1:-1]
+    if c.isdigit() or c == "-":
+        try:
+            return int(v)
+        except ValueError:
+            return v
+    if v == "true":
+        return True
+    if v == "false":
+        return False
+    ev = _ENUM_BY_NAME.get(v)
+    if ev is not None:
+        return ev
+    return v
+
+
+def _parse_frame_text_lines(text: str) -> list[dict]:
+    """Line-oriented fast path: TextFormat *printers* (this repo's and
+    protobuf's reference one, which the jelly-cli printer wraps) emit
+    exactly one field per line — `name: value`, `name [:] {`, or `}` —
+    so splitting on newlines replaces the regex tokenizer wholesale
+    (the tokenizer alone was ~9 us/row, a third of the r4 parse cost).
+    Raises ValueError on any line that breaks the shape; the caller
+    falls back to the token parser for hand-wrapped input."""
+    rows: list[dict] = []
+    stack: list[dict] = []
+    cur: dict | None = None
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line:
+            continue
+        c0 = line[0]
+        if c0 == "#":
+            continue
+        if c0 == "}":
+            if line != "}" or not stack:
+                raise ValueError(f"unbalanced or trailing tokens: {line!r}")
+            top = stack.pop()
+            if not stack:
+                # a rows wrapper closed: exactly one row field inside
+                if len(top) != 1:
+                    raise ValueError(f"rows block with {len(top)} fields")
+                (name, body), = top.items()
+                rows.append(parse_row_text_msg(name, body))
+                cur = None
+            else:
+                cur = stack[-1]
+            continue
+        if line[-1] == "{" and '"' not in line:
+            name = line[:-1].strip()
+            if name and name[-1] == ":":  # optional colon before a block
+                name = name[:-1].rstrip()
+            new: dict = {}
+            if cur is None:
+                if name != "rows":
+                    raise ValueError(f"expected 'rows' block, got {name!r}")
+            else:
+                cur[name] = new
+            stack.append(new)
+            cur = new
+            continue
+        i = line.find(":")
+        if i <= 0 or cur is None:
+            raise ValueError(f"not a field line: {line!r}")
+        v = line[i + 1 :].lstrip()
+        if not v or (v[0] == '"' and (len(v) < 2 or v[-1] != '"')):
+            raise ValueError(f"unsupported value layout: {line!r}")
+        cur[line[:i].rstrip()] = _scalar_value(v)
+    if stack:
+        raise ValueError("unterminated block")
+    return rows
+
+
 def parse_frame_text(text: str) -> list[dict]:
     """TextFormat frame text (one or more `rows { ... }` blocks, comments
-    allowed) → row dicts."""
-    tokens = _text_tokens(text)
-    msg, _ = _parse_message(tokens + ["}"], 0)
+    allowed) → row dicts. Printer-shaped input takes the line-split fast
+    path; anything else falls back to one C-level tokenizer scan plus a
+    flat walk — either way each row dict is built in place, no
+    intermediate message tree."""
+    try:
+        return _parse_frame_text_lines(text)
+    except ValueError:
+        pass
+    toks = [t for t in _TOKEN_RX.findall(text) if t[0] != "#"]
     rows = []
-    for row_msg in msg.get("rows", []):
-        (name, vals), = [(k, v) for k, v in row_msg.items()]
-        rows.append(parse_row_text_msg(name, vals[0] if vals else {}))
+    i, n = 0, len(toks)
+    while i < n:
+        if toks[i] != "rows":
+            raise ValueError(f"expected 'rows' block, got {toks[i]!r}")
+        i += 1
+        if toks[i] == ":":  # optional colon before the block
+            i += 1
+        if toks[i] != "{":
+            raise ValueError("expected '{' after 'rows'")
+        name = toks[i + 1]
+        i += 2
+        if toks[i] == ":":
+            i += 1
+        if toks[i] != "{":
+            raise ValueError(f"expected '{{' after row field {name!r}")
+        body, i = _parse_block(toks, i + 1)
+        rows.append(parse_row_text_msg(name, body))
+        if toks[i] != "}":
+            raise ValueError("expected '}' closing the rows block")
+        i += 1
     return rows
 
 

@@ -89,7 +89,7 @@ def main() -> None:
                 existing = json.load(f)
         except (json.JSONDecodeError, OSError):
             existing = {}
-    key = "executor_mode_interleaved"
+    key = os.environ.get("SPARK_GRAFT_SCALE_KEY", "executor_mode_interleaved")
     if n_files != 500000:
         key = f"{key}_{n_files // 1000}k"
     existing[key] = result

@@ -21,11 +21,19 @@ loops:
 
 Every event is appended to /tmp/watcher_r4.jsonl.
 
+Round 5 flow (VERDICT r4 #5): on the first quiet gate the watcher runs
+the INTERLEAVED probe first (robust to windows that close mid-probe,
+per-leg trial matrix with timestamps → the ≤10%-spread evidence the
+verdict asked for), re-gates, then runs the grouped probe. The gate
+sequence itself is the "host never went quiet" evidence if no gate
+ever passes — every gate is appended to the event log either way.
+
 Usage:  nohup python scripts/window_watcher.py &
 Env:    SPARK_GRAFT_GATE_TIMEOUT (default 170 s)
         SPARK_GRAFT_GATE_FRACTION (default 0.85)
         SPARK_GRAFT_WATCH_SLEEP (default 600 s between failed gates)
         SPARK_GRAFT_WATCH_DEADLINE_H (default 4.0)
+        SPARK_GRAFT_WATCH_LOG (default /tmp/watcher_r5.jsonl)
 """
 
 from __future__ import annotations
@@ -45,7 +53,7 @@ GATE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_GATE_TIMEOUT", "170"))
 GATE_FRACTION = float(os.environ.get("SPARK_GRAFT_GATE_FRACTION", "0.85"))
 SLEEP_S = float(os.environ.get("SPARK_GRAFT_WATCH_SLEEP", "600"))
 DEADLINE_H = float(os.environ.get("SPARK_GRAFT_WATCH_DEADLINE_H", "4.0"))
-EVENT_LOG = "/tmp/watcher_r4.jsonl"
+EVENT_LOG = os.environ.get("SPARK_GRAFT_WATCH_LOG", "/tmp/watcher_r5.jsonl")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALING = os.path.join(REPO, "SCALING.json")
 
@@ -118,25 +126,59 @@ def _probe(n_files: int, trials: int, key: str, gate_leg: dict) -> dict:
     return result
 
 
+def _interleaved(gate_leg: dict, rounds: int) -> None:
+    """Fire scripts/interleaved_probe.py under an r5 key, tagged with
+    the gate trial that opened the window."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import interleaved_probe
+
+    os.environ["SPARK_GRAFT_SCALE_ROUNDS"] = str(rounds)
+    os.environ["SPARK_GRAFT_SCALE_FILES"] = "500000"
+    os.environ["SPARK_GRAFT_SCALE_LEGS"] = "1,4"
+    os.environ["SPARK_GRAFT_SCALE_KEY"] = "executor_mode_interleaved_r5"
+    interleaved_probe.main()
+    _merge_gate_tag("executor_mode_interleaved_r5", gate_leg)
+    _log({"event": "interleaved_done", "rounds": rounds})
+
+
+def _merge_gate_tag(key: str, gate_leg: dict) -> None:
+    if not os.path.isfile(SCALING):
+        return
+    try:
+        with open(SCALING) as f:
+            blob = json.load(f)
+        blob.setdefault(key, {})["window_gate_pre"] = gate_leg
+        with open(SCALING, "w") as f:
+            json.dump(blob, f, indent=2)
+    except (json.JSONDecodeError, OSError):
+        pass
+
+
 def main() -> None:
     t_end = time.time() + DEADLINE_H * 3600
-    done_500k = False
-    done_1m = False
-    _log({"event": "start", "deadline_h": DEADLINE_H})
-    while time.time() < t_end and not (done_500k and done_1m):
+    done_interleaved = False
+    done_grouped = False
+    _log({"event": "start", "deadline_h": DEADLINE_H, "round": 5})
+    while time.time() < t_end and not (done_interleaved and done_grouped):
         gate = _gate()
         if gate.get("quiet"):
-            if not done_500k:
-                _probe(500_000, 3, "executor_mode_r4_quiet", gate)
-                done_500k = True
-                continue  # re-gate before the long 1M probe
-            if not done_1m:
-                _probe(1_000_000, 2, "executor_mode_1000k_r4_quiet", gate)
-                done_1m = True
+            if not done_interleaved:
+                _interleaved(gate, rounds=int(
+                    os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4")
+                ))
+                done_interleaved = True
+                continue  # re-gate before the grouped probe
+            if not done_grouped:
+                _probe(500_000, 3, "executor_mode_r5_quiet", gate)
+                done_grouped = True
                 continue
-        if not (done_500k and done_1m):
+        if not (done_interleaved and done_grouped):
             time.sleep(SLEEP_S)
-    _log({"event": "exit", "done_500k": done_500k, "done_1m": done_1m})
+    _log({
+        "event": "exit",
+        "done_interleaved": done_interleaved,
+        "done_grouped": done_grouped,
+    })
 
 
 if __name__ == "__main__":
