@@ -7,7 +7,9 @@ re-expressed as Spark jobs:
                                        [--merge-graphs] [--single-file]
     python -m cli_spark rdf inspect    IN.jelly [--per-frame] [--size]
     python -m cli_spark rdf validate   IN.jelly [--compare-to-rdf-file F.nq]
-                                       [--compare-ordered] [--delimited true|false|either]
+                                       [--compare-to-format FMT] [--compare-ordered]
+                                       [--compare-frame-indices A..B]
+                                       [--delimited true|false|either]
     python -m cli_spark rdf transcode  IN1.jelly [IN2.jelly ...] --to out.jelly
     python -m cli_spark pipeline       --n-files N [--workdir DIR] [--engine sql|pandas]
     python -m cli_spark version
@@ -102,7 +104,16 @@ def main(argv: list[str] | None = None) -> int:
     va = rdf.add_parser("validate")
     va.add_argument("input")
     va.add_argument("--compare-to-rdf-file", default=None)
+    va.add_argument("--compare-to-format", default=None,
+                    help="format of the comparison file (S4 registry name); "
+                    "default: inferred from its extension "
+                    "(RdfValidate.scala:42-46)")
     va.add_argument("--compare-ordered", action="store_true")
+    va.add_argument("--compare-frame-indices", default=None,
+                    help="restrict comparison to these frame indices, as a "
+                    "Rust-style range like '2', '1..4', '1..=3' "
+                    "(RdfValidate.scala:52-56; skipped frames still feed "
+                    "decoder state, P2)")
     va.add_argument("--delimited", choices=["true", "false", "either"], default="either")
 
     tc = rdf.add_parser("transcode")
@@ -164,7 +175,6 @@ def _dispatch(spark, args) -> int:
         return 0
 
     from . import jelly as J
-    from .nquads import read_nquads
 
     if args.rdf_cmd == "to-jelly":
         from .formats import REGISTRY as _FMT
@@ -373,8 +383,30 @@ def _dispatch(spark, args) -> int:
                 print(f"error: {pr}", file=sys.stderr)
             return 1
         if args.compare_to_rdf_file:
-            expected = read_nquads(spark, args.compare_to_rdf_file)
-            actual = J.decode_triples(rows)
+            # --compare-to-format beats extension inference
+            # (RdfValidate.scala:239-249); unknown names are a typed
+            # error, exit 1 via the ValueError handler in main()
+            from .formats import resolve as _resolve_fmt
+
+            cmp_fmt = _resolve_fmt(args.compare_to_rdf_file, args.compare_to_format)
+            if cmp_fmt.read is None:
+                raise ValueError(
+                    f"{cmp_fmt.full_name} is not a readable comparison format"
+                )
+            expected = cmp_fmt.read(spark, args.compare_to_rdf_file)
+            if "graph" not in expected.columns:
+                expected = expected.withColumn("graph", F.lit(None).cast("string"))
+            # --compare-frame-indices: the full stream is still decoded
+            # (and validated) so skipped frames feed dictionary state
+            # exactly like the reference's decoder (RdfValidate.scala:
+            # 156-200 keeps ingesting rows, only collection is gated);
+            # decode_triples filters AFTER resolution (P2).
+            take = (
+                _parse_range(args.compare_frame_indices)
+                if args.compare_frame_indices
+                else None
+            )
+            actual = J.decode_triples(rows, take_frames=take)
             if args.compare_ordered:
                 from .order import global_row_number
 

@@ -68,6 +68,70 @@ def test_cli_validate_detects_mismatch(spark, nq_file, tmp_path):
     assert main(["rdf", "validate", jelly, "--delimited", "true"]) == 0
 
 
+def test_cli_validate_frame_indices(spark, nq_file, tmp_path):
+    """--compare-frame-indices restricts the comparison to a frame
+    slice while the skipped frames still feed decoder state — mirrors
+    RdfValidateSpec 'content matches the reference RDF file, using a
+    slice of the stream' (frame index non-zero, decoder state built by
+    frame 0) and the 'does not match, using slices' failure case."""
+    jelly = str(tmp_path / "s.jelly")
+    assert main(["rdf", "to-jelly", nq_file, "--to", jelly, "--rows-per-frame", "64"]) == 0
+    # expected slice = frames 1..=2, produced by the (oracle-tested)
+    # from-jelly --take-frames path
+    slice_dir = str(tmp_path / "slice")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", slice_dir,
+        "--take-frames", "1..=2", "--single-file",
+    ]) == 0
+    import shutil
+
+    part = next(p for p in os.listdir(slice_dir) if p.startswith("part-"))
+    slice_nq = str(tmp_path / "slice.nq")
+    shutil.copyfile(os.path.join(slice_dir, part), slice_nq)
+    # unordered + ordered: slice compares equal only within the range
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", slice_nq,
+        "--compare-frame-indices", "1..=2",
+    ]) == 0
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", slice_nq,
+        "--compare-ordered", "--compare-frame-indices", "1..=2",
+    ]) == 0
+    # wrong range against the same expected slice → mismatch, exit 1
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", slice_nq,
+        "--compare-frame-indices", "1..4",
+    ]) == 1
+    # full-file comparison against a slice of the stream → mismatch
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", nq_file,
+        "--compare-frame-indices", "1..=2",
+    ]) == 1
+
+
+def test_cli_validate_compare_to_format(spark, nq_file, tmp_path):
+    """--compare-to-format beats extension inference (RdfValidate.scala:
+    239-249); an unrecognized name is a typed exit-1 error like the
+    reference's InvalidFormatSpecified."""
+    import shutil
+
+    jelly = str(tmp_path / "s.jelly")
+    assert main(["rdf", "to-jelly", nq_file, "--to", jelly]) == 0
+    # same bytes under an uninferrable extension: fails without the
+    # explicit format, passes with it
+    opaque = str(tmp_path / "expected.txt")
+    shutil.copyfile(nq_file, opaque)
+    assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", opaque]) == 1
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", opaque,
+        "--compare-to-format", "nt",
+    ]) == 0
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", opaque,
+        "--compare-to-format", "invalid",
+    ]) == 1
+
+
 def test_cli_jsonld_context_flag(spark, tmp_path):
     """--jsonld-context FILE switches the JSON-LD sink to
     compact-on-write; the flag with a non-JSON-LD output is a typed
