@@ -96,15 +96,24 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra: dict[str, "callable"] | None = None,
+) -> DataFrame:
     """All four text-analysis operators in ONE row-local pass: language-ID
     hits + guess, quality ratios, token counts, and the order-sensitive
     fingerprint (computed as an in-row array fold instead of the
     explode→groupBy in :func:`fingerprint` — zero shuffles total).
 
+    ``extra`` maps output-column name → (text Column → Column) factory,
+    appended to the same projection — how q36 folds the real BPE
+    subword count (ops.bpe.bpe_count_col) into the pass without a join.
+
     Columns: id, en_hits, es_hits, fr_hits, n_tokens, guessed_lang,
     n_chars, avg_token_len, punct_ratio, stopword_ratio, upper_ratio,
-    n_ws_tokens, n_bpe_tokens, fingerprint."""
+    n_ws_tokens, n_bpe_tokens, fingerprint [, extra...]."""
     text = F.col(text_col)
     # stage 1: materialize the split arrays as named columns — Catalyst
     # does not CSE through higher-order-function lambdas, so referencing
@@ -171,6 +180,10 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "n_bpe_tokens"
         ),
         F.pmod(hashes_sum, F.lit(MERSENNE31)).alias("fingerprint"),
+        *[
+            fn(F.col("_text")).alias(name)
+            for name, fn in (extra or {}).items()
+        ],
     )
     langs = sorted(STOPWORDS)
     best = None

@@ -1166,11 +1166,25 @@ _STOP_EN = "'the','of','and','to','in','is','that','for','with','on'"
 _STOP_ES = "'el','la','de','que','y','en','los','del','se','las'"
 _STOP_FR = "'le','la','de','et','les','des','en','un','du','une'"
 
+# q36's BPE leg: the oracle replays the seed merge table (learned at
+# import time from a fixed literal, ops/bpe.py) with one replace() per
+# merge rank inside a recursive CTE — SQL replace is left-to-right
+# non-overlapping, exactly one global merge pass (equivalence to the
+# kernel's lowest-rank-first encoder proved in ops/bpe.py and
+# differential-tested in tests/test_curation.py). Token count per doc =
+# pipes - words ('|w|o|r|d|' carries n+1 pipes for n tokens; words are
+# '¶'-separated).
+from cli_spark.ops.bpe import SEED_MERGES as _BPE_MERGES
+from cli_spark.ops.bpe import SEED_N_MERGES as _BPE_N
+from cli_spark.ops.bpe import merges_to_sql_values as _bpe_values
+
+_BPE_SQL = _bpe_values(_BPE_MERGES)
+
 
 @query(
     "q36_text_stats",
     oracle=f"""
-    WITH base AS (
+    WITH RECURSIVE base AS (
       SELECT doc_id, text,
              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
              list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltoks
@@ -1181,6 +1195,28 @@ _STOP_FR = "'le','la','de','et','les','des','en','un','du','une'"
              CAST(SUM(('0x' || substr(md5(token || '@' || pos), 1, 8))::BIGINT) % {P31} AS BIGINT)
                AS fingerprint
       FROM ({TOKENS_SQL}) GROUP BY doc_id
+    ),
+    bpe_m(rnk, pat, rep) AS (
+      SELECT * FROM (VALUES {_BPE_SQL}) v(rnk, pat, rep)
+    ),
+    bpe0 AS (
+      SELECT doc_id,
+             array_to_string(list_transform(string_split(text, ' '),
+               w -> '|' || regexp_replace(w, '([\\s\\S])', '\\1|', 'g')), '¶') AS seq
+      FROM documents
+    ),
+    bpe_rec AS (
+      SELECT doc_id, seq, 0 AS i FROM bpe0
+      UNION ALL
+      SELECT r.doc_id, replace(r.seq, m.pat, m.rep), r.i + 1
+      FROM bpe_rec r JOIN bpe_m m ON m.rnk = r.i
+    ),
+    bpe AS (
+      SELECT doc_id,
+             CAST(length(seq) - length(replace(seq, '|', ''))
+                  - (length(seq) - length(replace(seq, '¶', ''))) - 1
+                  AS BIGINT) AS bpe64_tokens
+      FROM bpe_rec WHERE i = {_BPE_N}
     )
     SELECT b.doc_id AS id,
            len(list_filter(b.ltoks, t -> t IN ({_STOP_EN}))) AS en_hits,
@@ -1195,6 +1231,7 @@ _STOP_FR = "'le','la','de','et','les','des','en','un','du','une'"
            len(b.toks) AS n_ws_tokens,
            len(regexp_extract_all(b.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]')) AS n_bpe_tokens,
            COALESCE(f.fingerprint, 0) AS fingerprint,
+           p.bpe64_tokens,
            CASE
              WHEN len(list_filter(b.ltoks, t -> t IN ({_STOP_EN}))) >= len(list_filter(b.ltoks, t -> t IN ({_STOP_ES})))
               AND len(list_filter(b.ltoks, t -> t IN ({_STOP_EN}))) >= len(list_filter(b.ltoks, t -> t IN ({_STOP_FR}))) THEN 'en'
@@ -1203,18 +1240,27 @@ _STOP_FR = "'le','la','de','et','les','des','en','un','du','une'"
              ELSE 'fr'
            END AS guessed_lang
     FROM base b LEFT JOIN fp f ON f.doc_id = b.doc_id
+    JOIN bpe p ON p.doc_id = b.doc_id
     """,
     doc="Text-analysis battery in one zero-shuffle pass "
     "(ops.textstats.text_stats): language-ID stopword hits + argmax "
     "guess, quality ratios (length/punct/stopword/case), whitespace + "
-    "BPE-ish token counts, and the order-sensitive position-salted "
-    "fingerprint as an in-row array fold.",
+    "BPE-ish token counts, the order-sensitive position-salted "
+    "fingerprint as an in-row array fold, and the REAL byte-level BPE "
+    "subword count (ops.bpe: fixed seed merge table, Arrow kernel; "
+    "oracle replays the merge table rank-by-rank in a recursive CTE).",
 )
 def q36_text_stats(spark, sf_dir):
+    from cli_spark.ops.bpe import SEED_MERGES, bpe_count_col
     from cli_spark.ops.textstats import text_stats
 
     d = load(spark, sf_dir, "documents")
-    return text_stats(d, "doc_id", "text")
+    return text_stats(
+        d,
+        "doc_id",
+        "text",
+        extra={"bpe64_tokens": lambda t: bpe_count_col(t, SEED_MERGES)},
+    )
 
 
 @query(

@@ -253,3 +253,110 @@ def test_repetition_stats_differential_random(spark):
             )
         else:
             assert r["n_bigrams"] == 0 and r["top_bigram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def test_bpe_train_deterministic_and_seed_pinned():
+    """Training is a pure function of the word-count table; the seed
+    merge table (q36's oracle replays it) is pinned by its head so a
+    refactor can't silently change the learned merges."""
+    from cli_spark.ops.bpe import SEED_MERGES, SEED_N_MERGES, SEED_WORDS, bpe_train_counts
+
+    wc = {w: len(SEED_WORDS) - i for i, w in enumerate(SEED_WORDS)}
+    again = bpe_train_counts(wc, SEED_N_MERGES)
+    assert again == SEED_MERGES
+    assert len(SEED_MERGES) == SEED_N_MERGES
+    assert SEED_MERGES[:3] == [(b"e", b"r"), (b"o", b"w"), (b"i", b"n")]
+
+
+def test_bpe_encode_detokenize_identity():
+    """Byte-level tokens are slices of the original UTF-8, so
+    detokenize(encode(w)) == w for arbitrary unicode words."""
+    from cli_spark.ops.bpe import SEED_MERGES, _ranks, detokenize, encode_word
+
+    ranks = _ranks(SEED_MERGES)
+    for text in [
+        "join hash row", "the customer table", "", "a", "  double  spaces",
+        "naïve café ünïcode 日本語 🙂", "tab\tand\nnewline inside",
+    ]:
+        rebuilt = " ".join(detokenize(encode_word(w, ranks)) for w in text.split(" "))
+        assert rebuilt == text
+
+
+def test_bpe_encoder_equals_rank_order_replay():
+    """The kernel's lowest-rank-first encoder == applying merges once
+    each in rank order (each pass global, left-to-right) — the exact
+    form q36's DuckDB oracle replays with replace() per rank."""
+    import random
+
+    from cli_spark.ops.bpe import SEED_MERGES, _merge_tokens, _ranks, encode_word
+
+    ranks = _ranks(SEED_MERGES)
+
+    def rank_order(word: str) -> list[bytes]:
+        toks = tuple(bytes([b]) for b in word.encode("utf-8"))
+        for a, b in SEED_MERGES:
+            toks = _merge_tokens(toks, a, b)
+        return list(toks)
+
+    rng = random.Random(99)
+    words = ["join", "hash", "the", "customer", "aaa", "ababab", "rowrowrow", ""]
+    words += [
+        "".join(rng.choice("abcdefghijklmnopqrstuvw") for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    ]
+    for w in words:
+        assert encode_word(w, ranks) == rank_order(w), w
+
+
+def test_bpe_train_on_spark_sample_and_pack_integration(spark):
+    """bpe_train over a Spark corpus sample (one groupBy) learns the
+    same table as the pure loop on the same counts; pack_sequences_nextfit
+    accepts the BPE counts (the point of subword packing) and every bin
+    respects capacity."""
+    from collections import Counter
+
+    from cli_spark.ops.bpe import SEED_MERGES, bpe_count, bpe_train, bpe_train_counts
+    from cli_spark.ops.curation import pack_sequences_nextfit
+
+    texts = [
+        "join hash row batch scan", "customer column filter small slow",
+        "merge order vector line data", "table agg value key stream",
+        "window spark a group part", "big sort query fast the dup",
+        "join join hash hash row", "table table key key key",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    learned = bpe_train(df, "text", n_merges=12)
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    assert learned == bpe_train_counts(wc, 12)
+
+    counts = bpe_count(df, "doc_id", "text", SEED_MERGES)
+    packed = pack_sequences_nextfit(counts, "id", "bpe_tokens", max_len=16, n_shards=4)
+    rows = packed.collect()
+    assert {r["id"] for r in rows} == set(range(len(texts)))
+    fills = Counter()
+    for r in rows:
+        fills[(r["shard"], r["bin"])] += r["n_tokens"]
+    for (shard, b), tot in fills.items():
+        # capacity holds unless a single oversized doc owns the bin
+        members = [r for r in rows if (r["shard"], r["bin"]) == (shard, b)]
+        assert tot <= 16 or len(members) == 1
+
+
+def test_bpe_train_max_words_cap_logged(spark, capsys):
+    """The vocabulary cap drops low-count words loudly (no silent
+    caps) and keeps training deterministic on the survivors."""
+    from cli_spark.ops.bpe import bpe_train, bpe_train_counts
+
+    rows = [(i, f"w{i:03d} common common") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    learned = bpe_train(df, "text", n_merges=4, max_words=5)
+    outerr = capsys.readouterr()
+    assert "capped at 5 words" in outerr.out
+    # survivors: 'common' (40) + first 4 w-words by (count desc, word asc)
+    wc = {"common": 40, "w000": 1, "w001": 1, "w002": 1, "w003": 1}
+    assert learned == bpe_train_counts(wc, 4)
