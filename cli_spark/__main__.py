@@ -9,6 +9,7 @@ re-expressed as Spark jobs:
     python -m cli_spark rdf validate   IN.jelly [--compare-to-rdf-file F.nq]
                                        [--compare-to-format FMT] [--compare-ordered]
                                        [--compare-frame-indices A..B]
+                                       [--options-file F.jelly]
                                        [--delimited true|false|either]
     python -m cli_spark rdf transcode  IN1.jelly [IN2.jelly ...] --to out.jelly
     python -m cli_spark pipeline       --n-files N [--workdir DIR] [--engine sql|pandas]
@@ -114,6 +115,10 @@ def main(argv: list[str] | None = None) -> int:
                     "Rust-style range like '2', '1..4', '1..=3' "
                     "(RdfValidate.scala:52-56; skipped frames still feed "
                     "decoder state, P2)")
+    va.add_argument("--options-file", default=None,
+                    help="jelly file with the expected stream options; the "
+                    "input's options row must match it exactly "
+                    "(RdfValidate.scala:118-134)")
     va.add_argument("--delimited", choices=["true", "false", "either"], default="either")
 
     tc = rdf.add_parser("transcode")
@@ -382,13 +387,39 @@ def _dispatch(spark, args) -> int:
             for pr in problems:
                 print(f"error: {pr}", file=sys.stderr)
             return 1
+        if args.options_file:
+            # exact-equality check against the expected options stream
+            # (RdfValidate.scala:118-134): both sides read by the same
+            # head-only driver reader, compared field-for-field
+            expected_opts = J.options_from_file(args.options_file)
+            actual_opts = J.options_from_file(args.input)
+            if expected_opts != actual_opts:
+                print(
+                    "error: stream options do not match the expected "
+                    f"options in {args.options_file}\n"
+                    f"expected: {expected_opts}\n"
+                    f"actual:   {actual_opts}",
+                    file=sys.stderr,
+                )
+                return 1
         if args.compare_to_rdf_file:
             # --compare-to-format beats extension inference
             # (RdfValidate.scala:239-249); unknown names are a typed
             # error, exit 1 via the ValueError handler in main()
+            from .formats import REGISTRY as _FMT
             from .formats import resolve as _resolve_fmt
 
-            cmp_fmt = _resolve_fmt(args.compare_to_rdf_file, args.compare_to_format)
+            if args.compare_to_format is not None:
+                cmp_fmt = _resolve_fmt(
+                    args.compare_to_rdf_file, args.compare_to_format
+                )
+            else:
+                try:
+                    cmp_fmt = _resolve_fmt(args.compare_to_rdf_file)
+                except ValueError:
+                    # unknown extension → generalized N-Quads, same
+                    # fallback as the to-jelly input path
+                    cmp_fmt = _FMT["nq"]
             if cmp_fmt.read is None:
                 raise ValueError(
                     f"{cmp_fmt.full_name} is not a readable comparison format"
@@ -406,23 +437,47 @@ def _dispatch(spark, args) -> int:
                 if args.compare_frame_indices
                 else None
             )
-            actual = J.decode_triples(rows, take_frames=take)
+            # full-dataset comparison (RdfValidate.scala:173-181 uses an
+            # AnyStatementHandler — quads included): decode by declared
+            # physical type, keep the graph column
+            phys = J.stream_physical_types(rows) - {None}
+            if phys & {J.PHYSICAL_QUADS, J.PHYSICAL_GRAPHS}:
+                decoded = (
+                    J.decode_quads(rows, take_frames=take)
+                    if J.PHYSICAL_QUADS in phys
+                    else J.decode_quads_graphs(rows)
+                )
+                if take is not None and J.PHYSICAL_QUADS not in phys:
+                    decoded = decoded.filter(
+                        F.col("frame_index").between(take[0], take[1])
+                    )
+                actual = decoded.select(
+                    "subj", "pred", "obj",
+                    F.col("graph").cast("string").alias("graph"),
+                )
+            else:
+                actual = J.decode_triples(rows, take_frames=take).select(
+                    "subj", "pred", "obj"
+                ).withColumn("graph", F.lit(None).cast("string"))
+            cols4 = ["subj", "pred", "obj", "graph"]
+            e = expected.select(
+                "subj", "pred", "obj",
+                F.col("graph").cast("string").alias("graph"),
+            )
             if args.compare_ordered:
                 from .order import global_row_number
 
-                e = global_row_number(expected, ["subj", "pred", "obj"], "idx")
+                # null graph sorts ahead of any label on both sides, so
+                # default-graph statements stay aligned
+                e = global_row_number(
+                    e, ["subj", "pred", "obj", "graph"], "idx"
+                )
                 a = global_row_number(
-                    actual.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "idx"
+                    actual, ["subj", "pred", "obj", "graph"], "idx"
                 )
-                res = ordered_compare(e, a)
+                res = ordered_compare(e, a, cols=tuple(cols4))
             else:
-                e = expected.select(
-                    "subj", "pred", "obj", F.col("graph").cast("string").alias("graph")
-                )
-                a = actual.select("subj", "pred", "obj").withColumn(
-                    "graph", F.lit(None).cast("string")
-                )
-                res = unordered_compare(e, a)
+                res = unordered_compare(e, actual)
             if not res.equal:
                 print(f"error: {res.detail}", file=sys.stderr)
                 return 1

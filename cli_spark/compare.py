@@ -34,13 +34,20 @@ def _is_bnode(col):
     return col.startswith(BNODE_PREFIX)
 
 
-def ordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
+def ordered_compare(
+    expected: DataFrame,
+    actual: DataFrame,
+    cols: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> CompareResult:
     """Positional compare with bnode bijection (J1). Inputs must carry a
     deterministic order column ``idx`` (or be small enough for a window).
 
     Mirrors the reference's one-directional functional check
     (OrderedRdfCompare.scala:38-44): each expected bnode label maps to
-    exactly one actual label.
+    exactly one actual label. ``cols`` extends the positional check to
+    quads (pass a 4th graph column, nulls coalesced by the caller —
+    the reference compares full datasets via its AnyStatementHandler,
+    RdfValidate.scala:173-181).
     """
     def with_idx(df):
         if "idx" in df.columns:
@@ -77,9 +84,11 @@ def ordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
             needs, F.regexp_replace(col, _LABEL_RX, "_:ω")
         ).otherwise(col)
 
-    for c in ("subj", "pred", "obj"):
+    for c in cols:
         bad = j.filter(
-            masked(F.col(f"e.{c}")) != masked(F.col(f"a.{c}"))
+            ~(
+                masked(F.col(f"e.{c}")).eqNullSafe(masked(F.col(f"a.{c}")))
+            )
         ).count()
         if bad:
             return CompareResult(False, f"{bad} positions differ in {c}")
@@ -88,7 +97,7 @@ def ordered_compare(expected: DataFrame, actual: DataFrame) -> CompareResult:
     # inside quoted triples (zipped in source order — masked equality
     # above guarantees equal counts and matching positions)
     pairs = None
-    for c in ("subj", "pred", "obj"):
+    for c in cols:
         has_labels = _is_bnode(F.col(f"e.{c}")) | F.col(f"e.{c}").startswith("<<")
         p = (
             j.filter(has_labels)

@@ -117,11 +117,13 @@ def test_cli_validate_compare_to_format(spark, nq_file, tmp_path):
 
     jelly = str(tmp_path / "s.jelly")
     assert main(["rdf", "to-jelly", nq_file, "--to", jelly]) == 0
-    # same bytes under an uninferrable extension: fails without the
-    # explicit format, passes with it
+    # same bytes under an uninferrable extension: without the explicit
+    # format the repo's unknown-extension fallback (generalized N-Quads,
+    # same as the to-jelly input path) still reads it; the explicit
+    # format also wins over the fallback
     opaque = str(tmp_path / "expected.txt")
     shutil.copyfile(nq_file, opaque)
-    assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", opaque]) == 1
+    assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", opaque]) == 0
     assert main([
         "rdf", "validate", jelly, "--compare-to-rdf-file", opaque,
         "--compare-to-format", "nt",
@@ -130,6 +132,55 @@ def test_cli_validate_compare_to_format(spark, nq_file, tmp_path):
         "rdf", "validate", jelly, "--compare-to-rdf-file", opaque,
         "--compare-to-format", "invalid",
     ]) == 1
+
+
+def test_cli_validate_compares_quads(spark, tmp_path):
+    """Validate comparison is full-dataset (RdfValidate.scala:173-181):
+    a quads stream compares the graph position too, so two datasets with
+    identical triples but different graph labels are a mismatch — in
+    both unordered and ordered modes."""
+    nq = str(tmp_path / "in.nq")
+    nq_other = str(tmp_path / "other.nq")
+    lines = [
+        '<http://x/s> <http://x/p> "v" <http://g/1> .',
+        '<http://x/s> <http://x/p> "w" .',
+        '<http://x/t> <http://x/p> <http://x/o> <http://g/2> .',
+    ]
+    with open(nq, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(nq_other, "w") as fh:
+        fh.write("\n".join(lines).replace("<http://g/2>", "<http://g/3>") + "\n")
+    jelly = str(tmp_path / "q.jelly")
+    assert main(["rdf", "to-jelly", nq, "--to", jelly]) == 0
+    assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", nq]) == 0
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", nq,
+        "--compare-ordered",
+    ]) == 0
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", nq_other,
+    ]) == 1
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", nq_other,
+        "--compare-ordered",
+    ]) == 1
+
+
+def test_cli_validate_options_file(spark, nq_file, tmp_path):
+    """--options-file: the input's options row must equal the expected
+    stream's exactly (RdfValidate.scala:118-134) — same options pass,
+    any field difference (stream name here) is exit 1 with both options
+    printed."""
+    a = str(tmp_path / "a.jelly")
+    b = str(tmp_path / "b.jelly")
+    c = str(tmp_path / "c.jelly")
+    assert main(["rdf", "to-jelly", nq_file, "--to", a]) == 0
+    assert main(["rdf", "to-jelly", nq_file, "--to", b]) == 0
+    assert main([
+        "rdf", "to-jelly", nq_file, "--to", c, "--stream-name", "other",
+    ]) == 0
+    assert main(["rdf", "validate", a, "--options-file", b]) == 0
+    assert main(["rdf", "validate", a, "--options-file", c]) == 1
 
 
 def test_cli_jsonld_context_flag(spark, tmp_path):
