@@ -90,9 +90,16 @@ def run_pipeline(spark, n_files: int, trials: int = 1) -> tuple[int, list[float]
 
     secs: list[float] = []
     n_triples = 0
+    # Input layout is sized by DATA, identically at every parallelism —
+    # exactly what a real cluster reading an Iceberg table sees (the
+    # table's file/split count does not change with executor count).
+    # ~15.6k files/partition = 32 partitions at the 500k probe corpus:
+    # the wide probe leg (8 cores) gets 4 waves of straggler slack
+    # instead of the zero slack of partitions == cores.
+    parts = max(8, n_files // 15_625)
     for _ in range(max(1, trials)):
         spark.catalog.clearCache()
-        repos = generate_repos(spark, n_files).persist()
+        repos = generate_repos(spark, n_files, partitions=parts).persist()
         repos.count()
         warmup_python_workers(spark)
         t0 = time.time()
@@ -284,14 +291,18 @@ def _scaling_leg(
     degraded (a quiet 4x2/500k leg finishes in ~77 s)."""
     import subprocess
 
-    # SPARK_GRAFT_SCALE_PARTITIONS sizes shuffle partitions explicitly
-    # (a real cluster job sizes them by DATA, identically on every leg);
-    # default 0 = the leg's core count, the configuration that produced
-    # SCALING.json. An A/B on the same corpus measured 8 vs 32
-    # partitions within noise of each other (319 s vs 372 s on a leg
-    # that measures 77 s on a quiet host — tenancy dwarfs the knob),
-    # so the recorded artifact keeps the reproducible default.
-    parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "0")) or cores
+    # SPARK_GRAFT_SCALE_PARTITIONS sizes shuffle partitions explicitly.
+    # Default: by DATA, identically on every leg (a real cluster job
+    # sizes shuffles by input volume, not executor count) — 32 at the
+    # 500k probe corpus, AQE coalesces whatever lands small. The old
+    # default (leg core count) gave the wide leg zero straggler slack:
+    # one skewed/slow partition idled the other 7 cores, a structural
+    # bias against the 4N leg. (The r4 8-vs-32 A/B that read "within
+    # noise" ran in a 0.2-0.4 quality window — tenancy dwarfed the
+    # knob; it did not measure the knob.)
+    parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "0")) or max(
+        8, n_files // 15_625
+    )
     code = (
         "import json, sys\n"
         "from cli_spark.session import get_spark\n"

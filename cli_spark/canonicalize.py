@@ -51,9 +51,14 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
     )
     from .order import global_row_number
 
+    # node_map is NOT re-materialized here: global_row_number already
+    # persists its ranked partitions, so the map/decode projections
+    # below are cheap scans over those cached blocks. (An extra
+    # localCheckpoint doubled the setup barrier count for no lineage
+    # benefit — node_map never iterates.)
     node_map = global_row_number(
         sym_str.select(F.col("src").alias("node")).distinct(), ["node"], rn_col="nid"
-    ).localCheckpoint()
+    )
     src_ids = node_map.select(F.col("node").alias("src"), F.col("nid").alias("src_id"))
     dst_ids = node_map.select(F.col("node").alias("dst"), F.col("nid").alias("dst_id"))
     sym = (
@@ -62,9 +67,11 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
         .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
         .localCheckpoint()
     )
+    # labels round 0 is a projection of the persisted rank table; only
+    # per-round outputs need checkpointing (they are what iterates)
     labels = node_map.select(F.col("nid").alias("node")).withColumn(
         "label", F.col("node")
-    ).localCheckpoint()
+    )
 
     for _ in range(max_iter):
         # (1) hash-min: candidate labels flowing along edges
@@ -87,18 +94,27 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITERATIONS) -> Da
         lookup = labels.select(
             F.col("node").alias("cand"), F.col("label").alias("cand_label")
         )
-        # Checkpoint BEFORE the convergence count: counting first would
-        # execute the round's joins once for the count and again for the
-        # checkpoint — doubling every round's work. After the (eager)
-        # checkpoint the count is a scan of local blocks.
+        # The convergence count rides INSIDE the checkpoint job as an
+        # observed metric — one action per round, not checkpoint+count.
+        # (The eager localCheckpoint is the round's single execution;
+        # CollectMetrics folds the changed-row count into that same
+        # pass, so convergence detection costs zero extra jobs.)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = stepped.join(lookup, "cand", "left").select(
             "node",
             F.least(F.col("cand"), F.coalesce(F.col("cand_label"), F.col("cand"))).alias(
                 "new_label"
             ),
             "label",
+        ).observe(
+            obs,
+            F.sum(
+                (F.col("new_label") != F.col("label")).cast("long")
+            ).alias("changed"),
         ).localCheckpoint()
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        changed = obs.get["changed"] or 0
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
