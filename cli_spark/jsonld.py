@@ -10,10 +10,12 @@ keys, value objects (``@value`` + ``@type``/``@language``), node
 references (``@id``), ``@list`` arrays, nested node objects, and named
 graphs (``@id`` + ``@graph``), and an inline ``@context`` subset
 (term→IRI maps, compact IRIs, ``@vocab``/``@base``, ``@type``/
-``@language`` coercion, ``@list``/``@set`` containers — see
-``_Context``). NOT supported: remote contexts (a string/URL
-``@context`` raises a typed error — no network I/O from executors),
-``@reverse``, ``@index`` containers, JSON-LD 1.1 scoped contexts.
+``@language`` coercion, ``@list``/``@set``/``@index`` containers,
+``@reverse`` — node-level maps and reverse term definitions — and
+JSON-LD 1.1 property-scoped contexts — see ``_Context``). NOT
+supported: remote contexts (a string/URL ``@context`` raises a typed
+error — no network I/O from executors) and JSON-LD 1.1 type-scoped
+contexts.
 
 Design for Spark's execution model:
 
@@ -102,14 +104,21 @@ class _Context:
                     )
                 elif isinstance(v, str):
                     self.terms[k] = {
-                        "id": v, "type": None, "language": ..., "container": None
+                        "id": v, "type": None, "language": ..., "container": None,
+                        "reverse": False, "context": None,
                     }
                 elif isinstance(v, dict):
                     self.terms[k] = {
-                        "id": v.get("@id"),
+                        # {"term": {"@reverse": "iri"}}: term maps to a
+                        # reverse property (values emit object→subject)
+                        "id": v.get("@id", v.get("@reverse")),
                         "type": v.get("@type"),
                         "language": v.get("@language", ...),
                         "container": v.get("@container"),
+                        "reverse": "@reverse" in v,
+                        # JSON-LD 1.1 property-scoped context: applied
+                        # while expanding this term's values
+                        "context": v.get("@context"),
                     }
                 elif v is None:
                     self.terms.pop(k, None)
@@ -226,6 +235,25 @@ def _expand_obj(obj: dict, ctx: _Context) -> dict:
             out["@list"] = [_expand_value(x, ctx, None) for x in _as_list(vals)]
         elif expanded_key == "@graph":
             out["@graph"] = [_expand_obj(x, ctx) for x in _as_list(vals)]
+        elif expanded_key == "@reverse":
+            # node-level reverse map: {"@reverse": {prop: node(s)}} —
+            # each value is a node object/reference whose triple points
+            # BACK at this subject (JSON-LD 1.0 §6.12)
+            if not isinstance(vals, dict):
+                raise JsonLdUnsupportedError(
+                    f"@reverse expects a map of properties, got: {vals!r}"
+                )
+            rev = out.setdefault("@reverse", {})
+            for rk, rv in vals.items():
+                riri = ctx.expand_iri(rk, vocab=True)
+                if riri is None or riri.startswith("@"):
+                    raise JsonLdUnsupportedError(
+                        f"@reverse property must expand to an IRI: {rk!r}"
+                    )
+                rdef = ctx.terms.get(rk)
+                rev.setdefault(riri, []).extend(
+                    _expand_value(x, ctx, rdef) for x in _as_list(rv)
+                )
         elif expanded_key.startswith("@"):
             raise JsonLdUnsupportedError(
                 f"unsupported JSON-LD keyword: {expanded_key}"
@@ -233,6 +261,20 @@ def _expand_obj(obj: dict, ctx: _Context) -> dict:
         else:
             term_def = ctx.terms.get(key)
             container = term_def.get("container") if term_def else None
+            val_ctx = ctx
+            if term_def and term_def.get("context") is not None:
+                # JSON-LD 1.1 property-scoped context: in force for this
+                # term's values only
+                val_ctx = _Context(term_def["context"], parent=ctx)
+            if (
+                container == "@index"
+                and isinstance(vals, dict)
+                and not any(k.startswith("@") for k in vals)
+            ):
+                # index map: keys are organizational only — values
+                # flatten into the property's array (index dropped from
+                # the graph, JSON-LD 1.0 §6.16)
+                vals = [x for v in vals.values() for x in _as_list(v)]
             flat = []
             for x in _as_list(vals):
                 # {"@set": [...]} flattens into the property's array
@@ -240,12 +282,24 @@ def _expand_obj(obj: dict, ctx: _Context) -> dict:
                     flat.extend(_as_list(x["@set"]))
                 else:
                     flat.append(x)
-            items = [_expand_value(x, ctx, term_def) for x in flat]
+            # null values drop the property (JSON-LD expansion: "if
+            # value is null, continue")
+            items = [
+                _expand_value(x, val_ctx, term_def)
+                for x in flat
+                if x is not None
+            ]
+            if not items and flat:
+                continue
             if container == "@list" and not (
                 len(items) == 1 and isinstance(items[0], dict) and "@list" in items[0]
             ):
                 items = [{"@list": items}]
-            out.setdefault(expanded_key, []).extend(items)
+            if term_def and term_def.get("reverse"):
+                rev = out.setdefault("@reverse", {})
+                rev.setdefault(expanded_key, []).extend(items)
+            else:
+                out.setdefault(expanded_key, []).extend(items)
     return out
 
 
@@ -348,6 +402,22 @@ class _JsonLdReader:
                     for child in _as_list(vals):
                         self.node(child, label,
                                   KIND_IRI if kind == KIND_IRI else KIND_BNODE)
+                elif key == "@reverse":
+                    # reversed direction: each value node points back at
+                    # this subject (object position = this node)
+                    for rpred, rvals in vals.items():
+                        for rv in _as_list(rvals):
+                            if not isinstance(rv, dict) or "@value" in rv or "@list" in rv:
+                                raise JsonLdUnsupportedError(
+                                    "@reverse values must be node "
+                                    f"objects, got: {rv!r}"
+                                )
+                            rlabel, rkind = self.node(rv, graph, graph_kind)
+                            self._emit(
+                                rlabel, rkind, rpred,
+                                (kind, label, None, None),
+                                graph, graph_kind,
+                            )
                 continue
             for v in _as_list(vals):
                 term = self._value_term(v, graph, graph_kind)

@@ -210,6 +210,78 @@ def test_context_expansion_full_subset():
     assert {r[4] for r in firsts} == {"a", "b"}
 
 
+def test_reverse_node_map_and_reverse_term():
+    """@reverse (JSON-LD 1.0 §6.12): node-level reverse maps and
+    reverse term definitions both emit object→subject triples; literal
+    values under @reverse are a typed error."""
+    from cli_spark.jsonld import JsonLdUnsupportedError, parse_jsonld_document
+
+    doc = """
+    {
+      "@context": {
+        "ex": "http://example.org/",
+        "parentOf": {"@reverse": "ex:childOf"}
+      },
+      "@id": "ex:alice",
+      "@reverse": {"ex:knows": [{"@id": "ex:bob"},
+                                {"@id": "ex:carol",
+                                 "ex:name": "Carol"}]},
+      "parentOf": {"@id": "ex:dan"}
+    }"""
+    rows = parse_jsonld_document(doc)
+    triples = {(r[0], r[2], r[4]) for r in rows}
+    # node-level reverse: bob/carol point AT alice
+    assert ("http://example.org/bob", "http://example.org/knows",
+            "http://example.org/alice") in triples
+    assert ("http://example.org/carol", "http://example.org/knows",
+            "http://example.org/alice") in triples
+    # the nested node's own forward triple still emits
+    assert ("http://example.org/carol", "http://example.org/name",
+            "Carol") in triples
+    # reverse term definition: dan childOf alice
+    assert ("http://example.org/dan", "http://example.org/childOf",
+            "http://example.org/alice") in triples
+    # no forward triples in the reverse direction
+    assert not any(s == "http://example.org/alice" and "knows" in p
+                   for s, p, _ in triples)
+    with pytest.raises(JsonLdUnsupportedError, match="@reverse values"):
+        parse_jsonld_document(
+            '{"@id": "http://e/x", "@reverse":'
+            ' {"http://e/p": [{"@value": "lit"}]}}'
+        )
+
+
+def test_index_container_and_scoped_context():
+    """@index containers flatten (keys are non-semantic, §6.16);
+    a JSON-LD 1.1 property-scoped context applies to that term's
+    values only."""
+    from cli_spark.jsonld import parse_jsonld_document
+
+    doc = """
+    {
+      "@context": {
+        "ex": "http://example.org/",
+        "post": {"@id": "ex:post", "@container": "@index"},
+        "friend": {"@id": "ex:friend",
+                   "@context": {"nick": "ex:nickname"}}
+      },
+      "@id": "ex:alice",
+      "post": {"en": "hello", "de": ["hallo", "servus"]},
+      "friend": {"@id": "ex:bob", "nick": "Bobby"},
+      "nick": "dropped-no-vocab"
+    }"""
+    rows = parse_jsonld_document(doc)
+    triples = {(r[0], r[2], r[4]) for r in rows}
+    posts = {o for s, p, o in triples
+             if p == "http://example.org/post"}
+    assert posts == {"hello", "hallo", "servus"}
+    # scoped context maps nick only inside friend's values
+    assert ("http://example.org/bob", "http://example.org/nickname",
+            "Bobby") in triples
+    # outside the scoped term, "nick" has no mapping (and no @vocab)
+    assert not any(o == "dropped-no-vocab" for _, _, o in triples)
+
+
 def test_context_remote_rejected_and_passthrough():
     import pytest
 
