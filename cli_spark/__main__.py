@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     tj.add_argument("--base", default=None,
                     help="base IRI for relative-IRI resolution (S8; "
                     "Turtle/TriG only)")
+    tj.add_argument("--enable-namespace-declarations", action="store_true",
+                    help="carry the input's PREFIX/@prefix declarations "
+                    "into the stream as namespace rows "
+                    "(RdfToJelly.scala:57-61; Turtle/TriG input only)")
 
     fj = rdf.add_parser("from-jelly")
     fj.add_argument("input")
@@ -260,13 +264,27 @@ def _dispatch(spark, args) -> int:
                 f"compatible with physical type {opts.physical_type}",
                 file=sys.stderr,
             )
+        ns = None
+        if args.enable_namespace_declarations:
+            # PREFIX declarations ride the stream as namespace rows
+            # (RdfToJelly.scala:57-61) — only Turtle-family inputs
+            # carry declarations to forward
+            if in_fmt.key not in ("ttl", "trig"):
+                raise ValueError(
+                    "--enable-namespace-declarations requires a "
+                    "Turtle/TriG input (PREFIX declarations live in the "
+                    f"document syntax); input is {in_fmt.full_name}"
+                )
+            from .turtle import scan_namespaces
+
+            ns = scan_namespaces(spark, args.input)
         if opts.physical_type == J.PHYSICAL_QUADS:
             quads = stmts if "graph" in stmts.columns else stmts.withColumn(
                 "graph", F.lit(None).cast("string")
             )
             frames = J.encode_quads(
                 spark, quads, rows_per_frame=args.rows_per_frame,
-                options=opts, prefix_table=prefix_table,
+                options=opts, prefix_table=prefix_table, namespaces=ns,
             )
         elif opts.physical_type == J.PHYSICAL_GRAPHS:
             quads = stmts if "graph" in stmts.columns else stmts.withColumn(
@@ -275,6 +293,7 @@ def _dispatch(spark, args) -> int:
             frames = J.encode_quads_graphs(
                 spark, quads.select("subj", "pred", "obj", "obj_kind", "graph"),
                 rows_per_frame=args.rows_per_frame, options=opts,
+                namespaces=ns,
             )
         else:
             if has_graph:
@@ -288,7 +307,7 @@ def _dispatch(spark, args) -> int:
                     "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"
                 ),
                 rows_per_frame=args.rows_per_frame, options=opts,
-                prefix_table=prefix_table,
+                prefix_table=prefix_table, namespaces=ns,
             )
         if args.to.endswith(".jelly.txt"):
             # S10 jelly-text sink: real protobuf TextFormat frames
@@ -350,6 +369,14 @@ def _dispatch(spark, args) -> int:
 
             with open(args.jsonld_context) as fh:
                 write_kw["context"] = _json.load(fh)
+        if out_fmt.key in ("ttl", "trig"):
+            # stream namespace rows → @prefix header (RdfFromJelly.scala:
+            # 133-140 passthrough); a handful of rows, bounded collect.
+            # Empty result ⇒ None ⇒ the writer derives prefixes by
+            # frequency as before.
+            ns_rows = J.namespace_declarations(rows).collect()
+            if ns_rows:
+                write_kw["prefixes"] = {r["name"]: r["iri"] for r in ns_rows}
         out_fmt.write(stmts, args.to, single_file=args.single_file, **write_kw)
         return 0
 

@@ -48,10 +48,10 @@ def _read_ttl(spark, path, base=None):
     return read_turtle(spark, path, base=base)
 
 
-def _write_ttl(df, path, single_file=False):
+def _write_ttl(df, path, single_file=False, prefixes=None):
     from .turtle import write_turtle
 
-    write_turtle(df, path, single_file=single_file)
+    write_turtle(df, path, single_file=single_file, prefixes=prefixes)
 
 
 def _read_jsonld(spark, path, base=None):

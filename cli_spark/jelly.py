@@ -2387,6 +2387,7 @@ def encode_quads_graphs(
     rows_per_frame: int = ROWS_PER_FRAME,
     max_name_table: int = MAX_NAME_TABLE,
     options: StreamOptions | None = None,
+    namespaces: DataFrame | None = None,
 ) -> DataFrame:
     """quads(subj, pred, obj, obj_kind, graph nullable) → frames, GRAPHS
     physical type (JellyStreamWriterGraphs.scala:19-95): statements are
@@ -2406,5 +2407,5 @@ def encode_quads_graphs(
     )
     return _encode_statements(
         spark, quads, PHYSICAL_GRAPHS, rows_per_frame, opts,
-        prefix_table=False, namespaces=None,
+        prefix_table=False, namespaces=namespaces,
     )

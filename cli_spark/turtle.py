@@ -66,6 +66,20 @@ if TYPE_CHECKING:
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+
+def _urljoin_keep_empty(base: str, ref: str) -> str:
+    """RFC 3986 reference resolution, preserving a trailing empty
+    fragment/query: ``urljoin`` silently drops a bare ``#``/``?`` —
+    fatal for namespace IRIs, where ``<vocab#>`` is the standard shape
+    (prefixed-name concatenation would then weld the local part onto
+    ``...vocab``)."""
+    out = urljoin(base, ref)
+    if ref.endswith("#") and not out.endswith("#"):
+        out += "#"
+    elif ref.endswith("?") and not out.endswith("?"):
+        out += "?"
+    return out
+
 _PN_LOCAL = r"[A-Za-z0-9_\-.%]*"
 _TOKEN_RE = re.compile(
     r"""
@@ -184,7 +198,7 @@ class _TurtleParser:
 
     def _resolve(self, iri: str) -> str:
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
-            return urljoin(self.base, iri)
+            return _urljoin_keep_empty(self.base, iri)
         return iri
 
     def _fresh_bnode(self) -> str:
@@ -416,6 +430,57 @@ def read_turtle(spark: SparkSession, path: str, base: str | None = None) -> Data
             yield pd.DataFrame(rows, columns=TRIPLE_COLS)
 
     return raw.mapInPandas(parse, schema)
+
+
+_DIRECTIVE_RX = (
+    r"(?m)^[ \t]*(?:"
+    r"(?:@prefix|[Pp][Rr][Ee][Ff][Ii][Xx])[ \t]+([A-Za-z0-9_.\-]*):[ \t]*<([^>]*)>"
+    r"|(?:@base|[Bb][Aa][Ss][Ee])[ \t]+<([^>]*)>"
+    r")"
+)
+
+
+def scan_namespaces(spark: SparkSession, path: str) -> DataFrame:
+    """(name, iri) prefix declarations from Turtle/TriG documents — the
+    directives Jena surfaces as StreamRDF prefix events and the
+    reference forwards to the Jelly stream under
+    ``--enable-namespace-declarations`` (RdfToJelly.scala:57-61).
+
+    File-parallel directive scan (line-leading ``@prefix``/``PREFIX``,
+    the shape every common serializer emits); an in-file ``@base``
+    resolves relative prefix IRIs declared after it. The last
+    declaration of a name within a file wins (Jena PrefixMap override);
+    across files, ties break to the lexicographic-min IRI so the
+    result is partitioning-independent."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        rx = re.compile(_DIRECTIVE_RX)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for content in pdf["content"]:
+                text = bytes(content).decode("utf-8")
+                base, seen = None, {}
+                for m in rx.finditer(text):
+                    if m.group(3) is not None:
+                        base = (
+                            _urljoin_keep_empty(base, m.group(3))
+                            if base else m.group(3)
+                        )
+                    else:
+                        iri = m.group(2)
+                        if base and not re.match(
+                            r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri
+                        ):
+                            iri = _urljoin_keep_empty(base, iri)
+                        seen[m.group(1)] = iri
+                rows.extend(seen.items())
+            yield pd.DataFrame(rows, columns=["name", "iri"])
+
+    decls = raw.mapInPandas(scan, "name string, iri string")
+    return decls.groupBy("name").agg(F.min("iri").alias("iri"))
 
 
 def parse_turtle_lines(

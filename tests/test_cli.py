@@ -183,6 +183,44 @@ def test_cli_validate_options_file(spark, nq_file, tmp_path):
     assert main(["rdf", "validate", a, "--options-file", c]) == 1
 
 
+def test_cli_namespace_declarations(spark, tmp_path):
+    """--enable-namespace-declarations (RdfToJelly.scala:57-61): the
+    Turtle input's PREFIX declarations ride the stream as namespace
+    rows and come back as the @prefix header on a Turtle sink
+    (RdfFromJelly.scala:133-140); non-Turtle input is a typed error."""
+    ttl = str(tmp_path / "in.ttl")
+    with open(ttl, "w") as fh:
+        fh.write(
+            "@prefix ex: <http://example.org/> .\n"
+            "@prefix v: <http://vocab.org/ns#> .\n"
+            "ex:a v:p ex:b .\n"
+        )
+    jelly = str(tmp_path / "ns.jelly")
+    assert main([
+        "rdf", "to-jelly", ttl, "--to", jelly,
+        "--enable-namespace-declarations",
+    ]) == 0
+    out = str(tmp_path / "back")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", out, "--single-file",
+        "--out-format", "ttl",
+    ]) == 0
+    part = next(p for p in os.listdir(out) if p.startswith("part-"))
+    with open(os.path.join(out, part)) as fh:
+        text = fh.read()
+    assert "@prefix ex: <http://example.org/> ." in text
+    assert "@prefix v: <http://vocab.org/ns#> ." in text
+    assert "ex:a v:p ex:b ." in text
+    # namespace forwarding needs a document syntax that declares them
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        fh.write("<http://e/s> <http://e/p> <http://e/o> .\n")
+    assert main([
+        "rdf", "to-jelly", nq, "--to", str(tmp_path / "x.jelly"),
+        "--enable-namespace-declarations",
+    ]) == 1
+
+
 def test_cli_jsonld_context_flag(spark, tmp_path):
     """--jsonld-context FILE switches the JSON-LD sink to
     compact-on-write; the flag with a non-JSON-LD output is a typed

@@ -313,3 +313,43 @@ ex:doc ex:claims << ex:a ex:p ex:b >> .
     reparsed = T.parse_turtle_lines(body, prefixes, text_col="line")
     back = {tuple(getattr(r, c) for c in TRIPLE_COLS)[:8] for r in reparsed.collect()}
     assert back == {tuple(r)[:8] for r in rows}
+
+
+def test_resolve_keeps_empty_fragment():
+    """A relative prefix IRI ending in bare '#' must keep it through
+    base resolution (urljoin drops empty fragments): <vocab#> against a
+    base is the standard namespace shape, and losing the '#' welds
+    local names onto '...vocab'."""
+    p = T._TurtleParser.__new__(T._TurtleParser)
+    p.base = "http://base.org/dir/"
+    assert p._resolve("vocab#") == "http://base.org/dir/vocab#"
+    assert p._resolve("vocab#x") == "http://base.org/dir/vocab#x"
+    assert p._resolve("http://abs.org/v#") == "http://abs.org/v#"
+    rows = T.parse_turtle_document(
+        "@base <http://base.org/dir/> .\n"
+        "@prefix v: <vocab#> .\n"
+        "v:s v:p v:o .\n"
+    )
+    assert rows[0][0] == "http://base.org/dir/vocab#s"
+
+
+def test_scan_namespaces(spark, tmp_path):
+    """scan_namespaces: file-parallel directive scan — last declaration
+    of a name wins within a file, @base resolves relative prefix IRIs,
+    SPARQL-style PREFIX accepted, non-directive lines ignored."""
+    f = tmp_path / "doc.ttl"
+    f.write_text(
+        "@base <http://base.org/> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        "PREFIX foo: <sub/dir#>\n"
+        "@prefix ex: <http://example.org/v2/> .\n"
+        "ex:a ex:p foo:b .\n"
+    )
+    got = {
+        r["name"]: r["iri"]
+        for r in T.scan_namespaces(spark, str(f)).collect()
+    }
+    assert got == {
+        "ex": "http://example.org/v2/",
+        "foo": "http://base.org/sub/dir#",
+    }
