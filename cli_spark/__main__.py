@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
     ins.add_argument("input")
     ins.add_argument("--per-frame", action="store_true")
     ins.add_argument("--size", action="store_true", help="serialized-size statistic")
+    ins.add_argument("--detail", choices=["node", "term", "all"], default=None,
+                    help="term×node-kind detail over explicitly-encoded "
+                    "wire terms (RdfInspect.scala:30-35); count "
+                    "statistic only")
+    ins.add_argument("--to", default=None,
+                    help="write the report to a file instead of stdout")
 
     va = rdf.add_parser("validate")
     va.add_argument("input")
@@ -381,21 +387,55 @@ def _dispatch(spark, args) -> int:
         return 0
 
     if args.rdf_cmd == "inspect":
-        from .inspect_metrics import aggregate_metrics, per_frame_metrics, render_yaml
+        from .inspect_metrics import (
+            aggregate_metrics,
+            format_detail,
+            per_frame_metrics,
+            render_yaml,
+            wire_term_detail,
+        )
 
+        if args.detail and args.size:
+            # the size statistic measures serialized row bytes; per-term
+            # wire sizes are not carried through the resolver (the
+            # reference computes them from the raw protobuf messages)
+            raise ValueError(
+                "--detail is count-statistic only; drop --size"
+            )
         rows = J.decode_frames(J.read_jelly_file(spark, args.input))
+        if args.detail:
+            rows = rows.persist()
         if args.per_frame:
             pf = per_frame_metrics(rows, use_size=args.size).orderBy(
                 "seg", "frame_index"
             )
-            out = {
-                "frames": [
-                    {k: int(v) for k, v in r.asDict().items()} for r in pf.collect()
-                ]
-            }
+            frames = [
+                {k: int(v) for k, v in r.asDict().items()} for r in pf.collect()
+            ]
+            if args.detail:
+                per = {}
+                for r in wire_term_detail(rows, per_frame=True).collect():
+                    per.setdefault((r["seg"], r["frame_index"]), []).append(r)
+                for f in frames:
+                    f.update(format_detail(
+                        per.get((f["seg"], f["frame_index"]), []), args.detail
+                    ))
+            out = {"frames": frames}
         else:
-            out = {"stream": aggregate_metrics(rows, use_size=args.size)}
-        print(render_yaml(out), end="")
+            stream = aggregate_metrics(rows, use_size=args.size)
+            if args.detail:
+                stream.update(format_detail(
+                    wire_term_detail(rows).collect(), args.detail
+                ))
+            out = {"stream": stream}
+        if args.detail:
+            rows.unpersist()
+        text = render_yaml(out)
+        if args.to:
+            with open(args.to, "w") as fh:
+                fh.write(text)
+        else:
+            print(text, end="")
         return 0
 
     if args.rdf_cmd == "validate":

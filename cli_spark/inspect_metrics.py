@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .jelly import KIND_NAME, KIND_OPTIONS, KIND_TRIPLE
+from .jelly import KIND_NAME, KIND_OPTIONS, KIND_QUAD, KIND_TRIPLE
 
 
 def per_frame_metrics(rows: DataFrame, use_size: bool = False) -> DataFrame:
@@ -59,6 +59,75 @@ def aggregate_metrics(rows: DataFrame, use_size: bool = False) -> dict:
     return {k: int(v) for k, v in r.asDict().items()}
 
 
+# NodeDetailInfo taxonomy (MetricsPrinter.scala:123-147): wire term
+# kinds 0-4 map 1:1 onto the reference's five node classes
+_NODE_KIND_NAMES = {
+    0: "iri", 1: "bnode", 2: "literal", 3: "triple", 4: "default_graph",
+}
+_TERM_POSITIONS = (
+    # (name, term_mask bit, kind column) — mask bit set iff the term was
+    # EXPLICIT on the wire (repeated-term guards, MetricsPrinter:186-199)
+    ("subject", 1, "subj_kind"),
+    ("predicate", 2, "pred_kind"),
+    ("object", 4, "obj_kind"),
+    ("graph", 8, "graph_kind"),
+)
+
+
+def wire_term_detail(rows: DataFrame, per_frame: bool = False) -> DataFrame:
+    """(seg?, frame_index?, term_pos, node_kind, n) — node-kind counts
+    per term position over EXPLICITLY-encoded statement terms, the data
+    behind the reference's ``--detail`` formatters (MetricsPrinter.scala
+    :201-255). One melt + one groupBy; the result is ≤ 4×5 rows (per
+    frame when ``per_frame``), a bounded driver artifact."""
+    keys = ["seg", "frame_index"] if per_frame else []
+    stmts = rows.filter(F.col("row_kind").isin(KIND_TRIPLE, KIND_QUAD))
+    melted = None
+    for pos, bit, kcol in _TERM_POSITIONS:
+        part = stmts.filter(
+            F.col("term_mask").bitwiseAND(F.lit(bit)) != 0
+        ).select(
+            *keys,
+            F.lit(pos).alias("term_pos"),
+            F.col(kcol).cast("int").alias("node_kind"),
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    return melted.groupBy(*keys, "term_pos", "node_kind").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def format_detail(counts: list, mode: str) -> dict:
+    """Rows of (term_pos, node_kind, n) → the reference's three report
+    shapes: 'all' = per-position node maps (subject/predicate/object/
+    graph, each with all five *_count keys), 'node' = node_details
+    summed across positions, 'term' = term_details totals per position
+    (MetricsPrinter.scala:237-255). Driver-side on the tiny counts."""
+    if mode == "term":
+        tot = {pos: 0 for pos, _, _ in _TERM_POSITIONS}
+        for r in counts:
+            tot[r["term_pos"]] += int(r["n"])
+        return {
+            "term_details": {f"{p}_count": tot[p] for p, _, _ in _TERM_POSITIONS}
+        }
+    if mode == "node":
+        tot = {name: 0 for name in _NODE_KIND_NAMES.values()}
+        for r in counts:
+            tot[_NODE_KIND_NAMES[int(r["node_kind"])]] += int(r["n"])
+        return {
+            "node_details": {f"{k}_count": v for k, v in tot.items()}
+        }
+    out = {
+        pos: {f"{k}_count": 0 for k in _NODE_KIND_NAMES.values()}
+        for pos, _, _ in _TERM_POSITIONS
+    }
+    for r in counts:
+        out[r["term_pos"]][
+            f"{_NODE_KIND_NAMES[int(r['node_kind'])]}_count"
+        ] += int(r["n"])
+    return out
+
+
 def term_detail(triples: DataFrame) -> DataFrame:
     """(term_pos, node_kind, n) with GROUPING SETS — A4 node-kind detail
     × A5 granularities (all / by node / by term). node_kind follows the
@@ -95,19 +164,45 @@ def render_yaml(metrics: dict) -> str:
             ).replace("\r", "\\r").replace("\t", "\\t") + '"'
         return s
 
-    def walk(v, indent: int) -> str:
-        pad = "  " * indent
-        if isinstance(v, dict):
-            return "\n".join(
-                f"{pad}{k}:" + (walk(x, indent + 1) if isinstance(x, (dict, list)) else f" {walk(x, 0)}")
-                for k, x in v.items()
-            )
-        if isinstance(v, list):
-            return "\n".join(f"{pad}- {walk(x, 0)}" for x in v)
+    def scalar(v) -> str:
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, str):
             return esc(v)
         return str(v)
+
+    def walk(v, indent: int) -> str:
+        pad = "  " * indent
+        if isinstance(v, dict):
+            lines = []
+            for k, x in v.items():
+                if isinstance(x, (dict, list)) and x:
+                    lines.append(f"{pad}{k}:")
+                    lines.append(walk(x, indent + 1))
+                else:
+                    inline = "{}" if isinstance(x, dict) else (
+                        "[]" if isinstance(x, list) else scalar(x)
+                    )
+                    lines.append(f"{pad}{k}: {inline}")
+            return "\n".join(lines)
+        if isinstance(v, list):
+            lines = []
+            for x in v:
+                if isinstance(x, (dict, list)) and x:
+                    # block item: "- " replaces the first line's extra
+                    # indent; continuation lines stay one level deeper,
+                    # aligned with the content after the dash
+                    block = walk(x, indent + 1)
+                    first, _, rest = block.partition("\n")
+                    lines.append(f"{pad}- {first.strip()}")
+                    if rest:
+                        lines.append(rest)
+                else:
+                    inline = "{}" if isinstance(x, dict) else (
+                        "[]" if isinstance(x, list) else scalar(x)
+                    )
+                    lines.append(f"{pad}- {inline}")
+            return "\n".join(lines)
+        return scalar(v)
 
     return walk(metrics, 0) + "\n"

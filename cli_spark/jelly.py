@@ -123,7 +123,12 @@ ROW_SCHEMA = (
     "graph string, graph_kind int, graph_dt string, graph_lang string, "
     "name_id long, name string, aux string, "
     "opt_version int, opt_physical int, opt_logical int, opt_flags int, "
-    "opt_max_name int, opt_max_prefix int, opt_max_dt int"
+    "opt_max_name int, opt_max_prefix int, opt_max_dt int, "
+    # which terms a statement row carried EXPLICITLY on the wire
+    # (bit 1=s, 2=p, 4=o, 8=g) — repeated-term compression elides the
+    # rest; inspect --detail counts only explicit terms, mirroring the
+    # reference's hasSubject/... guards (MetricsPrinter.scala:186-199)
+    "term_mask int"
 )
 _ROW_COLS = [s.split()[0] for s in ROW_SCHEMA.split(", ")]
 
@@ -1659,6 +1664,8 @@ def decode_frames(frames: DataFrame, strict: bool = False) -> DataFrame:
         )
         pos_idx = {p: tuple(idx[c] for c in cs) for p, cs in _POS_COLS.items()}
         i_name_id, i_name, i_aux = idx["name_id"], idx["name"], idx["aux"]
+        i_mask = idx["term_mask"]
+        _mask_bit = {"s": 1, "p": 2, "o": 4, "g": 8}
         opt_idx = tuple(
             idx[c] for c in (
                 "opt_version", "opt_physical", "opt_logical", "opt_flags",
@@ -1675,11 +1682,15 @@ def decode_frames(frames: DataFrame, strict: bool = False) -> DataFrame:
                     seg, fi, row_pos, kind
                 )
                 if kind in (KIND_TRIPLE, KIND_QUAD):
+                    mask = 0
                     for p in ("s", "p", "o", "g"):
                         t = row.get(p)
                         if t is not None:
                             iv, ik, idt, il = pos_idx[p]
                             rec[iv], rec[ik], rec[idt], rec[il] = t
+                        if raw.get(p) is not None:
+                            mask |= _mask_bit[p]
+                    rec[i_mask] = mask
                 elif kind in (KIND_NAME, KIND_PREFIX, KIND_DATATYPE):
                     rec[i_name_id], rec[i_name] = row["id"], row["value"]
                 elif kind == KIND_OPTIONS:

@@ -183,6 +183,40 @@ def test_cli_validate_options_file(spark, nq_file, tmp_path):
     assert main(["rdf", "validate", a, "--options-file", c]) == 1
 
 
+def test_cli_inspect_detail(spark, tmp_path, capsys):
+    """inspect --detail node|term|all (RdfInspect.scala:30-35): node-kind
+    counts over explicitly-encoded wire terms in the reference's three
+    report shapes; --size with --detail is a typed error; --to writes
+    the report to a file. This repo's own encoder writes every term
+    explicitly (frame-parallel decodability), so explicit counts equal
+    logical counts here; the elided-wire case is covered by
+    test_jelly_v2::test_wire_term_detail_elision."""
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        fh.write(
+            '<http://e/s1> <http://e/p> "a" .\n'
+            '<http://e/s1> <http://e/p> "b" .\n'
+            '<http://e/s2> <http://e/p> <http://e/o> .\n'
+        )
+    jelly = str(tmp_path / "d.jelly")
+    assert main(["rdf", "to-jelly", nq, "--to", jelly]) == 0
+    assert main(["rdf", "inspect", jelly, "--detail", "term"]) == 0
+    out = capsys.readouterr().out
+    assert "term_details:" in out
+    assert "subject_count: 3" in out
+    assert "predicate_count: 3" in out
+    assert "object_count: 3" in out
+    assert main(["rdf", "inspect", jelly, "--detail", "node"]) == 0
+    out = capsys.readouterr().out
+    assert "node_details:" in out and "literal_count: 2" in out
+    rpt = str(tmp_path / "report.yaml")
+    assert main(["rdf", "inspect", jelly, "--detail", "all", "--to", rpt]) == 0
+    with open(rpt) as fh:
+        text = fh.read()
+    assert "subject:" in text and "iri_count: 3" in text
+    assert main(["rdf", "inspect", jelly, "--detail", "all", "--size"]) == 1
+
+
 def test_cli_namespace_declarations(spark, tmp_path):
     """--enable-namespace-declarations (RdfToJelly.scala:57-61): the
     Turtle input's PREFIX declarations ride the stream as namespace

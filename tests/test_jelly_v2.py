@@ -520,3 +520,56 @@ def test_transcode_upstream_golden_fixtures(spark):
     qback = J.decode_quads(J.decode_frames(qout))
     assert _set(qback, qkey) == _set(qdirect, qkey)
     assert qdirect.count() > 0
+
+
+def test_wire_term_detail_elision(spark, tmp_path):
+    """--detail counts only EXPLICITLY-encoded wire terms: a stream
+    using repeated-term elision (legal Jelly; the reference encoder's
+    default) reports fewer explicit terms than logical statements
+    (MetricsPrinter.scala:186-199 hasSubject/... guards). The elided
+    stream is built by decoding our explicit wire to raw rows, deleting
+    the repeated subject/predicate fields, and re-encoding."""
+    from cli_spark import jellywire as JW
+    from cli_spark.inspect_metrics import format_detail, wire_term_detail
+
+    # build via the normal encoder: 3 triples, s1 repeated
+    triples = spark.createDataFrame(
+        [
+            ("kg:s1", "kg:p", "a", 2, None, None),
+            ("kg:s1", "kg:p", "b", 2, None, None),
+            ("kg:s2", "kg:p", "kg:o", 0, None, None),
+        ],
+        "subj string, pred string, obj string, obj_kind int, "
+        "obj_datatype string, obj_lang string",
+    )
+    p = str(tmp_path / "explicit.jelly")
+    J.write_jelly_file(J.encode_triples(spark, triples), p)
+    data = open(p, "rb").read()
+    _, blobs = JW.split_delimited(data)
+    raw_frames = [JW.decode_frame(b) for b in blobs]
+    # elide every repeat of the previous statement's term, like the
+    # reference encoder does
+    prev = {}
+    for fr in raw_frames:
+        for row in fr:
+            if row["kind"] in (JW.K_TRIPLE, JW.K_QUAD):
+                for t in ("s", "p", "o", "g"):
+                    if t in row and row.get(t) is not None:
+                        if prev.get(t) == row[t]:
+                            del row[t]
+                        else:
+                            prev[t] = row[t]
+    p2 = str(tmp_path / "elided.jelly")
+    with open(p2, "wb") as fh:
+        fh.write(JW.write_delimited(JW.encode_frame(fr) for fr in raw_frames))
+    rows = J.decode_frames(J.read_jelly_file(spark, p2))
+    # decode still yields all 3 logical triples
+    back = J.decode_triples(rows, strict=False)
+    assert back.count() == 3
+    detail = format_detail(wire_term_detail(rows).collect(), "term")
+    assert detail["term_details"] == {
+        "subject_count": 2,   # s1 explicit once, s2 once
+        "predicate_count": 1,  # kg:p explicit once
+        "object_count": 3,     # all distinct
+        "graph_count": 0,
+    }
