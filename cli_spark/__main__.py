@@ -51,6 +51,12 @@ def _parse_range(spec: str) -> tuple[int, int]:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cli_spark")
+    # common options (JellyCommand.scala:9-12): --quiet silences
+    # warnings, --debug prints the full traceback on error
+    p.add_argument("--quiet", action="store_true",
+                   help="silence warnings")
+    p.add_argument("--debug", action="store_true",
+                   help="print the full traceback on error")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("version")
@@ -63,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     tj.add_argument("--rows-per-frame", type=int, default=256)
     tj.add_argument("--max-name-table", type=int, default=None)
     tj.add_argument("--max-prefix-table", type=int, default=None)
+    tj.add_argument("--max-datatype-table", type=int, default=None,
+                    help="maximum size of the datatype lookup table "
+                    "(opt.maxDatatypeTableSize)")
     tj.add_argument("--non-delimited", action="store_true")
     tj.add_argument("--append", action="store_true", help="append-mode sink (S3)")
     tj.add_argument("--physical-type", choices=["triples", "quads", "graphs"],
@@ -138,6 +147,9 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("--max-name-table", type=int, default=None,
                     help="output table size; must be >= the entries the "
                     "inputs carry (default: computed)")
+    tc.add_argument("--stream-name", default=None,
+                    help="stream name for the merged output's options "
+                    "row (opt.streamName)")
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--n-files", type=int, default=1000)
@@ -162,6 +174,10 @@ def main(argv: list[str] | None = None) -> int:
     try:
         return _dispatch(spark, args)
     except (ValueError, AssertionError) as exc:
+        if args.debug:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
         print(f"error: {exc}", file=sys.stderr)
         return 1
     finally:
@@ -251,6 +267,7 @@ def _dispatch(spark, args) -> int:
                 "rdf_star": args.rdf_star,
                 "max_name_table": args.max_name_table,
                 "max_prefix_table": args.max_prefix_table,
+                "max_dt_table": args.max_datatype_table,
             },
             from_file=from_file,
             derived=derived,
@@ -260,7 +277,8 @@ def _dispatch(spark, args) -> int:
         # incompatible logical/physical pair is a warning at encode
         # time, an error at validate time
         if (
-            opts.logical_type
+            not args.quiet
+            and opts.logical_type
             and opts.logical_type in J.LOGICAL_COMPAT
             and opts.physical_type not in J.LOGICAL_COMPAT[opts.logical_type]
         ):
@@ -561,6 +579,7 @@ def _dispatch(spark, args) -> int:
             [J.read_jelly_file(spark, p) for p in args.inputs],
             rows_per_frame=args.rows_per_frame,
             max_name_table=args.max_name_table,
+            stream_name=args.stream_name,
         )
         J.write_jelly_file(frames, args.to)
         return 0

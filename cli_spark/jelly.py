@@ -2234,6 +2234,7 @@ def transcode_frames(
     frames_list: list[DataFrame],
     rows_per_frame: int = ROWS_PER_FRAME,
     max_name_table: int | None = None,
+    stream_name: str | None = None,
 ) -> DataFrame:
     """Concatenate N Jelly streams into ONE output stream by remapping
     lookup-table ids — the reference's transcode fast path
@@ -2319,7 +2320,7 @@ def transcode_frames(
         )
     out_opts = {
         "kind": KIND_OPTIONS,
-        "stream_name": "",
+        "stream_name": stream_name or "",
         "physical": physical,
         "generalized": bool(flags & 1),
         "rdf_star": bool(flags & 2),

@@ -183,6 +183,47 @@ def test_cli_validate_options_file(spark, nq_file, tmp_path):
     assert main(["rdf", "validate", a, "--options-file", c]) == 1
 
 
+def test_cli_common_flags(spark, nq_file, tmp_path, capsys):
+    """--quiet silences the P11 type-clash warning; --debug prints the
+    traceback before the error line; --max-datatype-table reaches the
+    options row; transcode --stream-name names the merged stream
+    (JellyCommand.scala:9-12, opt.* overrides)."""
+    from cli_spark import jelly as J
+
+    jelly = str(tmp_path / "s.jelly")
+    # flatQuads logical type over a triples-physical stream: warned
+    # unless --quiet (LOGICAL_COMPAT maps flatQuads to QUADS/GRAPHS)
+    assert main([
+        "rdf", "to-jelly", nq_file, "--to", jelly,
+        "--logical-type", "flatQuads",
+    ]) == 0
+    assert "warning" in capsys.readouterr().err
+    assert main([
+        "--quiet", "rdf", "to-jelly", nq_file, "--to", jelly,
+        "--logical-type", "flatQuads",
+    ]) == 0
+    assert "warning" not in capsys.readouterr().err
+    # --debug: traceback precedes the error line (on a raising path)
+    assert main([
+        "--debug", "rdf", "validate", jelly,
+        "--compare-to-rdf-file", nq_file, "--compare-to-format", "bogus",
+    ]) == 1
+    err = capsys.readouterr().err
+    assert "Traceback" in err and "error:" in err
+    # --max-datatype-table lands in the stream options
+    dt = str(tmp_path / "dt.jelly")
+    assert main([
+        "rdf", "to-jelly", nq_file, "--to", dt, "--max-datatype-table", "64",
+    ]) == 0
+    assert J.options_from_file(dt).max_dt_table == 64
+    # transcode --stream-name names the merged output stream
+    tr = str(tmp_path / "merged.jelly")
+    assert main([
+        "rdf", "transcode", jelly, "--to", tr, "--stream-name", "merged",
+    ]) == 0
+    assert J.options_from_file(tr).stream_name == "merged"
+
+
 def test_cli_inspect_detail(spark, tmp_path, capsys):
     """inspect --detail node|term|all (RdfInspect.scala:30-35): node-kind
     counts over explicitly-encoded wire terms in the reference's three
