@@ -72,7 +72,9 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_pipeline(spark, n_files: int, trials: int = 1) -> tuple[int, list[float]]:
+def run_pipeline(
+    spark, n_files: int, trials: int = 1, input_partitions: int | None = None
+) -> tuple[int, list[float]]:
     """The KG-construction pipeline (extract → link → canonicalize) on the
     synthetic corpus; returns (triples_out, per-trial seconds).
 
@@ -96,7 +98,10 @@ def run_pipeline(spark, n_files: int, trials: int = 1) -> tuple[int, list[float]
     # ~15.6k files/partition = 32 partitions at the 500k probe corpus:
     # the wide probe leg (8 cores) gets 4 waves of straggler slack
     # instead of the zero slack of partitions == cores.
-    parts = max(8, n_files // 15_625)
+    # ``input_partitions`` overrides for layout-pinned runs — the
+    # window-gate control must replicate the layout its quiet reference
+    # was measured under, or the ratio conflates layout with tenancy.
+    parts = input_partitions or max(8, n_files // 15_625)
     for _ in range(max(1, trials)):
         spark.catalog.clearCache()
         repos = generate_repos(spark, n_files, partitions=parts).persist()
@@ -135,11 +140,24 @@ def _window_gate(spark, n_files: int, cpus: str) -> tuple[list[float], dict]:
             "gate inactive"
         )
         return [], record
+    # The quiet references were measured (2026-08-17/18) with input
+    # partitions = core count AND after a warmed battery. Replicate
+    # both, or the ratio conflates layout / first-job JIT with
+    # co-tenancy: (a) one tiny untimed pipeline first warms codegen
+    # paths; (b) control trials pin the reference's input layout.
+    ref_parts = int(cpus)
+    run_pipeline(spark, 2_000, trials=1)  # JIT/codegen warm pass
+    # control secs join the battery's min-over-trials pool only when
+    # the layouts coincide (they measure the same configuration then)
+    poolable = ref_parts == max(8, n_files // 15_625)
     t_start = time.time()
     secs: list[float] = []
     while True:
-        nt, s = run_pipeline(spark, n_files, trials=1)
-        secs.extend(s)
+        nt, s = run_pipeline(
+            spark, n_files, trials=1, input_partitions=ref_parts
+        )
+        if poolable:
+            secs.extend(s)
         quality = round((nt / s[0]) / ref, 3)
         record["attempts"].append({"seconds": s[0], "quality": quality})
         if quality >= gate_min:

@@ -395,13 +395,22 @@ def _dispatch(spark, args) -> int:
                 write_kw["context"] = _json.load(fh)
         if out_fmt.key in ("ttl", "trig"):
             # stream namespace rows → @prefix header (RdfFromJelly.scala:
-            # 133-140 passthrough); a handful of rows, bounded collect.
-            # Empty result ⇒ None ⇒ the writer derives prefixes by
+            # 133-140 passthrough). The namespace collect is an action on
+            # the rows table, and the write re-executes it — persist so
+            # the full per-segment resolution runs once, not twice (the
+            # same trap the roundtrip docstring records doubling q50's
+            # decode cost). Empty result ⇒ the writer derives prefixes by
             # frequency as before.
-            ns_rows = J.namespace_declarations(rows).collect()
-            if ns_rows:
-                write_kw["prefixes"] = {r["name"]: r["iri"] for r in ns_rows}
-        out_fmt.write(stmts, args.to, single_file=args.single_file, **write_kw)
+            rows = rows.persist()
+            try:
+                ns_rows = J.namespace_declarations(rows).collect()
+                if ns_rows:
+                    write_kw["prefixes"] = {r["name"]: r["iri"] for r in ns_rows}
+                out_fmt.write(stmts, args.to, single_file=args.single_file, **write_kw)
+            finally:
+                rows.unpersist()
+        else:
+            out_fmt.write(stmts, args.to, single_file=args.single_file, **write_kw)
         return 0
 
     if args.rdf_cmd == "inspect":

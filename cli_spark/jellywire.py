@@ -979,19 +979,20 @@ def _parse_block(toks: list[str], i: int) -> tuple[dict, int]:
             return msg, i + 1
         i += 1
         nxt = toks[i]
-        if nxt == ":":
-            # escape-free strings (the vast majority) skip the regex sub
-            # AND the latin-1/utf-8 redecode inside _scalar_value
-            msg[t] = _scalar_value(toks[i + 1])
-            i += 2
-        else:
-            if nxt == "{":
-                i += 1
-            elif toks[i + 1] == "{":  # optional colon before a submessage
-                i += 2
+        if nxt == "{":
+            msg[t], i = _parse_block(toks, i + 1)
+        elif nxt == ":":
+            if toks[i + 1] == "{":
+                # optional colon before a submessage ("field: { ... }",
+                # valid TextFormat)
+                msg[t], i = _parse_block(toks, i + 2)
             else:
-                raise ValueError(f"expected ':' or '{{' after field {t!r}")
-            msg[t], i = _parse_block(toks, i)
+                # escape-free strings (the vast majority) skip the regex
+                # sub AND the latin-1/utf-8 redecode in _scalar_value
+                msg[t] = _scalar_value(toks[i + 1])
+                i += 2
+        else:
+            raise ValueError(f"expected ':' or '{{' after field {t!r}")
 
 
 def _term_from_msg(prefix: str, msg: dict) -> dict | None:
@@ -1130,10 +1131,19 @@ def _parse_frame_text_lines(text: str) -> list[dict]:
         i = line.find(":")
         if i <= 0 or cur is None:
             raise ValueError(f"not a field line: {line!r}")
+        key = line[:i].rstrip()
         v = line[i + 1 :].lstrip()
+        # a one-line submessage ("s_iri { name_id: 5 }") is NOT the
+        # printer shape: the key or an unquoted value would carry
+        # braces/spaces — raise so the token parser handles it instead
+        # of silently storing a bogus scalar under a bogus key
+        if not key.replace("_", "").isalnum():
+            raise ValueError(f"not a field line: {line!r}")
         if not v or (v[0] == '"' and (len(v) < 2 or v[-1] != '"')):
             raise ValueError(f"unsupported value layout: {line!r}")
-        cur[line[:i].rstrip()] = _scalar_value(v)
+        if v[0] != '"' and ("{" in v or "}" in v):
+            raise ValueError(f"unsupported value layout: {line!r}")
+        cur[key] = _scalar_value(v)
     if stack:
         raise ValueError("unterminated block")
     return rows
@@ -1149,6 +1159,15 @@ def parse_frame_text(text: str) -> list[dict]:
         return _parse_frame_text_lines(text)
     except ValueError:
         pass
+    try:
+        return _parse_frame_text_tokens(text)
+    except IndexError:
+        # running off the token list = truncated/unbalanced input; keep
+        # the CLI's typed exit-1 contract instead of a raw traceback
+        raise ValueError("truncated or unbalanced jelly-text input") from None
+
+
+def _parse_frame_text_tokens(text: str) -> list[dict]:
     toks = [t for t in _TOKEN_RX.findall(text) if t[0] != "#"]
     rows = []
     i, n = 0, len(toks)

@@ -213,16 +213,29 @@ def bpe_count_col(text_col, merges: list[tuple[bytes, bytes]]):
 
 def merges_to_sql_values(merges: list[tuple[bytes, bytes]]) -> str:
     """Render the merge table as SQL literals for the DuckDB oracle's
-    recursive-CTE replay: (rank, '|l|r|' pattern, '|lr|' replacement).
-    Tokens must be ASCII without quotes/pipes — true for the seed
-    corpus; asserted here so a bad table fails loudly at import."""
+    recursive-CTE replay: (rank, '|XX||YY|' pattern, '|XXYY|'
+    replacement) over a per-BYTE uppercase-hex encoding of each word.
+
+    Why hex, and why double-pipe boundaries — two traps of the earlier
+    raw-character replay, both found by review:
+
+    - SQL ``replace`` is left-to-right NON-overlapping. With tokens
+      delimited by a single '|', the pattern '|a|b|' CONSUMES the
+      trailing pipe that is also the next occurrence's leading pipe, so
+      'abab' merged only its first 'ab'. With boundaries spelled '||'
+      and each token an atomic run of hex pairs, the pattern
+      '|XX||YY|' takes one pipe from each boundary — adjacent
+      occurrences are disjoint strings and one pass merges both,
+      matching the kernel's per-rank global pass (overlapping
+      same-pair runs like 'aaa' also agree: both scan left-to-right).
+    - Document text may contain '|' or '¶' or any byte; hex([0-9A-F])
+      never collides with the delimiters, and per-byte hex equals the
+      kernel's UTF-8 byte tokenization exactly (e.g. 'é' = 2 byte
+      tokens, not 1 character token)."""
     rows = []
     for i, (a, b) in enumerate(merges):
-        l, r = a.decode("ascii"), b.decode("ascii")
-        for tok in (l, r):
-            if "'" in tok or "|" in tok or "¶" in tok:
-                raise ValueError(f"merge token not SQL-literal-safe: {tok!r}")
-        rows.append(f"({i}, '|{l}|{r}|', '|{l}{r}|')")
+        l, r = a.hex().upper(), b.hex().upper()
+        rows.append(f"({i}, '|{l}||{r}|', '|{l}{r}|')")
     return ", ".join(rows)
 
 

@@ -1168,12 +1168,13 @@ _STOP_FR = "'le','la','de','et','les','des','en','un','du','une'"
 
 # q36's BPE leg: the oracle replays the seed merge table (learned at
 # import time from a fixed literal, ops/bpe.py) with one replace() per
-# merge rank inside a recursive CTE — SQL replace is left-to-right
-# non-overlapping, exactly one global merge pass (equivalence to the
-# kernel's lowest-rank-first encoder proved in ops/bpe.py and
-# differential-tested in tests/test_curation.py). Token count per doc =
-# pipes - words ('|w|o|r|d|' carries n+1 pipes for n tokens; words are
-# '¶'-separated).
+# merge rank inside a recursive CTE, over a per-BYTE hex encoding with
+# '||' token boundaries (see merges_to_sql_values for why: replace is
+# non-overlapping, so single-pipe boundaries missed adjacent pairs, and
+# raw text can contain the delimiter bytes). Token count per doc =
+# pipes/2 - words: each word is '||tok||tok||' (2(n+1) pipes for n
+# tokens), words concatenate directly ('||||' at boundaries, which no
+# pattern can cross).
 from cli_spark.ops.bpe import SEED_MERGES as _BPE_MERGES
 from cli_spark.ops.bpe import SEED_N_MERGES as _BPE_N
 from cli_spark.ops.bpe import merges_to_sql_values as _bpe_values
@@ -1202,20 +1203,20 @@ _BPE_SQL = _bpe_values(_BPE_MERGES)
     bpe0 AS (
       SELECT doc_id,
              array_to_string(list_transform(string_split(text, ' '),
-               w -> '|' || regexp_replace(w, '([\\s\\S])', '\\1|', 'g')), '¶') AS seq
+               w -> '||' || regexp_replace(hex(encode(w)), '([0-9A-F]{{2}})', '\\1||', 'g')), '') AS seq,
+             len(string_split(text, ' ')) AS n_words
       FROM documents
     ),
     bpe_rec AS (
-      SELECT doc_id, seq, 0 AS i FROM bpe0
+      SELECT doc_id, seq, n_words, 0 AS i FROM bpe0
       UNION ALL
-      SELECT r.doc_id, replace(r.seq, m.pat, m.rep), r.i + 1
+      SELECT r.doc_id, replace(r.seq, m.pat, m.rep), r.n_words, r.i + 1
       FROM bpe_rec r JOIN bpe_m m ON m.rnk = r.i
     ),
     bpe AS (
       SELECT doc_id,
-             CAST(length(seq) - length(replace(seq, '|', ''))
-                  - (length(seq) - length(replace(seq, '¶', ''))) - 1
-                  AS BIGINT) AS bpe64_tokens
+             CAST((length(seq) - length(replace(seq, '|', ''))) / 2
+                  - n_words AS BIGINT) AS bpe64_tokens
       FROM bpe_rec WHERE i = {_BPE_N}
     )
     SELECT b.doc_id AS id,

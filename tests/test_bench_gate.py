@@ -17,7 +17,9 @@ def _fake_pipeline(seconds_seq):
     """run_pipeline stub: each call pops the next per-trial seconds."""
     seq = list(seconds_seq)
 
-    def fake(spark, n_files, trials=1):
+    def fake(spark, n_files, trials=1, input_partitions=None):
+        if n_files == 2_000:
+            return 1, [0.0]  # the gate's untimed JIT warm pass
         out = [seq.pop(0) for _ in range(max(1, trials))]
         return 207_650, out  # n_triples == quiet ref → quality = 1/sec
 
@@ -33,6 +35,7 @@ def test_gate_passes_on_quiet_window(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_S", "60")
     secs, record = bench._window_gate(None, 500_000, "32")
     assert record["passed"] is True
+    # cpus=32 == the data-sized 32-partition layout → poolable
     assert secs == [5.0, 1.0]
     assert [a["quality"] for a in record["attempts"]] == [0.2, 1.0]
 
@@ -75,3 +78,16 @@ def test_headline_carries_window_flags():
     import json
 
     assert len(json.dumps(head)) < 1200
+
+
+def test_gate_controls_not_pooled_on_layout_mismatch(monkeypatch):
+    # cpus=16: the control replicates the 16-partition reference layout
+    # while the battery runs the 32-partition data-sized layout — the
+    # control seconds must NOT join the battery's min-over-trials pool
+    monkeypatch.setattr(bench, "run_pipeline", _fake_pipeline([1.0]))
+    monkeypatch.setenv("SPARK_GRAFT_RETRY_SLEEP", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_S", "60")
+    secs, record = bench._window_gate(None, 500_000, "16")
+    assert record["passed"] is True
+    assert secs == []
+    assert record["attempts"][0]["seconds"] == 1.0

@@ -360,3 +360,62 @@ def test_bpe_train_max_words_cap_logged(spark, capsys):
     # survivors: 'common' (40) + first 4 w-words by (count desc, word asc)
     wc = {"common": 40, "w000": 1, "w001": 1, "w002": 1, "w003": 1}
     assert learned == bpe_train_counts(wc, 4)
+
+
+def test_bpe_sql_oracle_differential():
+    """The DuckDB merge-table replay equals the kernel on texts that
+    broke the earlier raw-character encoding: adjacent merge-pair
+    occurrences (SQL replace is non-overlapping and the old single-pipe
+    boundaries shared their delimiter), non-ASCII (kernel is per UTF-8
+    byte, the old oracle per character), and literal '|'/'¶' bytes in
+    the text (the old count arithmetic keyed on them)."""
+    import duckdb
+
+    from cli_spark.ops.bpe import (
+        SEED_MERGES,
+        SEED_N_MERGES,
+        _ranks,
+        encode_word,
+        merges_to_sql_values,
+    )
+
+    vals = merges_to_sql_values(SEED_MERGES)
+    ranks = _ranks(SEED_MERGES)
+    texts = [
+        "owow", "joinjoin", "café", "a|b", "¶x twice",
+        "the thethe thethethe", "", " ", "ababab",
+        "ow ow owow owowow", "naïve 日本 test|pipe ¶para",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    sql = f"""
+    WITH RECURSIVE bpe_m(rnk, pat, rep) AS (
+      SELECT * FROM (VALUES {vals}) v(rnk, pat, rep)
+    ),
+    bpe0 AS (
+      SELECT doc_id,
+             array_to_string(list_transform(string_split(text, ' '),
+               w -> '||' || regexp_replace(hex(encode(w)), '([0-9A-F]{{2}})', '\\1||', 'g')), '') AS seq,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    bpe_rec AS (
+      SELECT doc_id, seq, n_words, 0 AS i FROM bpe0
+      UNION ALL
+      SELECT r.doc_id, replace(r.seq, m.pat, m.rep), r.n_words, r.i + 1
+      FROM bpe_rec r JOIN bpe_m m ON m.rnk = r.i
+    )
+    SELECT doc_id,
+           CAST((length(seq) - length(replace(seq, '|', ''))) / 2
+                - n_words AS BIGINT)
+    FROM bpe_rec WHERE i = {SEED_N_MERGES} ORDER BY doc_id
+    """
+    oracle = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(texts):
+        kern = sum(len(encode_word(w, ranks)) for w in t.split(" "))
+        assert oracle[i] == kern, (t, oracle[i], kern)

@@ -573,3 +573,31 @@ def test_wire_term_detail_elision(spark, tmp_path):
         "object_count": 3,     # all distinct
         "graph_count": 0,
     }
+
+
+def test_jelly_text_hand_wrapped_layouts():
+    """The jelly-text parser accepts hand-wrapped TextFormat the printer
+    never emits: one-line submessages, optional colon before a block,
+    and raises a typed ValueError (not IndexError) on truncated input —
+    regression for the r5 line-oriented fast path."""
+    from cli_spark.jellywire import parse_frame_text
+
+    one_line = (
+        "rows {\n  triple {\n    s_iri { name_id: 5 }\n"
+        "    p_iri {\n      name_id: 6\n    }\n"
+        '    o_literal {\n      lex: "v"\n    }\n  }\n}'
+    )
+    r = parse_frame_text(one_line)
+    assert r[0]["s"] == {"k": 0, "pid": 0, "nid": 5}
+    assert r[0]["o"]["v"] == "v"
+    colon = (
+        'rows { triple { s_iri: { name_id: 5 } p_iri { name_id: 6 } '
+        'o_bnode: "b" } }'
+    )
+    r2 = parse_frame_text(colon)
+    assert r2[0]["s"] == {"k": 0, "pid": 0, "nid": 5}
+    assert r2[0]["o"] == {"k": 1, "v": "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated or unbalanced"):
+        parse_frame_text("rows { triple { s_iri { name_id: 5 ")
