@@ -257,7 +257,15 @@ def bench(master: str | None = None, quiet: bool = True) -> dict:
     # load average — BENCH.md variance tables). The gate above already
     # retried degraded windows; if it never passed, the flag says the
     # recorded value is a co-tenancy lower bound, not the engine.
-    ref = QUIET_REF_TPS.get(str(cpus)) if n_files == 500_000 else None
+    # (layout guard: the battery pipeline runs the data-sized input
+    # layout; the quality ratio is only meaningful against a reference
+    # measured under the same layout — true at 500k/cpus=32, where
+    # data-sized == core-count partitions, the driver's config)
+    ref = (
+        QUIET_REF_TPS.get(str(cpus))
+        if n_files == 500_000 and int(cpus) == max(8, n_files // 15_625)
+        else None
+    )
     if ref is not None:
         result["window_quality_vs_quiet_ref"] = round(tps / ref, 3)
         result["window_all_attempts_degraded"] = not gate_record.get(
