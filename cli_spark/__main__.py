@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> int:
     tj.add_argument("--base", default=None,
                     help="base IRI for relative-IRI resolution (S8; "
                     "Turtle/TriG only)")
+    tj.add_argument("--resolve-iris", choices=["true", "false"], default="true",
+                    help="resolve relative IRIs against the document/CLI "
+                    "base; false = relative IRIs pass through as written "
+                    "(RdfPerformanceOptions.scala:7-14; Turtle/TriG)")
     tj.add_argument("--enable-namespace-declarations", action="store_true",
                     help="carry the input's PREFIX/@prefix declarations "
                     "into the stream as namespace rows "
@@ -150,6 +154,9 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("--stream-name", default=None,
                     help="stream name for the merged output's options "
                     "row (opt.streamName)")
+    tc.add_argument("--logical-type", default=None,
+                    help="STaX logical type declared by the merged "
+                    "output (opt.logicalType; name or IRI)")
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--n-files", type=int, default=1000)
@@ -219,7 +226,15 @@ def _dispatch(spark, args) -> int:
             raise ValueError(f"{in_fmt.full_name} is not a readable input format")
         if args.base is not None and not in_fmt.supports_base_iri:
             raise ValueError(f"{in_fmt.full_name} does not support --base (S8)")
-        stmts = in_fmt.read(spark, args.input, base=args.base)
+        read_kw = {}
+        if args.resolve_iris == "false":
+            if in_fmt.key not in ("ttl", "trig"):
+                raise ValueError(
+                    "--resolve-iris false is only supported for Turtle/"
+                    "TriG input (other readers do not apply a base)"
+                )
+            read_kw["resolve_iris"] = False
+        stmts = in_fmt.read(spark, args.input, base=args.base, **read_kw)
         # one derivation pass: named graphs (physical type), RDF-star and
         # generalized-RDF statement flags (P6/P7 over the term kinds)
         cols = set(stmts.columns)
@@ -589,6 +604,16 @@ def _dispatch(spark, args) -> int:
             rows_per_frame=args.rows_per_frame,
             max_name_table=args.max_name_table,
             stream_name=args.stream_name,
+            logical_type=(
+                J.logical_type_from_iri(args.logical_type)
+                if args.logical_type and ("#" in args.logical_type or "/" in args.logical_type)
+                else J.logical_type_from_iri(
+                    J.STAX_BASE + args.logical_type
+                    + ("" if args.logical_type.endswith("Stream") else "Stream")
+                )
+                if args.logical_type
+                else None
+            ),
         )
         J.write_jelly_file(frames, args.to)
         return 0

@@ -42,10 +42,10 @@ def _write_nt(df, path, single_file=False):
     write_nquads(df, path, single_file=single_file)
 
 
-def _read_ttl(spark, path, base=None):
+def _read_ttl(spark, path, base=None, resolve_iris=True):
     from .turtle import read_turtle
 
-    return read_turtle(spark, path, base=base)
+    return read_turtle(spark, path, base=base, resolve_iris=resolve_iris)
 
 
 def _write_ttl(df, path, single_file=False, prefixes=None):

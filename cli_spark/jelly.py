@@ -2235,6 +2235,7 @@ def transcode_frames(
     rows_per_frame: int = ROWS_PER_FRAME,
     max_name_table: int | None = None,
     stream_name: str | None = None,
+    logical_type: int | None = None,
 ) -> DataFrame:
     """Concatenate N Jelly streams into ONE output stream by remapping
     lookup-table ids — the reference's transcode fast path
@@ -2324,7 +2325,10 @@ def transcode_frames(
         "physical": physical,
         "generalized": bool(flags & 1),
         "rdf_star": bool(flags & 2),
-        "logical": 0,
+        # output logical type is declarable (the reference's transcode
+        # takes the full opt.* group); flags stay the OR of the inputs —
+        # narrowing them could declare a stream that violates its rows
+        "logical": logical_type or 0,
         "version": VERSION,
         "max_name": out_max,
         "max_prefix": max(MAX_PREFIX_TABLE, prefix_off),

@@ -164,7 +164,14 @@ class _TurtleParser:
     One instance per document (directives are document-scoped state,
     mirroring the reference's sequential RIOT parse)."""
 
-    def __init__(self, text: str, base: str | None = None):
+    def __init__(
+        self, text: str, base: str | None = None, resolve_iris: bool = True
+    ):
+        # resolve_iris=False (the reference's rdfPerformanceOptions
+        # knob, RdfPerformanceOptions.scala:7-14): skip base resolution
+        # entirely — relative IRIs pass through to the output as
+        # written; @base/--base still parse but are not applied
+        self.resolve_iris = resolve_iris
         self.toks: list[tuple[str, str]] = [
             (m.lastgroup, m.group())
             for m in _TOKEN_RE.finditer(text)
@@ -197,7 +204,11 @@ class _TurtleParser:
             raise ValueError(f"expected {value!r}, got {tok!r}")
 
     def _resolve(self, iri: str) -> str:
-        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+        if (
+            self.resolve_iris
+            and self.base
+            and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri)
+        ):
             return _urljoin_keep_empty(self.base, iri)
         return iri
 
@@ -401,13 +412,20 @@ class _TurtleParser:
         return self.pos + 1 < len(self.toks) and self.toks[self.pos + 1][1] == "{"
 
 
-def parse_turtle_document(text: str, base: str | None = None) -> list[tuple]:
+def parse_turtle_document(
+    text: str, base: str | None = None, resolve_iris: bool = True
+) -> list[tuple]:
     """One document → rows in the shared term-model column order
     (nquads.TRIPLE_COLS)."""
-    return _TurtleParser(text, base).parse()
+    return _TurtleParser(text, base, resolve_iris=resolve_iris).parse()
 
 
-def read_turtle(spark: SparkSession, path: str, base: str | None = None) -> DataFrame:
+def read_turtle(
+    spark: SparkSession,
+    path: str,
+    base: str | None = None,
+    resolve_iris: bool = True,
+) -> DataFrame:
     """Turtle/TriG files → term-model triples, one task per FILE (the
     scalable unit: a single document is a sequential grammar, the corpus
     is not). ``base`` seeds @base resolution (S8)."""
@@ -425,7 +443,10 @@ def read_turtle(spark: SparkSession, path: str, base: str | None = None) -> Data
             rows: list[tuple] = []
             for content in pdf["content"]:
                 rows.extend(
-                    parse_turtle_document(bytes(content).decode("utf-8"), base)
+                    parse_turtle_document(
+                        bytes(content).decode("utf-8"), base,
+                        resolve_iris=resolve_iris,
+                    )
                 )
             yield pd.DataFrame(rows, columns=TRIPLE_COLS)
 

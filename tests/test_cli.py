@@ -224,6 +224,51 @@ def test_cli_common_flags(spark, nq_file, tmp_path, capsys):
     assert J.options_from_file(tr).stream_name == "merged"
 
 
+def test_cli_resolve_iris_and_transcode_logical(spark, tmp_path):
+    """--resolve-iris false passes relative IRIs through as written
+    (RdfPerformanceOptions.scala:7-14); transcode --logical-type
+    declares the merged stream's logical type (opt.logicalType)."""
+    from cli_spark import jelly as J
+
+    ttl = str(tmp_path / "rel.ttl")
+    with open(ttl, "w") as fh:
+        fh.write(
+            "@base <http://b.org/> .\n@prefix v: <vocab#> .\n"
+            "<rel> v:p <other> .\n"
+        )
+    jelly = str(tmp_path / "rel.jelly")
+    assert main([
+        "rdf", "to-jelly", ttl, "--to", jelly, "--resolve-iris", "false",
+    ]) == 0
+    out = str(tmp_path / "back")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", out, "--single-file",
+        "--out-format", "nt",
+    ]) == 0
+    part = next(p for p in os.listdir(out) if p.startswith("part-"))
+    with open(os.path.join(out, part)) as fh:
+        text = fh.read()
+    assert "<rel> <vocab#p> <other> ." in text
+    # default (true) resolves
+    jelly2 = str(tmp_path / "abs.jelly")
+    assert main(["rdf", "to-jelly", ttl, "--to", jelly2]) == 0
+    # non-Turtle input is a typed error
+    nq = str(tmp_path / "x.nq")
+    with open(nq, "w") as fh:
+        fh.write("<http://e/s> <http://e/p> <http://e/o> .\n")
+    assert main([
+        "rdf", "to-jelly", nq, "--to", str(tmp_path / "y.jelly"),
+        "--resolve-iris", "false",
+    ]) == 1
+    # transcode --logical-type
+    tr = str(tmp_path / "merged.jelly")
+    assert main([
+        "rdf", "transcode", jelly2, "--to", tr,
+        "--logical-type", "flatTriples",
+    ]) == 0
+    assert J.options_from_file(tr).logical_type == J.LOGICAL_FLAT_TRIPLES
+
+
 def test_cli_inspect_detail(spark, tmp_path, capsys):
     """inspect --detail node|term|all (RdfInspect.scala:30-35): node-kind
     counts over explicitly-encoded wire terms in the reference's three

@@ -322,6 +322,7 @@ def test_resolve_keeps_empty_fragment():
     local names onto '...vocab'."""
     p = T._TurtleParser.__new__(T._TurtleParser)
     p.base = "http://base.org/dir/"
+    p.resolve_iris = True
     assert p._resolve("vocab#") == "http://base.org/dir/vocab#"
     assert p._resolve("vocab#x") == "http://base.org/dir/vocab#x"
     assert p._resolve("http://abs.org/v#") == "http://abs.org/v#"
