@@ -98,6 +98,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="carry the input's PREFIX/@prefix declarations "
                     "into the stream as namespace rows "
                     "(RdfToJelly.scala:57-61; Turtle/TriG input only)")
+    tj.add_argument("--validate-terms", choices=["true", "false"],
+                    default=None,
+                    help="eager term validation (slower): absolute "
+                    "well-formed IRIs, BCP47 langtags, XSD lexical "
+                    "forms (RdfPerformanceOptions.scala:15-18; "
+                    "default false except for 'rdf validate')")
 
     fj = rdf.add_parser("from-jelly")
     fj.add_argument("input")
@@ -113,6 +119,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON file holding a @context value: switches the "
                     "JSON-LD sink to compact-on-write (only valid with a "
                     ".jsonld output)")
+    fj.add_argument("--combine", action="store_true",
+                    help="combine all stream frames into ONE dataset for a "
+                    "non-streaming output format (RDF/XML, JSON-LD); the "
+                    "default writes one document per frame, like the "
+                    "reference (RdfFromJelly.scala:59-63,106-118); ignored "
+                    "for streaming formats")
+    fj.add_argument("--validate-terms", choices=["true", "false"],
+                    default=None,
+                    help="eager term validation over the decoded "
+                    "statements (RdfPerformanceOptions.scala:15-18; "
+                    "default false)")
 
     ins = rdf.add_parser("inspect")
     ins.add_argument("input")
@@ -143,6 +160,10 @@ def main(argv: list[str] | None = None) -> int:
                     "input's options row must match it exactly "
                     "(RdfValidate.scala:118-134)")
     va.add_argument("--delimited", choices=["true", "false", "either"], default="either")
+    va.add_argument("--validate-terms", choices=["true", "false"],
+                    default=None,
+                    help="eager term validation; validate defaults to "
+                    "TRUE (RdfValidate.scala:95) — pass false to skip")
 
     tc = rdf.add_parser("transcode")
     tc.add_argument("inputs", nargs="+")
@@ -235,6 +256,12 @@ def _dispatch(spark, args) -> int:
                 )
             read_kw["resolve_iris"] = False
         stmts = in_fmt.read(spark, args.input, base=args.base, **read_kw)
+        if args.validate_terms == "true":
+            # eager term validation (default off for to-jelly, like the
+            # reference's JenaSystemOptions.disableEagerValidation)
+            from .compare import ensure_valid_terms
+
+            ensure_valid_terms(stmts, f"{in_fmt.full_name} input")
         # one derivation pass: named graphs (physical type), RDF-star and
         # generalized-RDF statement flags (P6/P7 over the term kinds)
         cols = set(stmts.columns)
@@ -397,7 +424,27 @@ def _dispatch(spark, args) -> int:
                     phys - {J.PHYSICAL_TRIPLES} - {None},
                     f"{out_fmt.full_name} output",
                 )
+        if args.validate_terms == "true":
+            from .compare import ensure_valid_terms
+
+            ensure_valid_terms(stmts, "decoded stream")
         write_kw = {}
+        if out_fmt.key in ("jsonld", "rdfxml") and not args.combine:
+            # batch formats write one document PER FRAME unless
+            # --combine (RdfFromJelly.scala:106-118: BatchWriteable +
+            # combine=false → StreamRdfBatchWriter, finish() per frame);
+            # frame_ids carries statement-free frames so they still
+            # emit an (empty) document, like the reference's per-frame
+            # finish()
+            # distinct: frame_index is per-file-segment, so a multi-file
+            # glob collapses same-index frames into one document
+            frame_df = frames.select(F.col("frame_index")).distinct()
+            if take is not None:
+                frame_df = frame_df.filter(
+                    F.col("frame_index").between(*take)
+                )
+            write_kw["per_frame"] = True
+            write_kw["frame_ids"] = frame_df
         if args.jsonld_context is not None:
             if out_fmt.key != "jsonld":
                 raise ValueError(
@@ -492,6 +539,26 @@ def _dispatch(spark, args) -> int:
             return 1
         rows = J.decode_frames(J.read_jelly_file(spark, args.input)).cache()
         problems = validate_stream(rows)
+        if args.validate_terms != "false":
+            # eager term validation defaults to TRUE for validate
+            # (RdfValidate.scala:95); decode by declared physical type
+            # so graph terms are checked too
+            from .compare import term_violations
+
+            phys_v = J.stream_physical_types(rows) - {None}
+            if phys_v & {J.PHYSICAL_QUADS, J.PHYSICAL_GRAPHS}:
+                decoded_v = (
+                    J.decode_quads(rows)
+                    if J.PHYSICAL_QUADS in phys_v
+                    else J.decode_quads_graphs(rows)
+                )
+            else:
+                decoded_v = J.decode_triples(rows, strict=False)
+            for r in term_violations(decoded_v).limit(3).collect():
+                problems.append(
+                    f"term validation: {r['reason']} at "
+                    f"{r['position']}: {r['value']!r}"
+                )
         if problems:
             for pr in problems:
                 print(f"error: {pr}", file=sys.stderr)

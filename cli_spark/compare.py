@@ -400,3 +400,129 @@ def validate_stream(rows: DataFrame) -> list[str]:
                     f"but the stream options do not declare the rdf-star flag"
                 )
     return problems
+
+
+# ---------------------------------------------------------------------------
+# Eager term validation (--validate-terms)
+#
+# The reference's RdfPerformanceOptions.validateTerms
+# (cli/command/rdf/util/RdfPerformanceOptions.scala:15-18) re-enables
+# Jena's eager literal/IRI checking, which every command disables by
+# default for speed (JenaSystemOptions.scala:14-37) except `rdf
+# validate` (RdfValidate.scala:95: default TRUE there).  The Spark
+# re-expression is one codegen-only filter pass over the statements
+# table — no shuffle, no UDF:
+#
+#   - IRI terms must be absolute (scheme prefix) and free of the
+#     characters N-Triples forbids inside <>: space/control, <>"{}|^`\
+#   - language tags must be well-formed BCP47 subtags
+#   - literals with a known XSD datatype must match that datatype's
+#     lexical space (the integer family, decimal, float/double,
+#     boolean, date, time, dateTime) — lexical-form checking, the same
+#     layer Jena's EAGER LiteralLabel mode enforces
+# ---------------------------------------------------------------------------
+
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+_IRI_RX = r'^[A-Za-z][A-Za-z0-9+.\-]*:[^\x00-\x20<>"{}|^`\\]*$'
+_LANG_RX = r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$"
+_INT_RX = r"^[+-]?[0-9]+$"
+_UNSIGNED_RX = r"^\+?[0-9]+$"
+_DEC_RX = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"
+_FLOAT_RX = (
+    r"^([+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?|[+-]?INF|NaN)$"
+)
+_TZ = r"(Z|[+-](0[0-9]|1[0-3]):[0-5][0-9]|[+-]14:00)?"
+_DATE_BODY = r"-?[0-9]{4,}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+_TIME_BODY = r"([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\.[0-9]+)?"
+
+XSD_LEXICAL_RX: dict[str, str] = {
+    **{XSD_NS + t: _INT_RX for t in ("integer", "long", "int", "short", "byte",
+                                     "negativeInteger", "nonPositiveInteger")},
+    **{XSD_NS + t: _UNSIGNED_RX
+       for t in ("nonNegativeInteger", "positiveInteger", "unsignedLong",
+                 "unsignedInt", "unsignedShort", "unsignedByte")},
+    XSD_NS + "decimal": _DEC_RX,
+    XSD_NS + "float": _FLOAT_RX,
+    XSD_NS + "double": _FLOAT_RX,
+    XSD_NS + "boolean": r"^(true|false|0|1)$",
+    XSD_NS + "date": f"^{_DATE_BODY}{_TZ}$",
+    XSD_NS + "time": f"^{_TIME_BODY}{_TZ}$",
+    XSD_NS + "dateTime": f"^{_DATE_BODY}T{_TIME_BODY}{_TZ}$",
+}
+
+# term-kind bytes shared with the statement model (jelly.py:112)
+_K_IRI, _K_BNODE, _K_LITERAL = 0, 1, 2
+
+
+def term_violations(stmts: DataFrame) -> DataFrame:
+    """→ DataFrame['position','value','reason'] of term-validation
+    failures in a statements table (triples or quads, annotated or
+    flat — missing kind/datatype/langtag columns are inferred/ignored
+    the same way the renderers do).  Empty ⇒ all terms valid."""
+    cols = set(stmts.columns)
+    get = lambda c: (  # noqa: E731
+        F.col(c) if c in cols else F.lit(None).cast("string")
+    )
+
+    def infer_kind(c: str) -> "F.Column":
+        return F.when(
+            F.col(c).startswith(BNODE_PREFIX), F.lit(_K_BNODE)
+        ).otherwise(F.lit(_K_IRI))
+
+    positions = [
+        ("subj", "subj_kind", "subj_dt", "subj_lang"),
+        ("pred", "pred_kind", "pred_dt", "pred_lang"),
+        ("obj", "obj_kind", "obj_datatype", "obj_lang"),
+    ]
+    if "graph" in cols:
+        positions.append(("graph", "graph_kind", "graph_dt", "graph_lang"))
+
+    stack_args: list = []
+    for pos, kind_c, dt_c, lang_c in positions:
+        value = F.col(pos)
+        kind = (
+            F.col(kind_c).cast("int") if kind_c in cols else infer_kind(pos)
+        )
+        dt, lang = get(dt_c), get(lang_c)
+        lexical_ok = F.lit(True)
+        for dt_iri, rx in XSD_LEXICAL_RX.items():
+            lexical_ok = F.when(dt == dt_iri, value.rlike(rx)).otherwise(
+                lexical_ok
+            )
+        reason = (
+            F.when(
+                value.isNotNull() & (kind == _K_IRI) & ~value.rlike(_IRI_RX),
+                F.lit("invalid IRI"),
+            )
+            .when(
+                lang.isNotNull() & ~lang.rlike(_LANG_RX),
+                F.lit("invalid language tag"),
+            )
+            .when(
+                value.isNotNull() & (kind == _K_LITERAL) & ~lexical_ok,
+                F.concat(F.lit("invalid lexical form for <"), dt, F.lit(">")),
+            )
+        )
+        stack_args += [F.lit(pos), value, reason]
+
+    n = len(positions)
+    return (
+        stmts.select(
+            F.stack(F.lit(n), *stack_args).alias("position", "value", "reason")
+        )
+        .filter(F.col("reason").isNotNull())
+    )
+
+
+def ensure_valid_terms(stmts: DataFrame, context: str = "input") -> None:
+    """Raise ``ValueError`` naming the first invalid term (the typed
+    CLI error the reference signals when --validate-terms is on and a
+    term fails Jena's eager checks)."""
+    hit = term_violations(stmts).limit(1).collect()
+    if hit:
+        r = hit[0]
+        raise ValueError(
+            f"term validation failed in {context}: {r['reason']} at "
+            f"{r['position']}: {r['value']!r}"
+        )

@@ -62,10 +62,12 @@ def _read_jsonld(spark, path, base=None):
     return read_jsonld(spark, path)
 
 
-def _write_jsonld(df, path, single_file=False, context=None):
+def _write_jsonld(df, path, single_file=False, context=None,
+                  per_frame=False, frame_ids=None):
     from .jsonld import write_jsonld
 
-    write_jsonld(df, path, single_file=single_file, context=context)
+    write_jsonld(df, path, single_file=single_file, context=context,
+                 per_frame=per_frame, frame_ids=frame_ids)
 
 
 def _read_rdfxml(spark, path, base=None):
@@ -74,10 +76,12 @@ def _read_rdfxml(spark, path, base=None):
     return read_rdfxml(spark, path, base=base)
 
 
-def _write_rdfxml(df, path, single_file=False):
+def _write_rdfxml(df, path, single_file=False, per_frame=False,
+                  frame_ids=None):
     from .rdfxml import write_rdfxml
 
-    write_rdfxml(df, path, single_file=single_file)
+    write_rdfxml(df, path, single_file=single_file, per_frame=per_frame,
+                 frame_ids=frame_ids)
 
 
 def _read_rdfproto(spark, path, base=None):

@@ -634,7 +634,10 @@ def _json_str(col):
     return j.substr(F.lit(6), F.length(j) - F.lit(6))
 
 
-def _node_lines(triples: DataFrame, rules: dict | None = None) -> DataFrame:
+def _node_lines(
+    triples: DataFrame, rules: dict | None = None,
+    group_col: str | None = None,
+) -> DataFrame:
     """Per-(graph, subj) flat node object as a JSON line (expanded form,
     or compacted keys/ids when ``rules`` from :func:`_compaction_rules`
     is given — values stay expanded value objects, which compact
@@ -659,14 +662,17 @@ def _node_lines(triples: DataFrame, rules: dict | None = None) -> DataFrame:
         F.when(o_kind == KIND_LITERAL, ckey(get("obj_datatype"))).alias("@type"),
         F.when(o_kind == KIND_LITERAL, get("obj_lang")).alias("@language"),
     )
+    extra = [F.col(group_col)] if group_col else []
+    gkeys = [group_col] if group_col else []
     per_pred = (
         triples.select(
+            *extra,
             cid(get("graph")).alias("graph"),
             cid(_norm_id(F.col("subj"), s_kind)).alias("sid"),
             ckey(F.col("pred")).alias("pred"),
             vo.alias("vo"),
         )
-        .groupBy("graph", "sid", "pred")
+        .groupBy(*gkeys, "graph", "sid", "pred")
         .agg(
             F.concat(
                 _json_str(F.col("pred")), F.lit(":"), F.to_json(F.collect_list("vo"))
@@ -674,9 +680,10 @@ def _node_lines(triples: DataFrame, rules: dict | None = None) -> DataFrame:
         )
     )
     return (
-        per_pred.groupBy("graph", "sid")
+        per_pred.groupBy(*gkeys, "graph", "sid")
         .agg(F.concat_ws(",", F.sort_array(F.collect_list("entry"))).alias("entries"))
         .select(
+            *gkeys,
             "graph",
             F.concat(
                 F.lit('{"@id":'),
@@ -689,10 +696,13 @@ def _node_lines(triples: DataFrame, rules: dict | None = None) -> DataFrame:
     )
 
 
-def render_jsonld(triples: DataFrame, context=None) -> DataFrame:
+def render_jsonld(
+    triples: DataFrame, context=None, group_col: str | None = None
+) -> DataFrame:
     """→ DataFrame['line']: default-graph node objects one per line;
     each named graph collapsed to one ``{"@id": g, "@graph":[...]}``
-    line.
+    line. ``group_col`` (e.g. ``frame_index``) keeps that column and
+    scopes all grouping to it — the per-frame document mode.
 
     ``context`` (a JSON-LD ``@context`` value from the supported
     subset) switches the writer to **compact-on-write**: property keys,
@@ -703,45 +713,95 @@ def render_jsonld(triples: DataFrame, context=None) -> DataFrame:
     the result back (this reader or any conformant processor) yields
     the same statements as the expanded form."""
     rules = _compaction_rules(context) if context is not None else None
-    nodes = _node_lines(triples, rules)
+    nodes = _node_lines(triples, rules, group_col=group_col)
+    gk = [group_col] if group_col else []
     default = nodes.filter(F.col("graph").isNull()).select(
-        F.col("node").alias("line")
+        *gk, F.col("node").alias("line")
     )
     named_hdr = '{"@id":'
     if rules:
         ctx_frag = '{"@context":' + rules["ctx_json"] + ","
         # node lines already start with '{' — splice the context in
         default = default.select(
+            *gk,
             F.concat(F.lit(ctx_frag), F.col("line").substr(F.lit(2), F.length("line")))
-            .alias("line")
+            .alias("line"),
         )
         named_hdr = ctx_frag + '"@id":'
     named = (
         nodes.filter(F.col("graph").isNotNull())
-        .groupBy("graph")
+        .groupBy(*gk, "graph")
         .agg(F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("body"))
         .select(
+            *gk,
             F.concat(
                 F.lit(named_hdr),
                 _json_str(F.col("graph")),
                 F.lit(',"@graph":['),
                 F.col("body"),
                 F.lit("]}"),
-            ).alias("line")
+            ).alias("line"),
         )
     )
     return default.unionByName(named)
 
 
 def write_jsonld(
-    triples: DataFrame, path: str, single_file: bool = False, context=None
+    triples: DataFrame, path: str, single_file: bool = False, context=None,
+    per_frame: bool = False, frame_ids: DataFrame | None = None,
 ) -> None:
     """JSON-LD sink. Distributed mode writes one node object per line
     (newline-delimited flat expanded form — the reader accepts it);
     ``single_file`` assembles a standard JSON array document via
     coalesce(1) with header/footer rows (the bounded artifact path,
     same contract as the Turtle single-file sink). ``context`` enables
-    compact-on-write (see :func:`render_jsonld`)."""
+    compact-on-write (see :func:`render_jsonld`).
+
+    ``per_frame`` writes one complete ``[...]`` array document per
+    ``frame_index``, concatenated in frame order — the reference's
+    default for batch formats without --combine
+    (RdfFromJelly.scala:106-118). ``frame_ids`` supplies the full frame
+    list so statement-free frames still emit an empty ``[]`` document.
+    Per-frame output is assembled ordered (bounded-artifact contract,
+    like the reference's in-memory batch writer)."""
+    if per_frame:
+        lines = render_jsonld(triples, context=context,
+                              group_col="frame_index")
+        fids = (
+            frame_ids if frame_ids is not None
+            else triples.select("frame_index").distinct()
+        ).select(F.col("frame_index"))
+        hdr = fids.select("frame_index", F.lit(0).alias("k"),
+                          F.lit("[").alias("line"))
+        ftr = fids.select("frame_index", F.lit(2).alias("k"),
+                          F.lit("]").alias("line"))
+        body = lines.select(
+            "frame_index", F.lit(1).alias("k"),
+            F.concat(F.col("line"), F.lit(",")).alias("line"),
+        )
+        out = (
+            hdr.unionByName(body).unionByName(ftr)
+            .coalesce(1)
+            .sortWithinPartitions("frame_index", "k", "line")
+        )
+
+        def fix(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            # drop the trailing comma before every ']' (last body row
+            # of each frame's array) — one partition holds the whole
+            # assembled document, so lookahead is safe
+            for pdf in batches:
+                s = pdf["line"].tolist()
+                for i in range(len(s) - 1):
+                    if s[i + 1] == "]" and s[i].endswith(","):
+                        s[i] = s[i][:-1]
+                yield pd.DataFrame({"line": s})
+
+        out.select("line").mapInPandas(fix, "line string").write.mode(
+            "overwrite"
+        ).text(path)
+        return
     lines = render_jsonld(triples, context=context)
     if not single_file:
         lines.write.mode("overwrite").text(path)

@@ -397,9 +397,13 @@ def _xml_escape(c: Column, attr: bool = False) -> Column:
     return c
 
 
-def render_rdfxml(triples: DataFrame) -> tuple[str, DataFrame, str]:
+def render_rdfxml(
+    triples: DataFrame, group_col: str | None = None
+) -> tuple[str, DataFrame, str]:
     """→ (header, body DataFrame['k','line'], footer): one
-    ``<rdf:Description>`` block per subject.
+    ``<rdf:Description>`` block per subject. ``group_col`` (e.g.
+    ``frame_index``) keeps that column on the body rows and scopes the
+    per-subject grouping to it — the per-frame document mode.
 
     Fully columnar: the QName split is a regexp pair, each property
     element declares its namespace inline (``xmlns:n="..."``), and
@@ -469,16 +473,19 @@ def render_rdfxml(triples: DataFrame) -> tuple[str, DataFrame, str]:
         F.concat(F.lit('rdf:about="'),
                  _xml_escape(F.col("subj"), attr=True), F.lit('"'))
     )
+    keys = ([group_col] if group_col else []) + ["subj", "sattr"]
+    extra = [F.col(group_col)] if group_col else []
     node = (
-        triples.select(F.col("subj"), subj_attr.alias("sattr"),
+        triples.select(*extra, F.col("subj"), subj_attr.alias("sattr"),
                        prop.alias("prop"))
-        .groupBy("subj", "sattr")
+        .groupBy(*keys)
         .agg(F.concat_ws("\n", F.collect_list("prop")).alias("props"))
         .select(
+            *extra,
             F.concat(
                 F.lit("  <rdf:Description "), F.col("sattr"), F.lit(">\n"),
                 F.col("props"), F.lit("\n  </rdf:Description>"),
-            ).alias("line")
+            ).alias("line"),
         )
     )
     header = ('<?xml version="1.0" encoding="UTF-8"?>\n'
@@ -487,11 +494,41 @@ def render_rdfxml(triples: DataFrame) -> tuple[str, DataFrame, str]:
 
 
 def write_rdfxml(
-    triples: DataFrame, path: str, single_file: bool = False
+    triples: DataFrame, path: str, single_file: bool = False,
+    per_frame: bool = False, frame_ids: DataFrame | None = None,
 ) -> None:
     """RDF/XML sink: the rdf:RDF envelope rides as header/footer sort
     keys in one text write (part-00000 leads, the footer part trails —
-    same mechanism as the Turtle @prefix header)."""
+    same mechanism as the Turtle @prefix header).
+
+    ``per_frame`` writes one complete document per ``frame_index``
+    value, concatenated in frame order — the reference's default for
+    batch formats without --combine (RdfFromJelly.scala:106-118).
+    ``frame_ids`` (a DataFrame['frame_index']) supplies the full frame
+    list so statement-free frames still emit an empty document, like
+    the reference's per-frame ``finish()``. Per-frame output is
+    assembled ordered (the same bounded-artifact contract as the
+    reference's in-memory batch writer)."""
+    if per_frame:
+        header, body, footer = render_rdfxml(triples, group_col="frame_index")
+        fids = (
+            frame_ids if frame_ids is not None
+            else triples.select("frame_index").distinct()
+        ).select(F.col("frame_index"))
+        hdr = fids.select("frame_index", F.lit(0).alias("k"),
+                          F.lit(header).alias("line"))
+        ftr = fids.select("frame_index", F.lit(2).alias("k"),
+                          F.lit(footer).alias("line"))
+        out = hdr.unionByName(
+            body.select("frame_index", F.lit(1).alias("k"), "line")
+        ).unionByName(ftr)
+        (
+            out.coalesce(1)
+            .sortWithinPartitions("frame_index", "k", "line")
+            .select("line")
+            .write.mode("overwrite").text(path)
+        )
+        return
     header, body, footer = render_rdfxml(triples)
     spark = triples.sparkSession
     hdr = spark.createDataFrame([(0, header)], "k int, line string")

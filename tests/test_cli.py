@@ -354,13 +354,25 @@ def test_cli_jsonld_context_flag(spark, tmp_path):
     ctx = tmp_path / "ctx.json"
     ctx.write_text(json.dumps({"ex": "http://e/"}))
     out = str(tmp_path / "out.jsonld")
+    # --combine: the flat NDJSON form (one node object per line)
     assert main([
         "rdf", "from-jelly", jelly, "--to", out, "--jsonld-context", str(ctx),
+        "--combine",
     ]) == 0
     part = next(p for p in os.listdir(out) if p.startswith("part-"))
     line = open(os.path.join(out, part)).read().strip()
     assert line.startswith('{"@context":{"ex":"http://e/"}')
     assert '"ex:p"' in line and '"@id":"ex:s"' in line
+    # default (per-frame documents): same compacted node, wrapped in
+    # the frame's [...] array document
+    out2 = str(tmp_path / "out2.jsonld")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", out2, "--jsonld-context", str(ctx),
+    ]) == 0
+    part2 = next(p for p in os.listdir(out2) if p.startswith("part-"))
+    doc = json.loads(open(os.path.join(out2, part2)).read())
+    assert len(doc) == 1 and doc[0]["@context"] == {"ex": "http://e/"}
+    assert doc[0]["@id"] == "ex:s"
     assert main([
         "rdf", "from-jelly", jelly, "--to", str(tmp_path / "o.nq"),
         "--jsonld-context", str(ctx),
@@ -395,3 +407,114 @@ def test_cli_quads_to_triples_sink_guard(spark, tmp_path):
         '<kg:s2> <kg:p> "b" .',
         '<kg:s3> <kg:p> "c" .',
     }
+
+
+def test_cli_validate_terms(spark, tmp_path, capsys):
+    """--validate-terms (RdfPerformanceOptions.scala:15-18): eager term
+    validation is off by default for to-jelly/from-jelly, ON by default
+    for validate (RdfValidate.scala:95). Lexical-form, IRI, and langtag
+    failures all raise the typed exit-1 error."""
+    bad = str(tmp_path / "bad.nq")
+    with open(bad, "w") as fh:
+        fh.write(
+            '<http://x/s> <http://x/p> '
+            '"4x2"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+            '<http://x/s> <http://x/p> "ok" .\n'
+        )
+    good = str(tmp_path / "good.nq")
+    with open(good, "w") as fh:
+        fh.write(
+            '<http://x/s> <http://x/p> '
+            '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+            '<http://x/s> <http://x/p> "hi"@en-US .\n'
+        )
+    jelly_bad = str(tmp_path / "bad.jelly")
+    jelly_good = str(tmp_path / "good.jelly")
+    # default off: the bad literal passes through, like the reference's
+    # disabled eager validation
+    assert main(["rdf", "to-jelly", bad, "--to", jelly_bad]) == 0
+    assert main([
+        "rdf", "to-jelly", bad, "--to", str(tmp_path / "x.jelly"),
+        "--validate-terms", "true",
+    ]) == 1
+    assert "invalid lexical form" in capsys.readouterr().err
+    assert main([
+        "rdf", "to-jelly", good, "--to", jelly_good,
+        "--validate-terms", "true",
+    ]) == 0
+    # validate: term checks default ON — bad stream fails, and
+    # --validate-terms false restores the fast path
+    assert main(["rdf", "validate", jelly_bad]) == 1
+    assert "term validation" in capsys.readouterr().err
+    assert main(["rdf", "validate", jelly_bad, "--validate-terms", "false"]) == 0
+    assert main(["rdf", "validate", jelly_good]) == 0
+    # from-jelly: off by default, opt-in catches the decoded bad term
+    out = str(tmp_path / "out_nq")
+    assert main(["rdf", "from-jelly", jelly_bad, "--to", out]) == 0
+    assert main([
+        "rdf", "from-jelly", jelly_bad, "--to", str(tmp_path / "out2_nq"),
+        "--validate-terms", "true",
+    ]) == 1
+
+
+def test_cli_combine_per_frame(spark, tmp_path):
+    """from-jelly batch formats write one document PER FRAME by default;
+    --combine merges them into one (RdfFromJelly.scala:59-63,106-118)."""
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        for i in range(6):
+            fh.write(f'<http://x/s{i}> <http://x/p> "v{i}" .\n')
+    jelly = str(tmp_path / "f.jelly")
+    assert main([
+        "rdf", "to-jelly", nq, "--to", jelly, "--rows-per-frame", "2",
+    ]) == 0  # 6 triples / 2 per frame = 3 frames
+
+    def _text(d):
+        parts = sorted(
+            p for p in os.listdir(d) if p.startswith("part-")
+        )
+        return "\n".join(
+            open(os.path.join(d, p)).read() for p in parts
+        )
+
+    # RDF/XML: three complete documents concatenated, frame order
+    x_dir = str(tmp_path / "x_xml")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", x_dir, "--out-format", "rdfxml",
+    ]) == 0
+    xml = _text(x_dir)
+    assert xml.count("<?xml") == 3 and xml.count("</rdf:RDF>") == 3
+    assert xml.index("s0") < xml.index("s2") < xml.index("s4")
+    # --combine: one document
+    c_dir = str(tmp_path / "c_xml")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", c_dir, "--out-format", "rdfxml",
+        "--combine", "--single-file",
+    ]) == 0
+    cxml = _text(c_dir)
+    assert cxml.count("<?xml") == 1 and cxml.count("</rdf:RDF>") == 1
+    # JSON-LD: three [ ... ] array documents, all valid JSON
+    j_dir = str(tmp_path / "x_jsonld")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", j_dir, "--out-format", "jsonld",
+    ]) == 0
+    jtxt = _text(j_dir)
+    jlines = jtxt.splitlines()
+    assert jlines.count("[") == 3 and jlines.count("]") == 3
+    import json as _json
+
+    docs, buf = [], []
+    for ln in jtxt.splitlines():
+        buf.append(ln)
+        if ln == "]":
+            docs.append(_json.loads("\n".join(buf)))
+            buf = []
+    assert len(docs) == 3 and all(len(d) == 2 for d in docs)
+    # --take-frames composes: only frame 1's document remains
+    t_dir = str(tmp_path / "t_xml")
+    assert main([
+        "rdf", "from-jelly", jelly, "--to", t_dir, "--out-format", "rdfxml",
+        "--take-frames", "1",
+    ]) == 0
+    txml = _text(t_dir)
+    assert txml.count("<?xml") == 1 and "s2" in txml and "s0" not in txml
