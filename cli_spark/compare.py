@@ -292,11 +292,23 @@ def validate_stream(rows: DataFrame) -> list[str]:
 
     rows = assign_segments(rows)  # per-options-row sub-stream ids
     problems: list[str] = []
-    w = W.partitionBy("seg").orderBy("frame_index", "row_pos")
+    # first row of each sub-stream: a groupBy min-of-struct (map-side
+    # partial agg, scales with segments), not a row_number window —
+    # a single-file import would serialize that window into one task.
+    # (frame_index, row_pos) is unique within a segment, so the
+    # trailing row_kind field never decides the ordering; it just
+    # rides along to be read back out of the min.
     first_rows = (
-        rows.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .filter(F.col("row_kind") != KIND_OPTIONS)
+        rows.groupBy("seg")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("frame_index"), F.col("row_pos"),
+                    F.col("row_kind").alias("k"),
+                )
+            ).alias("first")
+        )
+        .filter(F.col("first.k") != KIND_OPTIONS)
         .count()
     )
     if first_rows:

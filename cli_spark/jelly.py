@@ -1718,14 +1718,29 @@ def assign_segments(rows: DataFrame) -> DataFrame:
     """Sub-stream ids for multi-stream files: each options row starts a
     new sub-stream — cumulative count per file segment. (Decode no
     longer needs this — the resolver resets at options rows — but
-    structural validation still reports per-sub-stream.)"""
-    w = W.partitionBy("seg").orderBy("frame_index", "row_pos").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    structural validation still reports per-sub-stream.)
+
+    Options rows are rare (one per concatenated sub-stream), so the
+    running count is NOT a window — a window partitioned by seg would
+    serialize a single-file import into one task. Instead: aggregate
+    the tiny set of options-row positions per segment, broadcast it,
+    and count boundaries at-or-before each row columnar-side. The big
+    side never shuffles."""
+    pos = F.struct(F.col("frame_index").alias("f"), F.col("row_pos").alias("p"))
+    opt_pos = (
+        rows.filter(F.col("row_kind") == KIND_OPTIONS)
+        .groupBy("seg")
+        .agg(F.sort_array(F.collect_list(pos)).alias("_opt_pos"))
     )
     sub = (
-        F.sum(
-            F.when(F.col("row_kind") == KIND_OPTIONS, 1).otherwise(0)
-        ).over(w)
+        F.size(
+            F.filter(
+                F.coalesce(F.col("_opt_pos"), F.array().cast(
+                    "array<struct<f:long,p:int>>"
+                )),
+                lambda b: b <= pos,
+            )
+        )
         - 1
     )
     # composite struct key, NOT seg*K+sub arithmetic: file segs come from
@@ -1733,8 +1748,12 @@ def assign_segments(rows: DataFrame) -> DataFrame:
     # multiplier overflows int64 once partition ids reach the thousands —
     # exactly the many-file scan this exists for. Struct keys group,
     # join, and order (field-wise) like any other column.
-    return rows.withColumn(
-        "seg", F.struct(F.col("seg").alias("file"), sub.alias("sub"))
+    return (
+        rows.join(F.broadcast(opt_pos), "seg", "left")
+        .withColumn(
+            "seg", F.struct(F.col("seg").alias("file"), sub.alias("sub"))
+        )
+        .drop("_opt_pos")
     )
 
 
