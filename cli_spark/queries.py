@@ -979,20 +979,72 @@ def q31_lsh_candidate_pairs(spark, sf_dir):
 @query(
     "q32_dedup_exact",
     oracle="""
-    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS survivor_id,
-           COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
-    FROM documents
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(generate_series(1, len(arr) - 7)) AS idx, arr
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, idx, array_to_string(arr[idx : idx + 7], ' ') AS gram FROM g
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (SELECT grams.doc_id, grams.idx FROM grams JOIN dup USING (gram)),
+    marked AS (
+      SELECT doc_id, idx,
+             CASE WHEN lag(idx) OVER w IS NULL OR idx > lag(idx) OVER w + 7
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+    ),
+    isl AS (
+      SELECT doc_id, idx, SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS span_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MAX(idx) - MIN(idx) + 8 AS covered
+      FROM isl GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dup_spans,
+             CAST(SUM(covered) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS survivor_id,
+           COUNT(*) OVER (PARTITION BY md5(d.text)) AS n_copies,
+           CAST(len(b.arr) AS BIGINT) AS n_tokens,
+           COALESCE(p.dup_spans, 0) AS dup_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN len(b.arr) > 0
+                THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                     / CAST(len(b.arr) AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio
+    FROM documents d
+    JOIN base b ON b.doc_id = d.doc_id
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """,
-    doc="Exact dedup: hash-groupBy survivor selection (one shuffle).",
+    doc="Exact dedup, whole-doc + span-level: hash-groupBy survivor "
+    "selection (one shuffle) joined with cross-doc duplicated 8-gram "
+    "spans (Lee et al. 2022 style; ops.dedup.duplicate_spans — row-local "
+    "gram build, min!=max dup test, columnar interval merge).",
 )
 def q32_dedup_exact(spark, sf_dir):
+    from .ops.dedup import duplicate_spans
+
     d = load(spark, sf_dir, "documents")
     w = W.partitionBy(F.md5("text"))
-    return d.select(
+    exact = d.select(
         "doc_id",
         F.min("doc_id").over(w).alias("survivor_id"),
         F.count(F.lit(1)).over(w).alias("n_copies"),
     )
+    spans = duplicate_spans(d, "doc_id", "text", k=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+    return exact.join(spans, "doc_id")
 
 
 @query(

@@ -365,3 +365,76 @@ def test_decontaminate_empty_docs_never_match(spark):
     )
     out = {r.id for r in D.decontaminate(train, bench, "doc_id", "text", n=5).collect()}
     assert out == {12}
+
+
+def _spans_reference(texts: dict[int, str], k: int) -> dict[int, tuple]:
+    """Independent pure-Python span dedup: brute-force gram index +
+    interval merge, no Spark/SQL shared code paths."""
+    toks = {i: [t for t in txt.split() if t] for i, txt in texts.items()}
+    owners: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for j in range(len(ts) - k + 1):
+            owners.setdefault(tuple(ts[j : j + k]), set()).add(i)
+    out = {}
+    for i, ts in toks.items():
+        hit = [
+            j + 1
+            for j in range(len(ts) - k + 1)
+            if len(owners[tuple(ts[j : j + k])]) > 1
+        ]
+        spans, covered, end = 0, 0, -1
+        for p in hit:
+            if p > end:
+                spans, covered = spans + 1, covered + k
+            else:
+                covered += p + k - 1 - end
+            end = p + k - 1
+        n = len(ts)
+        out[i] = (n, spans, covered, covered / n if n else 0.0)
+    return out
+
+
+def test_duplicate_spans_differential(spark):
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(12))
+    texts = {}
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        if i % 3 == 0:  # plant shared boilerplate mid-document
+            at = rng.randint(0, len(words)) if words else 0
+            words[at:at] = boiler.split()
+        texts[i] = " ".join(words)
+    texts[40] = ""  # empty doc edge
+    texts[41] = "one two three"  # shorter than k
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_tokens, r.dup_spans, r.dup_tokens, r.dup_ratio)
+        for r in D.duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    want = _spans_reference(texts, 8)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == want[i], f"doc {i}: {got[i]} != {want[i]}"
+    # the planted boilerplate must actually be flagged in every carrier
+    carriers = [i for i in range(40) if i % 3 == 0]
+    assert all(got[i][1] >= 1 for i in carriers)
+
+
+def test_duplicate_spans_overlap_merge(spark):
+    # two docs sharing a 10-token run: 8-grams at idx p and p+2 overlap
+    # and must merge into ONE span covering exactly 10 tokens
+    run = " ".join(f"s{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, "a b c " + run + " x y z"), (1, run + " q r")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.dup_spans, r.dup_tokens)
+        for r in D.duplicate_spans(df, "doc_id", "text", k=8).collect()
+    }
+    assert got[0] == (1, 10) and got[1] == (1, 10)
