@@ -32,6 +32,9 @@ def _parse_range(spec: str) -> tuple[int, int]:
     """Rust-style index ranges: '3', '..3', '3..', '1..5', '1..=5'
     (IndexRange.scala:13-58). Returns inclusive (lo, hi)."""
     big = 1 << 62
+    spec = spec.strip()
+    if spec == "":  # IndexRange.scala:31 — empty spec = the whole range
+        return 0, big
     if ".." not in spec:
         i = int(spec)
         return i, i

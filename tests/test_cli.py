@@ -17,6 +17,12 @@ def test_parse_range_grammar():
     assert _parse_range("3..") == (3, big)
     assert _parse_range("1..5") == (1, 4)
     assert _parse_range("1..=5") == (1, 5)
+    # IndexRange.scala:31-33 — empty/whitespace spec is the whole range,
+    # '..=' is open-ended from 0, surrounding whitespace is trimmed
+    assert _parse_range("") == (0, big)
+    assert _parse_range("  ") == (0, big)
+    assert _parse_range("..=") == (0, big)
+    assert _parse_range(" 2..4 ") == (2, 3)
     with pytest.raises(ValueError):
         _parse_range("5..=1")
 
