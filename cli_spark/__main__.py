@@ -15,6 +15,12 @@ re-expressed as Spark jobs:
     python -m cli_spark pipeline       --n-files N [--workdir DIR] [--engine sql|pandas]
     python -m cli_spark version
 
+Omitting the input file (or passing '-') reads stdin; omitting --to
+writes to stdout — the reference's pipe workflow (RdfToJelly.scala
+@HelpMessage) works verbatim:
+
+    cat in.nq | python -m cli_spark rdf to-jelly | python -m cli_spark rdf inspect
+
 Exit code 1 on any validation/critical error (ErrorHandler.scala:8-18).
 Runs under spark-submit --py-files just as well: the entry point only
 builds a session if the caller didn't.
@@ -52,6 +58,81 @@ def _parse_range(spec: str) -> tuple[int, int]:
     return lo, hi
 
 
+def _stage_stdin(suffix: str, staged: list[str]) -> str:
+    """Reference parity: 'If no input file is specified, the input is
+    read from stdin' (RdfToJelly.scala @HelpMessage; the same contract
+    holds on from-jelly/inspect/validate/transcode). stdin is staged to
+    a temp file so the Spark readers see a path — piped ingress is
+    single-process by nature; the distributed path is file globs."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cli_spark_stdin_")
+    staged.append(d)
+    path = os.path.join(d, "stdin" + suffix)
+    with open(path, "wb") as fh:
+        fh.write(sys.stdin.buffer.read())
+    return path
+
+
+def _wire_std_streams(args, staged: list[str]) -> str | None:
+    """Rewrite an omitted/'-' input to a staged stdin file, and an
+    omitted --to to a temp target that :func:`_emit_stdout` streams to
+    stdout after a successful dispatch. Returns the stdout target (or
+    None when an explicit --to was given)."""
+    import os
+    import tempfile
+
+    from .formats import resolve
+
+    cmd = args.rdf_cmd
+    if cmd == "transcode":
+        if not args.inputs or args.inputs == ["-"]:
+            args.inputs = [_stage_stdin(".jelly", staged)]
+    elif getattr(args, "input", "") in (None, "-"):
+        if cmd == "to-jelly":
+            # the reference's default stdin action parses N-Quads
+            # (RdfToJelly.scala:82 defaultAction); --in-format overrides
+            fmt = resolve("stdin.nq", args.in_format)
+            suffix = fmt.extensions[0]
+        else:
+            suffix = ".jelly"
+        args.input = _stage_stdin(suffix, staged)
+    if cmd in ("to-jelly", "from-jelly", "transcode") and args.to is None:
+        if cmd == "from-jelly":
+            # RdfFromJellyPrint.defaultFormat = N-Quads
+            fmt = resolve("out.nq", args.out_format)
+            suffix = fmt.extensions[0]
+        else:
+            suffix = ".jelly"
+        d = tempfile.mkdtemp(prefix="cli_spark_stdout_")
+        staged.append(d)
+        args.to = os.path.join(d, "out" + suffix)
+        return args.to
+    return None
+
+
+def _emit_stdout(target: str) -> None:
+    """Stream the sink's output (a single file, or a directory of part
+    files in partition order) to stdout."""
+    import os
+    import shutil
+
+    out = sys.stdout.buffer
+    if os.path.isdir(target):
+        paths = [
+            os.path.join(target, n)
+            for n in sorted(os.listdir(target))
+            if not n.startswith((".", "_"))
+        ]
+    else:
+        paths = [target]
+    for pth in paths:
+        with open(pth, "rb") as fh:
+            shutil.copyfileobj(fh, out)
+    out.flush()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cli_spark")
     # common options (JellyCommand.scala:9-12): --quiet silences
@@ -67,8 +148,13 @@ def main(argv: list[str] | None = None) -> int:
     rdf = sub.add_parser("rdf").add_subparsers(dest="rdf_cmd", required=True)
 
     tj = rdf.add_parser("to-jelly")
-    tj.add_argument("input")
-    tj.add_argument("--to", required=True)
+    tj.add_argument("input", nargs="?", default=None,
+                    help="input file; omitted or '-' reads stdin "
+                    "(RdfToJelly.scala HelpMessage; format from "
+                    "--in-format, default N-Quads)")
+    tj.add_argument("--to", default=None,
+                    help="output file; omitted writes the Jelly bytes "
+                    "to stdout")
     tj.add_argument("--rows-per-frame", type=int, default=256)
     tj.add_argument("--max-name-table", type=int, default=None)
     tj.add_argument("--max-prefix-table", type=int, default=None)
@@ -109,8 +195,12 @@ def main(argv: list[str] | None = None) -> int:
                     "default false except for 'rdf validate')")
 
     fj = rdf.add_parser("from-jelly")
-    fj.add_argument("input")
-    fj.add_argument("--to", required=True)
+    fj.add_argument("input", nargs="?", default=None,
+                    help="input Jelly file; omitted or '-' reads "
+                    "stdin (delimited autodetect still applies)")
+    fj.add_argument("--to", default=None,
+                    help="output file; omitted writes to stdout "
+                    "(format from --out-format, default N-Quads)")
     fj.add_argument("--take-frames", default=None)
     fj.add_argument("--merge-graphs", action="store_true")
     fj.add_argument("--single-file", action="store_true")
@@ -135,7 +225,8 @@ def main(argv: list[str] | None = None) -> int:
                     "default false)")
 
     ins = rdf.add_parser("inspect")
-    ins.add_argument("input")
+    ins.add_argument("input", nargs="?", default=None,
+                     help="input Jelly file; omitted or '-' reads stdin")
     ins.add_argument("--per-frame", action="store_true")
     ins.add_argument("--size", action="store_true", help="serialized-size statistic")
     ins.add_argument("--detail", choices=["node", "term", "all"], default=None,
@@ -146,7 +237,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="write the report to a file instead of stdout")
 
     va = rdf.add_parser("validate")
-    va.add_argument("input")
+    va.add_argument("input", nargs="?", default=None,
+                    help="input Jelly file; omitted or '-' reads stdin")
     va.add_argument("--compare-to-rdf-file", default=None)
     va.add_argument("--compare-to-format", default=None,
                     help="format of the comparison file (S4 registry name); "
@@ -169,8 +261,10 @@ def main(argv: list[str] | None = None) -> int:
                     "TRUE (RdfValidate.scala:95) — pass false to skip")
 
     tc = rdf.add_parser("transcode")
-    tc.add_argument("inputs", nargs="+")
-    tc.add_argument("--to", required=True)
+    tc.add_argument("inputs", nargs="*", default=[],
+                    help="input Jelly files; omitted or '-' reads stdin")
+    tc.add_argument("--to", default=None,
+                    help="output file; omitted writes to stdout")
     tc.add_argument("--rows-per-frame", type=int, default=256)
     tc.add_argument("--max-name-table", type=int, default=None,
                     help="output table size; must be >= the entries the "
@@ -200,10 +294,18 @@ def main(argv: list[str] | None = None) -> int:
 
     from .session import get_spark
 
+    staged: list[str] = []
+    stdout_target: str | None = None
+    if args.cmd == "rdf":
+        stdout_target = _wire_std_streams(args, staged)
+
     existing = SparkSession.getActiveSession()
     spark = existing or get_spark("cli_spark_cli")
     try:
-        return _dispatch(spark, args)
+        rc = _dispatch(spark, args)
+        if rc == 0 and stdout_target is not None:
+            _emit_stdout(stdout_target)
+        return rc
     except (ValueError, AssertionError) as exc:
         if args.debug:
             import traceback
@@ -214,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if existing is None:
             spark.stop()
+        import shutil
+
+        for path in staged:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def _dispatch(spark, args) -> int:

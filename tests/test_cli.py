@@ -524,3 +524,56 @@ def test_cli_combine_per_frame(spark, tmp_path):
     ]) == 0
     txml = _text(t_dir)
     assert txml.count("<?xml") == 1 and "s2" in txml and "s0" not in txml
+
+
+def _feed_stdin(monkeypatch, data: bytes):
+    import io
+    import sys as _sys
+    import types
+
+    monkeypatch.setattr(
+        _sys, "stdin", types.SimpleNamespace(buffer=io.BytesIO(data))
+    )
+
+
+def test_cli_stdin_stdout_pipe(spark, monkeypatch, capsysbinary):
+    # reference contract (RdfToJelly.scala HelpMessage): no input file
+    # = stdin, no output file = stdout — the jelly-cli pipe workflow
+    nq = b'<kg:s> <kg:p> "v" .\n<kg:s> <kg:p2> <kg:o> .\n'
+    _feed_stdin(monkeypatch, nq)
+    assert main(["rdf", "to-jelly"]) == 0
+    jelly = capsysbinary.readouterr().out
+    assert jelly and jelly[0] != ord("<")  # binary frames, not echoed text
+
+    _feed_stdin(monkeypatch, jelly)
+    assert main(["rdf", "from-jelly"]) == 0
+    back = capsysbinary.readouterr().out.decode()
+    assert '<kg:s> <kg:p> "v" .' in back and "<kg:o>" in back
+
+    # inspect and validate read the same staged-stdin path
+    _feed_stdin(monkeypatch, jelly)
+    assert main(["rdf", "inspect"]) == 0
+    assert "triple_count: 2" in capsysbinary.readouterr().out.decode()
+    _feed_stdin(monkeypatch, jelly)
+    assert main(["rdf", "validate"]) == 0
+    capsysbinary.readouterr()  # drain validate's text before binary out
+
+    # transcode: stdin jelly -> stdout jelly, decodable
+    _feed_stdin(monkeypatch, jelly)
+    assert main(["rdf", "transcode"]) == 0
+    tr = capsysbinary.readouterr().out
+    _feed_stdin(monkeypatch, tr)
+    assert main(["rdf", "from-jelly", "--out-format", "nt"]) == 0
+    assert '<kg:s> <kg:p> "v" .' in capsysbinary.readouterr().out.decode()
+
+
+def test_cli_stdin_dash_and_informat(spark, monkeypatch, capsysbinary, tmp_path):
+    # '-' is an explicit stdin marker; --in-format overrides the N-Quads
+    # default for piped input
+    ttl = b"@prefix ex: <http://ex.org/> . ex:s ex:p ex:o .\n"
+    _feed_stdin(monkeypatch, ttl)
+    out = tmp_path / "t.jelly"
+    assert main(["rdf", "to-jelly", "-", "--in-format", "ttl", "--to", str(out)]) == 0
+    capsysbinary.readouterr()
+    assert main(["rdf", "from-jelly", str(out)]) == 0
+    assert "<http://ex.org/s>" in capsysbinary.readouterr().out.decode()
