@@ -133,6 +133,55 @@ def _emit_stdout(target: str) -> None:
     out.flush()
 
 
+def _print_version() -> None:
+    """Version + environment/feature report (Version.scala:26-53 prints
+    the tool, library, and JVM versions plus feature-support lines; the
+    Spark-native equivalents are the Python/PySpark stack and the
+    vectorized/optional-backend capabilities). Deliberately does NOT
+    start a SparkSession — version must answer instantly."""
+    import platform
+
+    print(f"cli_spark {__version__}")
+    print("-" * 61)
+    try:
+        import pyspark
+
+        print(f"PySpark     {pyspark.__version__}")
+    except ImportError:
+        print("PySpark     (not importable)")
+    for mod, label in (
+        ("pyarrow", "PyArrow"),
+        ("pandas", "pandas"),
+        ("numpy", "numpy"),
+    ):
+        try:
+            m = __import__(mod)
+            print(f"{label:<11} {m.__version__}")
+        except ImportError:
+            print(f"{label:<11} (not importable)")
+    print(f"Python      {platform.python_version()} ({platform.machine()})")
+    print("-" * 61)
+    # feature-support lines, mirroring the reference's [X]/[ ] report
+    try:
+        import pyarrow  # noqa: F401
+
+        print("[X] Arrow-vectorized codecs: supported. "
+              "Batch kernels enabled for the statement paths.")
+    except ImportError:
+        print("[ ] Arrow-vectorized codecs: not supported. "
+              "Row-at-a-time fallbacks will be slower.")
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_ICEBERG") == "1":
+        print("[X] Iceberg catalog sink: enabled (SPARK_GRAFT_ICEBERG=1; "
+              "requires the Iceberg runtime jars on the session).")
+    else:
+        print("[ ] Iceberg catalog sink: disabled. Set SPARK_GRAFT_ICEBERG=1 "
+              "with the Iceberg runtime jars to write catalog tables "
+              "(parquet stand-in with the same layout otherwise).")
+    print("Licensed under the Apache License, Version 2.0.")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cli_spark")
     # common options (JellyCommand.scala:9-12): --quiet silences
@@ -143,7 +192,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="print the full traceback on error")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("version")
+    # Version.scala:20-24 — aliases 'v' and '--version' (the latter is
+    # rewritten to the subcommand before parsing, argparse cannot alias
+    # a flag to a subcommand)
+    sub.add_parser("version", aliases=["v"])
 
     rdf = sub.add_parser("rdf").add_subparsers(dest="rdf_cmd", required=True)
 
@@ -285,9 +337,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="hash-split extraction into N per-chunk-committed "
                     "pieces for mid-stage resume (requires --workdir)")
 
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "--version":
+        argv = ["version"] + list(argv[1:])
     args = p.parse_args(argv)
-    if args.cmd == "version":
-        print(f"cli_spark {__version__}")
+    if args.cmd in ("version", "v"):
+        _print_version()
         return 0
 
     from pyspark.sql import SparkSession

@@ -28,8 +28,15 @@ def test_parse_range_grammar():
 
 
 def test_version(capsys):
-    assert main(["version"]) == 0
-    assert "cli_spark" in capsys.readouterr().out
+    # VersionSpec: all three aliases print the tool + stack versions
+    # and the [X]/[ ] feature-support report
+    for alias in ("version", "v", "--version"):
+        assert main([alias]) == 0
+        out = capsys.readouterr().out
+        assert out.startswith("cli_spark")
+        assert "PySpark" in out and "PyArrow" in out
+        assert "[X] Arrow-vectorized codecs" in out
+        assert "Apache License" in out
 
 
 @pytest.fixture(scope="module")
