@@ -133,6 +133,68 @@ def _emit_stdout(target: str) -> None:
     out.flush()
 
 
+def _walk_parser(p) -> dict[tuple, list[str]]:
+    """{command path: completable words} over the argparse tree —
+    option strings plus subcommand names at each level."""
+    words = [o for a in p._actions for o in a.option_strings]
+    out = {(): list(words)}
+    for a in p._actions:
+        if isinstance(a, argparse._SubParsersAction):
+            out[()].extend(a.choices.keys())
+            for name, sp in a.choices.items():
+                for path, ws in _walk_parser(sp).items():
+                    out[(name,) + path] = ws
+    return out
+
+
+def _completion_script(p, shell: str) -> str:
+    """Generate a bash/zsh completion script from the live argparse
+    tree (the reference ships caseapp's completions/complete commands,
+    App.scala:18-20; this is the argparse equivalent — regenerate after
+    upgrades, nothing is hardcoded)."""
+    tree = _walk_parser(p)
+    cases = []
+    # deepest paths first so 'rdf to-jelly' matches before 'rdf'
+    for path in sorted(tree, key=len, reverse=True):
+        if not path:
+            continue
+        pat = " ".join(path)
+        words = " ".join(sorted(set(tree[path])))
+        cases.append(f'    "{pat}") words="{words}" ;;')
+    top = " ".join(sorted(set(tree[()])))
+    bash = f"""\
+# bash completion for cli_spark — generated by
+#   python -m cli_spark completions bash
+# source it, or drop it into /etc/bash_completion.d/
+_cli_spark() {{
+  local cur path words
+  cur="${{COMP_WORDS[COMP_CWORD]}}"
+  path=""
+  for ((i=1; i < COMP_CWORD; i++)); do
+    case "${{COMP_WORDS[i]}}" in
+      -*) continue ;;
+      *) path="${{path:+$path }}${{COMP_WORDS[i]}}" ;;
+    esac
+  done
+  words="{top}"
+  case "$path" in
+{chr(10).join(cases)}
+  esac
+  COMPREPLY=( $(compgen -W "$words" -- "$cur") )
+}}
+complete -F _cli_spark cli_spark
+complete -F _cli_spark "python -m cli_spark" 2>/dev/null || true
+"""
+    if shell == "bash":
+        return bash
+    # zsh consumes bash completion functions through bashcompinit
+    return (
+        "# zsh completion for cli_spark (via bashcompinit) — generated by\n"
+        "#   python -m cli_spark completions zsh\n"
+        "autoload -U +X bashcompinit && bashcompinit\n" + bash
+    )
+
+
 def _print_version() -> None:
     """Version + environment/feature report (Version.scala:26-53 prints
     the tool, library, and JVM versions plus feature-support lines; the
@@ -196,6 +258,11 @@ def main(argv: list[str] | None = None) -> int:
     # rewritten to the subcommand before parsing, argparse cannot alias
     # a flag to a subcommand)
     sub.add_parser("version", aliases=["v"])
+
+    comp = sub.add_parser("completions",
+                          help="emit a shell completion script "
+                          "(App.scala:18-20 parity)")
+    comp.add_argument("shell", choices=["bash", "zsh"])
 
     rdf = sub.add_parser("rdf").add_subparsers(dest="rdf_cmd", required=True)
 
@@ -344,6 +411,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.cmd in ("version", "v"):
         _print_version()
+        return 0
+    if args.cmd == "completions":
+        print(_completion_script(p, args.shell))
         return 0
 
     from pyspark.sql import SparkSession

@@ -584,3 +584,34 @@ def test_cli_stdin_dash_and_informat(spark, monkeypatch, capsysbinary, tmp_path)
     capsysbinary.readouterr()
     assert main(["rdf", "from-jelly", str(out)]) == 0
     assert "<http://ex.org/s>" in capsysbinary.readouterr().out.decode()
+
+
+def test_cli_completions(capsys):
+    """completions bash/zsh (App.scala:18-20): generated from the live
+    argparse tree, and functional — simulated COMP_WORDS completes
+    subcommands and per-command flags."""
+    import subprocess
+
+    assert main(["completions", "bash"]) == 0
+    script = capsys.readouterr().out
+    assert "to-jelly" in script and "--compare-frame-indices" in script
+    assert main(["completions", "zsh"]) == 0
+    assert "bashcompinit" in capsys.readouterr().out
+
+    def complete(words: list[str], cword: int) -> set[str]:
+        cmd = (
+            script
+            + f"\nCOMP_WORDS=({' '.join(words)}); COMP_CWORD={cword};"
+            + ' _cli_spark; printf "%s\\n" "${COMPREPLY[@]}"'
+        )
+        out = subprocess.run(
+            ["bash", "-c", cmd], capture_output=True, text=True, check=True
+        ).stdout
+        return {w for w in out.split() if w}
+
+    assert "rdf" in complete(["cli_spark", ""], 1)
+    assert complete(["cli_spark", "rdf", "to-"], 2) == {"to-jelly"}
+    assert "--take-frames" in complete(["cli_spark", "rdf", "from-jelly", "--ta"], 3)
+    assert "--compare-ordered" in complete(
+        ["cli_spark", "rdf", "validate", "--compare-o"], 3
+    )
