@@ -58,6 +58,24 @@ def _parse_range(spec: str) -> tuple[int, int]:
     return lo, hi
 
 
+def _logical_code(lt: str):
+    """STaX logical type from any reference spelling: enum name
+    (FLAT_QUADS / flat_quads), camel name (flatQuads / flatQuadStream),
+    or the full ontology IRI (RdfToJellySpec: --opt.logical-type takes
+    all three)."""
+    from . import jelly as J
+
+    if "#" in lt or "/" in lt:
+        return J.logical_type_from_iri(lt)
+    by_name = {v: k for k, v in J.LOGICAL_NAMES.items()}
+    snake = lt.upper()
+    if snake in by_name:
+        return by_name[snake]
+    return J.logical_type_from_iri(
+        J.STAX_BASE + lt + ("" if lt.endswith("Stream") else "Stream")
+    )
+
+
 def _stage_stdin(suffix: str, staged: list[str]) -> str:
     """Reference parity: 'If no input file is specified, the input is
     read from stdin' (RdfToJelly.scala @HelpMessage; the same contract
@@ -275,20 +293,41 @@ def main(argv: list[str] | None = None) -> int:
                     help="output file; omitted writes the Jelly bytes "
                     "to stdout")
     tj.add_argument("--rows-per-frame", type=int, default=256)
-    tj.add_argument("--max-name-table", type=int, default=None)
-    tj.add_argument("--max-prefix-table", type=int, default=None)
-    tj.add_argument("--max-datatype-table", type=int, default=None,
+    # reference spellings accepted as aliases throughout
+    # (RdfToJellySpec: --opt.max-name-table-size=100 etc.)
+    tj.add_argument("--max-name-table", "--opt.max-name-table-size",
+                    dest="max_name_table", type=int, default=None)
+    tj.add_argument("--max-prefix-table", "--opt.max-prefix-table-size",
+                    dest="max_prefix_table", type=int, default=None)
+    tj.add_argument("--max-datatype-table", "--opt.max-datatype-table-size",
+                    dest="max_datatype_table", type=int, default=None,
                     help="maximum size of the datatype lookup table "
                     "(opt.maxDatatypeTableSize)")
     tj.add_argument("--non-delimited", action="store_true")
+    tj.add_argument("--delimited", choices=["true", "false"], default=None,
+                    help="reference spelling: --delimited=false is "
+                    "--non-delimited")
     tj.add_argument("--append", action="store_true", help="append-mode sink (S3)")
-    tj.add_argument("--physical-type", choices=["triples", "quads", "graphs"],
-                    default=None, help="default: quads when input has graphs")
-    tj.add_argument("--logical-type", default=None,
-                    help="STaX logical type (name or IRI), e.g. flatTriples")
-    tj.add_argument("--stream-name", default=None)
-    tj.add_argument("--generalized", action="store_true", default=None)
-    tj.add_argument("--rdf-star", action="store_true", default=None)
+    tj.add_argument("--physical-type", "--opt.physical-type",
+                    dest="physical_type", type=str.lower,
+                    choices=["triples", "quads", "graphs"],
+                    default=None, help="default: quads when input has "
+                    "graphs (case-insensitive: GRAPHS works)")
+    tj.add_argument("--logical-type", "--opt.logical-type",
+                    dest="logical_type", default=None,
+                    help="STaX logical type (enum name or IRI), e.g. "
+                    "flatTriples, FLAT_QUADS, or the full #flatQuadStream "
+                    "IRI")
+    tj.add_argument("--stream-name", "--opt.stream-name",
+                    dest="stream_name", default=None)
+    # boolean-valued in the reference (--opt.generalized-statements=false
+    # can force a derived capability OFF); bare flag means true
+    tj.add_argument("--generalized", "--opt.generalized-statements",
+                    dest="generalized", nargs="?", const="true",
+                    choices=["true", "false"], default=None)
+    tj.add_argument("--rdf-star", "--opt.rdf-star", dest="rdf_star",
+                    nargs="?", const="true",
+                    choices=["true", "false"], default=None)
     tj.add_argument("--no-prefix-table", action="store_true")
     tj.add_argument("--options-from", default=None,
                     help="copy stream options from an existing .jelly file (S11)")
@@ -363,7 +402,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="format of the comparison file (S4 registry name); "
                     "default: inferred from its extension "
                     "(RdfValidate.scala:42-46)")
-    va.add_argument("--compare-ordered", action="store_true")
+    va.add_argument("--compare-ordered", nargs="?", const="true",
+                    choices=["true", "false"], default="false")
     va.add_argument("--compare-frame-indices", default=None,
                     help="restrict comparison to these frame indices, as a "
                     "Rust-style range like '2', '1..4', '1..=3' "
@@ -385,13 +425,19 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("--to", default=None,
                     help="output file; omitted writes to stdout")
     tc.add_argument("--rows-per-frame", type=int, default=256)
-    tc.add_argument("--max-name-table", type=int, default=None,
+    tc.add_argument("--max-name-table", "--opt.max-name-table-size",
+                    dest="max_name_table", type=int, default=None,
                     help="output table size; must be >= the entries the "
                     "inputs carry (default: computed)")
-    tc.add_argument("--stream-name", default=None,
+    tc.add_argument("--max-prefix-table", "--opt.max-prefix-table-size",
+                    dest="max_prefix_table", type=int, default=None,
+                    help="output prefix table size; same >= precondition")
+    tc.add_argument("--stream-name", "--opt.stream-name",
+                    dest="stream_name", default=None,
                     help="stream name for the merged output's options "
                     "row (opt.streamName)")
-    tc.add_argument("--logical-type", default=None,
+    tc.add_argument("--logical-type", "--opt.logical-type",
+                    dest="logical_type", default=None,
                     help="STaX logical type declared by the merged "
                     "output (opt.logicalType; name or IRI)")
 
@@ -517,12 +563,7 @@ def _dispatch(spark, args) -> int:
         # option cascade (P13): CLI flags > --options-from file > derived
         logical = None
         if args.logical_type:
-            lt = args.logical_type
-            logical = (
-                J.logical_type_from_iri(lt)
-                if "#" in lt or "/" in lt
-                else J.logical_type_from_iri(J.STAX_BASE + lt + ("" if lt.endswith("Stream") else "Stream"))
-            )
+            logical = _logical_code(args.logical_type)
         physical = {
             "triples": J.PHYSICAL_TRIPLES,
             "quads": J.PHYSICAL_QUADS,
@@ -540,8 +581,14 @@ def _dispatch(spark, args) -> int:
                 "physical_type": physical,
                 "logical_type": logical,
                 "stream_name": args.stream_name,
-                "generalized": args.generalized,
-                "rdf_star": args.rdf_star,
+                "generalized": (
+                    None if args.generalized is None
+                    else args.generalized == "true"
+                ),
+                "rdf_star": (
+                    None if args.rdf_star is None
+                    else args.rdf_star == "true"
+                ),
                 "max_name_table": args.max_name_table,
                 "max_prefix_table": args.max_prefix_table,
                 "max_dt_table": args.max_datatype_table,
@@ -615,7 +662,9 @@ def _dispatch(spark, args) -> int:
             J.write_jelly_text_file(frames, args.to)
         else:
             J.write_jelly_file(
-                frames, args.to, delimited=not args.non_delimited, append=args.append
+                frames, args.to,
+                delimited=not (args.non_delimited or args.delimited == "false"),
+                append=args.append
             )
         return 0
 
@@ -875,7 +924,7 @@ def _dispatch(spark, args) -> int:
                 "subj", "pred", "obj",
                 F.col("graph").cast("string").alias("graph"),
             )
-            if args.compare_ordered:
+            if args.compare_ordered == "true":
                 from .order import global_row_number
 
                 # null graph sorts ahead of any label on both sides, so
@@ -905,16 +954,10 @@ def _dispatch(spark, args) -> int:
             [J.read_jelly_file(spark, p) for p in args.inputs],
             rows_per_frame=args.rows_per_frame,
             max_name_table=args.max_name_table,
+            max_prefix_table=args.max_prefix_table,
             stream_name=args.stream_name,
             logical_type=(
-                J.logical_type_from_iri(args.logical_type)
-                if args.logical_type and ("#" in args.logical_type or "/" in args.logical_type)
-                else J.logical_type_from_iri(
-                    J.STAX_BASE + args.logical_type
-                    + ("" if args.logical_type.endswith("Stream") else "Stream")
-                )
-                if args.logical_type
-                else None
+                _logical_code(args.logical_type) if args.logical_type else None
             ),
         )
         J.write_jelly_file(frames, args.to)

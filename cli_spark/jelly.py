@@ -166,21 +166,30 @@ def camel_to_snake(name: str) -> str:
 
 
 def logical_type_iri(logical: int) -> str | None:
-    """Logical-type enum → STaX ontology IRI (P12)."""
+    """Logical-type enum → STaX ontology IRI (P12). The published
+    ontology locals are SINGULAR — FLAT_QUADS ↔ #flatQuadStream — so
+    the enum name drops its trailing S before camel-casing, exactly the
+    reference's rule (RdfJellySerializationOptions.scala:73-78)."""
     if logical == LOGICAL_UNSPECIFIED:
         return None
-    return STAX_BASE + snake_to_camel(LOGICAL_NAMES[logical]) + "Stream"
+    name = LOGICAL_NAMES[logical]
+    if name.endswith("S"):
+        name = name[:-1]
+    return STAX_BASE + snake_to_camel(name) + "Stream"
 
 
 def logical_type_from_iri(iri: str) -> int:
-    """STaX ontology IRI → logical-type enum (P12 inverse)."""
+    """STaX ontology IRI → logical-type enum (P12 inverse). Accepts the
+    ontology's singular locals (#flatQuadStream); the plural spelling
+    this repo emitted before round 5 still resolves."""
     local = iri.rsplit("#", 1)[-1]
     if local.endswith("Stream"):
         local = local[: -len("Stream")]
     name = camel_to_snake(local)
-    for code, nm in LOGICAL_NAMES.items():
-        if nm == name:
-            return code
+    for cand in (name + "S", name):
+        for code, nm in LOGICAL_NAMES.items():
+            if nm == cand:
+                return code
     raise ValueError(f"unknown logical stream type IRI: {iri}")
 
 
@@ -2253,6 +2262,7 @@ def transcode_frames(
     frames_list: list[DataFrame],
     rows_per_frame: int = ROWS_PER_FRAME,
     max_name_table: int | None = None,
+    max_prefix_table: int | None = None,
     stream_name: str | None = None,
     logical_type: int | None = None,
 ) -> DataFrame:
@@ -2338,6 +2348,13 @@ def transcode_frames(
             f"{required} entries the inputs carry (output table must be at "
             f"least as large as every input's — RdfTranscodeSpec.scala:86)"
         )
+    out_prefix = max(prefix_off, max_prefix_table or MAX_PREFIX_TABLE)
+    if max_prefix_table is not None and max_prefix_table < prefix_off:
+        raise ValueError(
+            f"output prefix table size {max_prefix_table} is smaller than "
+            f"the {prefix_off} entries the inputs carry (same precondition "
+            f"as the name table — RdfTranscodeSpec.scala:86)"
+        )
     out_opts = {
         "kind": KIND_OPTIONS,
         "stream_name": stream_name or "",
@@ -2350,7 +2367,7 @@ def transcode_frames(
         "logical": logical_type or 0,
         "version": VERSION,
         "max_name": out_max,
-        "max_prefix": max(MAX_PREFIX_TABLE, prefix_off),
+        "max_prefix": out_prefix,
         "max_dt": max(out_max, dt_off),
     }
     bc = spark.sparkContext.broadcast((offsets, out_opts))

@@ -615,3 +615,97 @@ def test_cli_completions(capsys):
     assert "--compare-ordered" in complete(
         ["cli_spark", "rdf", "validate", "--compare-o"], 3
     )
+
+
+def test_cli_reference_option_spellings(spark, tmp_path):
+    """The reference's exact option spellings work verbatim
+    (RdfToJellySpec: --opt.physical-type=GRAPHS, --opt.stream-name,
+    --opt.max-*-table-size, --opt.rdf-star=false, --delimited=false;
+    RdfValidateSpec: --compare-ordered=true) — a switching user's
+    scripts run unchanged."""
+    from cli_spark import jellywire as JW
+
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        fh.write('<kg:s> <kg:p> "v" .\n<kg:s2> <kg:p> <kg:o> <kg:g> .\n')
+    jelly = str(tmp_path / "o.jelly")
+    assert main([
+        "rdf", "to-jelly", nq, "--to", jelly,
+        "--opt.physical-type=QUADS",
+        "--opt.logical-type=FLAT_QUADS",
+        "--opt.stream-name=testName",
+        "--opt.generalized-statements=false",
+        "--opt.rdf-star=false",
+        "--opt.max-name-table-size=100",
+        "--opt.max-prefix-table-size=120",
+        "--opt.max-datatype-table-size=64",
+    ]) == 0
+    data = open(jelly, "rb").read()
+    n, pos = JW.read_varint(data, 0)
+    opts = JW.decode_frame(data[pos:pos + n])[0]
+    assert opts["stream_name"] == "testName"
+    assert opts["physical"] == 2 and opts["logical"] == 2
+    assert not opts["generalized"] and not opts["rdf_star"]
+    assert (opts["max_name"], opts["max_prefix"], opts["max_dt"]) == (100, 120, 64)
+
+    # --delimited=false == --non-delimited (single undelimited frame)
+    nd = str(tmp_path / "nd.jelly")
+    assert main(["rdf", "to-jelly", nq, "--to", nd, "--delimited=false"]) == 0
+    assert main(["rdf", "validate", nd, "--delimited", "false"]) == 0
+    assert main(["rdf", "validate", nd, "--delimited", "true"]) == 1
+
+    # --compare-ordered=true spelling on validate
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", nq,
+        "--compare-ordered=true",
+    ]) == 0
+
+    # transcode --opt.* aliases; an undersized prefix table is the
+    # same typed error as the name table (RdfTranscodeSpec.scala:86)
+    tr = str(tmp_path / "t.jelly")
+    assert main([
+        "rdf", "transcode", jelly, "--to", tr,
+        "--opt.max-name-table-size=200", "--opt.max-prefix-table-size=150",
+        "--opt.stream-name=merged",
+    ]) == 0
+    n, pos = JW.read_varint(open(tr, "rb").read(), 0)
+    topts = JW.decode_frame(open(tr, "rb").read()[pos:pos + n])[0]
+    assert topts["stream_name"] == "merged"
+    assert topts["max_name"] == 200 and topts["max_prefix"] == 150
+    multi = str(tmp_path / "multi.nq")
+    with open(multi, "w") as fh:
+        fh.write(
+            '<http://a.example/x> <http://a.example/p> "1" .\n'
+            '<http://b.example/y> <http://b.example/q> "2" .\n'
+        )
+    mj = str(tmp_path / "m.jelly")
+    assert main(["rdf", "to-jelly", multi, "--to", mj]) == 0
+    assert main([
+        "rdf", "transcode", mj, "--to", tr,
+        "--opt.max-prefix-table-size=1",
+    ]) == 1
+
+
+def test_cli_logical_type_spellings(spark, tmp_path):
+    """--opt.logical-type accepts enum names, camel names, and IRIs
+    (RdfToJellySpec 'modified logical type with full IRI')."""
+    from cli_spark import jellywire as JW
+
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        fh.write('<kg:s> <kg:p> "v" .\n')
+    for spelling, code in [
+        ("FLAT_TRIPLES", 1),
+        ("flatTriples", 1),
+        ("flatTriplesStream", 1),
+        ("https://w3id.org/stax/ontology#flatTripleStream", 1),
+        ("GRAPHS", 3),
+    ]:
+        out = str(tmp_path / "l.jelly")
+        assert main([
+            "rdf", "to-jelly", nq, "--to", out,
+            f"--opt.logical-type={spelling}",
+        ]) == 0, spelling
+        data = open(out, "rb").read()
+        n, pos = JW.read_varint(data, 0)
+        assert JW.decode_frame(data[pos:pos + n])[0]["logical"] == code, spelling

@@ -319,6 +319,12 @@ def test_logical_type_iri_mapping():
         iri = J.logical_type_iri(code)
         assert iri.startswith(J.STAX_BASE)
         assert J.logical_type_from_iri(iri) == code
+    # the ontology locals are singular (RdfJellySerializationOptions.
+    # scala:73-78 derives #flatQuadStream from FLAT_QUADS); the plural
+    # legacy spelling still resolves on input
+    assert J.logical_type_iri(2) == J.STAX_BASE + "flatQuadStream"
+    assert J.logical_type_iri(3) == J.STAX_BASE + "graphStream"
+    assert J.logical_type_from_iri(J.STAX_BASE + "flatQuadsStream") == 2
     assert J.logical_type_iri(J.LOGICAL_UNSPECIFIED) is None
     with pytest.raises(ValueError):
         J.logical_type_from_iri(J.STAX_BASE + "noSuchStream")
