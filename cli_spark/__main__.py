@@ -41,18 +41,24 @@ def _parse_range(spec: str) -> tuple[int, int]:
     spec = spec.strip()
     if spec == "":  # IndexRange.scala:31 — empty spec = the whole range
         return 0, big
-    if ".." not in spec:
-        i = int(spec)
-        return i, i
-    lo_s, _, hi_s = spec.partition("..")
-    inclusive = hi_s.startswith("=")
-    if inclusive:
-        hi_s = hi_s[1:]
-    lo = int(lo_s) if lo_s else 0
-    if hi_s:
-        hi = int(hi_s) if inclusive else int(hi_s) - 1
-    else:
-        hi = big
+    try:
+        if ".." not in spec:
+            i = int(spec)
+            return i, i
+        lo_s, _, hi_s = spec.partition("..")
+        inclusive = hi_s.startswith("=")
+        if inclusive:
+            hi_s = hi_s[1:]
+        lo = int(lo_s) if lo_s else 0
+        hi = (int(hi_s) if inclusive else int(hi_s) - 1) if hi_s else big
+    except ValueError:
+        # IndexRange.scala:46-55 help text, verbatim grammar
+        raise ValueError(
+            f"invalid range format: {spec!r}. Correct ranges are in the "
+            "form '3' (one index), '..3' (up to exclusive), '3..' (from "
+            "inclusive), '1..3' (range up to exclusive), or '1..=3' "
+            "(inclusive)"
+        ) from None
     if hi < lo:
         raise ValueError(f"empty frame range: {spec!r}")
     return lo, hi
@@ -471,6 +477,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "rdf":
         stdout_target = _wire_std_streams(args, staged)
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     existing = SparkSession.getActiveSession()
     spark = existing or get_spark("cli_spark_cli")
     try:
@@ -478,7 +486,7 @@ def main(argv: list[str] | None = None) -> int:
         if rc == 0 and stdout_target is not None:
             _emit_stdout(stdout_target)
         return rc
-    except (ValueError, AssertionError) as exc:
+    except (ValueError, AssertionError, AnalysisException) as exc:
         if args.debug:
             import traceback
 
@@ -676,7 +684,13 @@ def _dispatch(spark, args) -> int:
         try:
             out_fmt = resolve(args.to, args.out_format)
         except ValueError:
-            out_fmt = _FMT["nq"]  # extensionless output dir → N-Quads parts
+            # only extension INFERENCE falls back (extensionless output
+            # dir → N-Quads parts); an explicit unknown --out-format is
+            # a typed error like the reference's InvalidFormatSpecified
+            # (RdfFromJellySpec 'invalid output format supplied')
+            if args.out_format is not None:
+                raise
+            out_fmt = _FMT["nq"]
         if out_fmt.write is None:
             raise ValueError(f"{out_fmt.full_name} is not a writable output format")
         take = _parse_range(args.take_frames) if args.take_frames else None

@@ -709,3 +709,33 @@ def test_cli_logical_type_spellings(spark, tmp_path):
         data = open(out, "rb").read()
         n, pos = JW.read_varint(data, 0)
         assert JW.decode_frame(data[pos:pos + n])[0]["logical"] == code, spelling
+
+
+def test_cli_error_paths_typed(spark, tmp_path, capsys):
+    """RdfFromJellySpec error cases: missing input, invalid output
+    format, invalid --take-frames — each a typed `error:` line + exit 1,
+    no raw traceback leak. An explicit unknown --out-format must NOT
+    silently fall back to N-Quads."""
+    jelly = str(tmp_path / "e.jelly")
+    nq = str(tmp_path / "e.nq")
+    with open(nq, "w") as fh:
+        fh.write('<kg:s> <kg:p> "v" .\n')
+    assert main(["rdf", "to-jelly", nq, "--to", jelly]) == 0
+
+    assert main(["rdf", "from-jelly", "/nonexistent.jelly",
+                 "--to", str(tmp_path / "o.nq")]) == 1
+    err = capsys.readouterr().err
+    assert "error:" in err and "Traceback" not in err
+
+    assert main(["rdf", "from-jelly", jelly, "--to", str(tmp_path / "o2.nq"),
+                 "--out-format", "bogus"]) == 1
+    assert "unknown format 'bogus'" in capsys.readouterr().err
+
+    assert main(["rdf", "from-jelly", jelly, "--to", str(tmp_path / "o3.nq"),
+                 "--take-frames", "abc"]) == 1
+    assert "invalid range format" in capsys.readouterr().err
+
+    # extensionless output dir withOUT an explicit format still falls
+    # back to N-Quads parts (the S13 behavior this guard must preserve)
+    out_dir = str(tmp_path / "parts_out")
+    assert main(["rdf", "from-jelly", jelly, "--to", out_dir]) == 0
