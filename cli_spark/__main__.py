@@ -326,12 +326,16 @@ def main(argv: list[str] | None = None) -> int:
                     "IRI")
     tj.add_argument("--stream-name", "--opt.stream-name",
                     dest="stream_name", default=None)
-    # boolean-valued in the reference (--opt.generalized-statements=false
-    # can force a derived capability OFF); bare flag means true
-    tj.add_argument("--generalized", "--opt.generalized-statements",
-                    dest="generalized", nargs="?", const="true",
+    # bare flags stay store_true (no value consumption, so
+    # `--rdf-star in.nq` keeps meaning "flag then positional"); the
+    # reference's boolean-valued spellings get their own dests —
+    # --opt.rdf-star=false can force a derived capability OFF
+    tj.add_argument("--generalized", action="store_true", default=None)
+    tj.add_argument("--opt.generalized-statements",
+                    dest="generalized_opt", nargs="?", const="true",
                     choices=["true", "false"], default=None)
-    tj.add_argument("--rdf-star", "--opt.rdf-star", dest="rdf_star",
+    tj.add_argument("--rdf-star", action="store_true", default=None)
+    tj.add_argument("--opt.rdf-star", dest="rdf_star_opt",
                     nargs="?", const="true",
                     choices=["true", "false"], default=None)
     tj.add_argument("--no-prefix-table", action="store_true")
@@ -590,12 +594,14 @@ def _dispatch(spark, args) -> int:
                 "logical_type": logical,
                 "stream_name": args.stream_name,
                 "generalized": (
-                    None if args.generalized is None
-                    else args.generalized == "true"
+                    args.generalized_opt == "true"
+                    if args.generalized_opt is not None
+                    else args.generalized
                 ),
                 "rdf_star": (
-                    None if args.rdf_star is None
-                    else args.rdf_star == "true"
+                    args.rdf_star_opt == "true"
+                    if args.rdf_star_opt is not None
+                    else args.rdf_star
                 ),
                 "max_name_table": args.max_name_table,
                 "max_prefix_table": args.max_prefix_table,
