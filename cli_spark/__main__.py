@@ -13,7 +13,15 @@ re-expressed as Spark jobs:
                                        [--delimited true|false|either]
     python -m cli_spark rdf transcode  IN1.jelly [IN2.jelly ...] --to out.jelly
     python -m cli_spark pipeline       --n-files N [--workdir DIR] [--engine sql|pandas]
-    python -m cli_spark version
+    python -m cli_spark version | v | --version
+    python -m cli_spark completions bash|zsh
+
+The reference's exact option spellings are accepted everywhere they
+exist there: --opt.physical-type=GRAPHS, --opt.logical-type=FLAT_QUADS
+(or the #flatQuadStream IRI), --opt.stream-name, --opt.rdf-star=false,
+--opt.generalized-statements=false, --opt.max-name-table-size=100,
+--opt.max-prefix-table-size, --opt.max-datatype-table-size,
+--delimited=false (to-jelly), --compare-ordered=true (validate).
 
 Omitting the input file (or passing '-') reads stdin; omitting --to
 writes to stdout — the reference's pipe workflow (RdfToJelly.scala
