@@ -543,7 +543,38 @@ def _dispatch(spark, args) -> int:
         try:
             in_fmt = resolve(args.input, args.in_format)
         except ValueError:
-            in_fmt = _FMT["nq"]  # unknown extension → generalized N-Quads
+            # extension inference falls back to generalized N-Quads; an
+            # explicit unknown --in-format is a typed error
+            if args.in_format is not None:
+                raise
+            in_fmt = _FMT["nq"]
+        if in_fmt.key == "jelly-text":
+            if not args.quiet:
+                # RdfToJelly.scala:212-218, verbatim contract
+                print(
+                    "WARNING: The Jelly text format is not stable and may "
+                    "change in incompatible ways in the future.\n"
+                    "It's only intended for testing and development.\n"
+                    "NEVER use it in production.\n"
+                    "Use --quiet to silence this warning.",
+                    file=sys.stderr,
+                )
+            # text→binary is a frames-level copy, exactly the
+            # reference's jellyTextToJelly (TextFormat.parse →
+            # writeDelimitedTo): options and dictionary entries ride
+            # through untouched, no statement decode
+            tframes = J.read_jelly_text_file(spark, args.input)
+            if args.to.endswith(".jelly.txt"):
+                J.write_jelly_text_file(tframes, args.to)
+            else:
+                J.write_jelly_file(
+                    tframes, args.to,
+                    delimited=not (
+                        args.non_delimited or args.delimited == "false"
+                    ),
+                    append=args.append,
+                )
+            return 0
         if in_fmt.read is None:
             raise ValueError(f"{in_fmt.full_name} is not a readable input format")
         if args.base is not None and not in_fmt.supports_base_iri:
@@ -596,6 +627,26 @@ def _dispatch(spark, args) -> int:
             generalized=bool(caps["gen"]),
         )
         from_file = J.options_from_file(args.options_from) if args.options_from else None
+        # RdfToJelly.scala:159-166: a GROUPED logical type (GRAPHS /
+        # DATASETS) without an explicitly-set physical type is ignored
+        # with a warning — auto-derived flat encoding does not guarantee
+        # the frame grouping a grouped logical type declares
+        phys_requested = physical is not None or bool(
+            from_file is not None and from_file.physical_type
+        )
+        if (
+            logical in (J.LOGICAL_GRAPHS, J.LOGICAL_DATASETS)
+            and not phys_requested
+        ):
+            if not args.quiet:
+                print(
+                    "WARNING: Logical type setting ignored because "
+                    "physical type is not set. Set the physical type to "
+                    "properly pass on the logical type. "
+                    "Use --quiet to silence this warning.",
+                    file=sys.stderr,
+                )
+            logical = None
         opts = J.options_cascade(
             cli={
                 "physical_type": physical,
@@ -705,6 +756,25 @@ def _dispatch(spark, args) -> int:
             if args.out_format is not None:
                 raise
             out_fmt = _FMT["nq"]
+        if out_fmt.key == "jelly-text":
+            # frames-level binary→text rendering (RdfFromJellySpec
+            # '--out-format=jelly-text'): frames are copied verbatim, no
+            # statement decode. Slicing is frame-level-unsafe here (the
+            # cumulative dictionaries would dangle), so --take-frames is
+            # rejected rather than silently wrong.
+            if args.take_frames:
+                raise ValueError(
+                    "--take-frames cannot combine with a jelly-text "
+                    "output (frames are copied verbatim; a slice would "
+                    "dangle dictionary references) — decode to an RDF "
+                    "format instead"
+                )
+            if args.input.endswith(".jelly.txt"):
+                tframes = J.read_jelly_text_file(spark, args.input)
+            else:
+                tframes = J.read_jelly_file(spark, args.input)
+            J.write_jelly_text_file(tframes, args.to)
+            return 0
         if out_fmt.write is None:
             raise ValueError(f"{out_fmt.full_name} is not a writable output format")
         take = _parse_range(args.take_frames) if args.take_frames else None

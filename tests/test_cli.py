@@ -705,6 +705,9 @@ def test_cli_logical_type_spellings(spark, tmp_path):
         assert main([
             "rdf", "to-jelly", nq, "--to", out,
             f"--opt.logical-type={spelling}",
+            # GROUPED logical types require an explicit physical type
+            # (RdfToJelly.scala:159-166 ignores them otherwise)
+            "--opt.physical-type=TRIPLES",
         ]) == 0, spelling
         data = open(out, "rb").read()
         n, pos = JW.read_varint(data, 0)
@@ -739,3 +742,44 @@ def test_cli_error_paths_typed(spark, tmp_path, capsys):
     # back to N-Quads parts (the S13 behavior this guard must preserve)
     out_dir = str(tmp_path / "parts_out")
     assert main(["rdf", "from-jelly", jelly, "--to", out_dir]) == 0
+
+
+def test_cli_warnings(spark, tmp_path, capsys):
+    """RdfToJelly warning contract: (a) a grouped logical type without
+    an explicit physical type is IGNORED with a warning
+    (RdfToJelly.scala:159-166); (b) jelly-text input warns that the
+    format is unstable (RdfToJelly.scala:212-218); --quiet silences
+    both."""
+    from cli_spark import jellywire as JW
+
+    nq = str(tmp_path / "w.nq")
+    with open(nq, "w") as fh:
+        fh.write('<kg:s> <kg:p> "v" .\n')
+    out = str(tmp_path / "w.jelly")
+    assert main([
+        "rdf", "to-jelly", nq, "--to", out, "--opt.logical-type=GRAPHS",
+    ]) == 0
+    assert "Logical type setting ignored" in capsys.readouterr().err
+    data = open(out, "rb").read()
+    n, pos = JW.read_varint(data, 0)
+    assert JW.decode_frame(data[pos:pos + n])[0]["logical"] == 0  # ignored
+    assert main([
+        "--quiet", "rdf", "to-jelly", nq, "--to", out,
+        "--opt.logical-type=GRAPHS",
+    ]) == 0
+    assert "Logical type" not in capsys.readouterr().err
+
+    # jelly-text instability warning on the to-jelly read path
+    jt = str(tmp_path / "w.jelly.txt")
+    assert main(["rdf", "from-jelly", out, "--to", jt]) == 0
+    capsys.readouterr()
+    out2 = str(tmp_path / "w2.jelly")
+    assert main(["rdf", "to-jelly", jt, "--to", out2]) == 0
+    assert "Jelly text format is not stable" in capsys.readouterr().err
+    assert main(["--quiet", "rdf", "to-jelly", jt, "--to", out2]) == 0
+    assert "not stable" not in capsys.readouterr().err
+    # the text→binary frames copy round-trips to the original statement
+    rt = str(tmp_path / "rt")
+    assert main(["rdf", "from-jelly", out2, "--to", rt, "--single-file"]) == 0
+    part = next(p for p in os.listdir(rt) if p.startswith("part-"))
+    assert open(os.path.join(rt, part)).read().strip() == '<kg:s> <kg:p> "v" .'
