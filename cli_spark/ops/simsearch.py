@@ -36,6 +36,7 @@ __all__ = [
     "seeded_centroids",
     "lloyd_round",
     "assign_cells",
+    "semantic_dedup",
 ]
 
 
@@ -453,3 +454,106 @@ def dequantize_embeddings(
             F.col("codes"), lambda c: c.cast("float") * F.col("scale")
         ).alias(out_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.6,
+    n_cells: int | None = None,
+    centroids: DataFrame | None = None,
+    lloyd_rounds: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 8192,
+    col_block: int = 1024,
+    exact_fold: bool = True,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style (Abbas
+    et al. 2023, arXiv:2303.09540 — public method): k-means-cluster the
+    embedding space, then inside each cluster drop every document whose
+    cosine to any EARLIER (lower-id) member reaches ``tau``. "Earlier by
+    id regardless of that member's own keep flag" is the deterministic,
+    order-free variant: it is expressible as one EXISTS semi-join (the
+    DuckDB-oracle-checked formulation in q44's ``dup`` leg) and never
+    needs a sequential scan over the cluster.
+
+    Returns ``(id, cell_id, keep, max_cos_earlier, cell_overflow)`` —
+    one row per corpus vector. ``max_cos_earlier`` is NaN for each
+    cell's first member and for overflow rows.
+
+    Scale shape (the reason this beats pairwise near-dup at 100 TB):
+    the centroid table is tiny and broadcast; assignment is one
+    broadcast cross-score (`assign_cells`); the quadratic step runs as
+    ONE Arrow matmul kernel per cell (`applyInPandas`, O((N/k)²)·k ≈
+    O(N²/k) total with k = ceil(√N) cells by default — never corpus ×
+    corpus, and never per-row Python). Cells larger than ``max_cell``
+    dedup only their first ``max_cell`` members by id; the remainder
+    are kept un-deduped and flagged ``cell_overflow`` — the countable-
+    drop pattern of ``minhash_lsh_pairs``'s MAX_BUCKET (skew safety
+    valve, auditable instead of silent). The in-kernel matmul runs in
+    ``col_block`` column stripes so peak memory is max_cell × col_block
+    doubles, not max_cell².
+    """
+    if centroids is None:
+        if n_cells is None:
+            import math
+
+            # one metadata-cheap count sizes the TakeOrdered limit,
+            # same rule as the q44/q45 battery centroids
+            n_cells = int(math.ceil(math.sqrt(max(corpus.count(), 1))))
+        centroids = seeded_centroids(corpus, n_cells, id_col, vec_col)
+        for _ in range(lloyd_rounds):
+            centroids = lloyd_round(corpus, centroids, id_col, vec_col)
+    cells = assign_cells(corpus, centroids, id_col, vec_col, exact_fold=exact_fold)
+    member = corpus.join(cells.select(id_col, "cell_id"), id_col).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.col(vec_col).alias("v"),
+    )
+    schema = (
+        "id long, cell_id long, keep boolean, "
+        "max_cos_earlier double, cell_overflow boolean"
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        m = min(n, max_cell)
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        max_cos = np.full(n, np.nan)
+        for a in range(1, m, col_block):
+            b = min(a + col_block, m)
+            # S[r, j] = cos(row r, row a+j) for r < b; a member may only
+            # match EARLIER members, so mask r >= a+j (the lower-incl-
+            # diagonal triangle of the [a:b) block) before the col-max
+            S = Xn[:b] @ Xn[a:b].T
+            blk = S[a:b, :]
+            blk[np.tril_indices(b - a)] = -np.inf
+            max_cos[a:b] = S.max(axis=0)
+        keep = np.ones(n, dtype=bool)
+        if m > 1:
+            keep[1:m] = max_cos[1:m] < tau
+        overflow = np.zeros(n, dtype=bool)
+        overflow[m:] = True
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cell_id": pdf["cell_id"],
+                "keep": keep,
+                "max_cos_earlier": max_cos,
+                "cell_overflow": overflow,
+            }
+        )
+
+    return member.groupBy("cell_id").applyInPandas(kernel, schema)

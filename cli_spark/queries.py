@@ -1775,19 +1775,35 @@ _CELLS_SQL = f"""
 @query(
     "q44_embedding_neardup",
     oracle=f"""
-    WITH {_CELLS_SQL}
-    SELECT cl.cell_id, l.vec_id AS left_id, r.vec_id AS right_id,
-           list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cosine
-    FROM cells cl JOIN cells cr ON cl.cell_id = cr.cell_id AND cl.vec_id < cr.vec_id
-      JOIN embeddings l ON l.vec_id = cl.vec_id
-      JOIN embeddings r ON r.vec_id = cr.vec_id
-    WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4
+    WITH {_CELLS_SQL},
+    pairs AS (
+      SELECT cl.cell_id, l.vec_id AS left_id, r.vec_id AS right_id,
+             list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cosine
+      FROM cells cl JOIN cells cr ON cl.cell_id = cr.cell_id AND cl.vec_id < cr.vec_id
+        JOIN embeddings l ON l.vec_id = cl.vec_id
+        JOIN embeddings r ON r.vec_id = cr.vec_id
+      WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4
+    )
+    SELECT 'pair' AS leg, cell_id, left_id, right_id, cosine FROM pairs
+    UNION ALL
+    SELECT 'dup' AS leg, cell_id, right_id AS left_id,
+           CAST(NULL AS BIGINT) AS right_id, MAX(cosine) AS cosine
+    FROM pairs WHERE cosine >= 0.43 GROUP BY cell_id, right_id
     """,
     doc="Embedding-cosine near-duplicate pairs blocked by IVF CELL (the "
     "scale-correct blocking key: a hot label is O(B²), a centroid cell "
     "is load-bounded and semantically 'near'): argmax-cosine cell "
     "assignment (ops.simsearch.assign_cells) → within-cell self-join → "
-    "fixed-order double fold ≥ threshold.",
+    "fixed-order double fold ≥ threshold. The 'dup' leg is SemDeDup-"
+    "style semantic dedup at tau=0.43 (the battery embeddings are "
+    "near-orthogonal synthetics; tau sits inside their observed cosine "
+    "range so the leg carries rows at every SF) — a vector is a dup iff an "
+    "EARLIER same-cell member reaches tau (drop-set + max evidence "
+    "cosine per dropped id); ops.simsearch.semantic_dedup implements "
+    "the same rule as one Arrow matmul kernel per cell (the 100 TB "
+    "path, differentially tested in test_ops), this leg derives it "
+    "from the already-verified pair table so the oracle comparison is "
+    "float-exact.",
 )
 def q44_embedding_neardup(spark, sf_dir):
     from cli_spark.ops.simsearch import _dot, assign_cells, with_norm
@@ -1809,7 +1825,7 @@ def q44_embedding_neardup(spark, sf_dir):
         ),
         "rv",
     ).withColumnRenamed("_norm", "rnorm")
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("cell_id") == F.col("rcell")) & (F.col("left_id") < F.col("right_id")),
@@ -1818,6 +1834,23 @@ def q44_embedding_neardup(spark, sf_dir):
         .filter(F.col("cosine") >= 0.4)
         .select("cell_id", "left_id", "right_id", "cosine")
     )
+    # SemDeDup keep-rule on the pair table: left < right, so "an earlier
+    # member reaches tau" ≡ the id appears as right_id of a ≥ tau pair;
+    # one map-side-combinable groupBy, no second pass over embeddings
+    dups = (
+        pairs.filter(F.col("cosine") >= 0.43)
+        .groupBy("cell_id", "right_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .select(
+            "cell_id",
+            F.col("right_id").alias("left_id"),
+            F.lit(None).cast("long").alias("right_id"),
+            "cosine",
+        )
+    )
+    return pairs.withColumn("leg", F.lit("pair")).unionByName(
+        dups.withColumn("leg", F.lit("dup"))
+    ).select("leg", "cell_id", "left_id", "right_id", "cosine")
 
 
 _IVF_SQL = f"""

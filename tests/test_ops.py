@@ -438,3 +438,86 @@ def test_duplicate_spans_overlap_merge(spark):
         for r in D.duplicate_spans(df, "doc_id", "text", k=8).collect()
     }
     assert got[0] == (1, 10) and got[1] == (1, 10)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sem_corpus(spark):
+    """120 seeded vectors in 3 planted directions + noise: plenty of
+    real near-duplicates at tau=0.9, none at the cell boundary."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((3, 8))
+    rows = []
+    for i in range(120):
+        v = base[i % 3] + rng.standard_normal(8) * (0.05 if i % 4 else 2.0)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def _sem_reference(out_rows, vecs, tau):
+    """Keep-rule reference: numpy brute force per RETURNED cell (the
+    assignment itself is oracle-checked by q45) — drop iff any earlier
+    same-cell member has cosine >= tau."""
+    import numpy as np
+
+    by_cell: dict = {}
+    for r in sorted(out_rows, key=lambda r: r.id):
+        by_cell.setdefault(r.cell_id, []).append(r.id)
+    expect = {}
+    for members in by_cell.values():
+        X = np.array([vecs[i] for i in members], dtype=np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        S = Xn @ Xn.T
+        for j, vid in enumerate(members):
+            expect[vid] = not (j > 0 and S[j, :j].max() >= tau)
+    return expect
+
+
+def test_semantic_dedup_differential(spark, sem_corpus):
+    tau = 0.9
+    out = S.semantic_dedup(sem_corpus, tau=tau).collect()
+    assert len(out) == 120
+    vecs = {r.vec_id: r.embedding for r in sem_corpus.collect()}
+    expect = _sem_reference(out, vecs, tau)
+    got = {r.id: r.keep for r in out}
+    assert got == expect
+    # the planted near-dup structure actually exercised both branches
+    assert 0 < sum(got.values()) < 120
+    assert not any(r.cell_overflow for r in out)
+
+
+def test_semantic_dedup_repartition_and_block_invariance(spark, sem_corpus):
+    base = sorted(
+        (r.id, r.cell_id, r.keep, r.cell_overflow)
+        for r in S.semantic_dedup(sem_corpus, tau=0.9).collect()
+    )
+    shuffled = sorted(
+        (r.id, r.cell_id, r.keep, r.cell_overflow)
+        for r in S.semantic_dedup(sem_corpus.repartition(7), tau=0.9).collect()
+    )
+    striped = sorted(
+        (r.id, r.cell_id, r.keep, r.cell_overflow)
+        for r in S.semantic_dedup(sem_corpus, tau=0.9, col_block=3).collect()
+    )
+    assert base == shuffled == striped
+
+
+def test_semantic_dedup_overflow_cap(spark, sem_corpus):
+    out = S.semantic_dedup(sem_corpus, tau=0.9, n_cells=2, max_cell=5).collect()
+    assert len(out) == 120
+    by_cell: dict = {}
+    for r in sorted(out, key=lambda r: r.id):
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for members in by_cell.values():
+        head, tail = members[:5], members[5:]
+        assert not any(r.cell_overflow for r in head)
+        # overflow rows are kept un-deduped and flagged — countable drops
+        assert all(r.cell_overflow and r.keep for r in tail)
