@@ -14,6 +14,10 @@ sessions, decoder dictionary state is keyed streaming state.
   completed run boundary.
 - :func:`streaming_dedup`       stateful exact dedup across micro-batches
   (one keyed counter per distinct content digest, optional TTL).
+- :func:`streaming_semantic_dedup` SemDeDup-at-ingest: static centroid
+  codebook closed over (zero-shuffle argmax cell assignment), one
+  stateful op keyed by cell holding the capped normalized member
+  matrix — the streaming form of ops.simsearch.semantic_dedup.
 """
 
 from __future__ import annotations
@@ -431,6 +435,127 @@ def streaming_decontaminate(
         .select("h")
     )
     return tg.join(bg, "h", "left_semi").select("id").dropDuplicates(["id"])
+
+
+def streaming_semantic_dedup(
+    docs: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 1024,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Semantic dedup at ingest: the streaming form of
+    :func:`cli_spark.ops.simsearch.semantic_dedup` (SemDeDup-style).
+    Every arriving vector is assigned to its argmax-cosine cell of a
+    STATIC centroid codebook, then checked against the cell's earlier
+    members — ``keep`` is false iff some earlier member reaches cosine
+    ``tau``. "Earlier" is arrival order (ascending id within a trigger);
+    when ids arrive in ascending order this equals the batch operator's
+    earlier-by-id rule exactly (the differential test drives both).
+
+    Shape: the codebook is bounded (an IVF index's centroid table), so
+    it is collected once at graph-build time and closed over — cell
+    assignment is a zero-shuffle vectorized pandas UDF, argmax with the
+    same lowest-cell-id tie-break as ``assign_cells``. Then ONE stateful
+    operator keyed by cell_id; state per cell is (member ids, flattened
+    L2-NORMALIZED member matrix), capped at ``max_cell`` rows (state ≈
+    max_cell × dim doubles per cell — the streaming cap defaults lower
+    than batch because the state store holds the vectors themselves;
+    quantize upstream for tighter state). Members beyond the cap are
+    emitted kept-but-flagged ``cell_overflow`` and NOT admitted as
+    future dedup evidence — the batch kernel's countable-drop rule.
+    ``ttl_ms`` expires idle cells for unbounded streams."""
+    import numpy as np
+
+    crows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cids = [int(r["cell_id"]) for r in crows]
+    C = np.array([list(r["cv"]) for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cn = C / cn[:, None]
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def cell_of(v):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        X = np.array(v.tolist(), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        S = (X / n[:, None]) @ Cn.T
+        # argmax takes the FIRST max → lowest cell_id on ties, matching
+        # assign_cells' (desc cosine, asc cell_id) ranking
+        return pd.Series([cids[i] for i in S.argmax(axis=1)], dtype="int64")
+
+    assigned = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        cell_of(F.col(vec_col)).alias("cell_id"),
+        F.col(vec_col).alias("v"),
+    )
+
+    def fn(
+        key: tuple,
+        batches: Iterator["pd.DataFrame"],
+        state,
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids = list(state.get[0])
+            flat = np.asarray(state.get[1], dtype=np.float64)
+        else:
+            ids, flat = [], np.empty(0)
+        seen = set(ids)
+        M = flat.reshape(len(ids), -1) if len(ids) else None
+        out: list[tuple] = []
+        for pdf in batches:
+            for vid, vec in sorted(
+                zip(pdf["id"], pdf["v"]), key=lambda t: int(t[0])
+            ):
+                vid = int(vid)
+                if vid in seen:
+                    continue
+                if len(ids) >= max_cell:
+                    out.append((vid, key[0], True, float("nan"), True))
+                    continue
+                v = np.asarray(list(vec), dtype=np.float64)
+                nv = np.linalg.norm(v) or 1.0
+                vn = v / nv
+                if M is not None:
+                    mc = float((M @ vn).max())
+                    out.append((vid, key[0], mc < tau, mc, False))
+                else:
+                    out.append((vid, key[0], True, float("nan"), False))
+                M = vn[None, :] if M is None else np.vstack([M, vn])
+                ids.append(vid)
+                seen.add(vid)
+        state.update((ids, [] if M is None else [float(x) for x in M.ravel()]))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["id", "cell_id", "keep", "max_cos_earlier", "cell_overflow"],
+            )
+
+    return assigned.groupBy("cell_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "id long, cell_id long, keep boolean, "
+            "max_cos_earlier double, cell_overflow boolean"
+        ),
+        stateStructType="ids array<long>, flat array<double>",
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms else "NoTimeout",
+    )
 
 
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):

@@ -231,3 +231,91 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     want = {r.id for r in decontaminate(train, bench, "doc_id", "text").collect()}
     assert got == want
     assert want == {10, 12}
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming semantic dedup equals the batch operator
+    (ops.simsearch.semantic_dedup) on the same vectors and the same
+    centroid codebook when ids arrive in ascending order across
+    micro-batches — keep flags, cells, and overflow all agree."""
+    import os
+
+    import numpy as np
+
+    from cli_spark.ops.simsearch import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((3, 8))
+    rows = []
+    for i in range(60):
+        v = base[i % 3] + rng.standard_normal(8) * (0.05 if i % 4 else 2.0)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+    )
+
+    d = str(tmp_path / "vecs")
+    os.makedirs(d)
+    # id-range split: arrival order across triggers IS id order
+    df.filter(F.col("vec_id") < 30).coalesce(1).write.parquet(d + "/f1")
+    df.filter(F.col("vec_id") >= 30).coalesce(1).write.parquet(d + "/f2")
+    schema = spark.read.parquet(d + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    S.run_to_memory_sink(
+        S.streaming_semantic_dedup(stream, cents, tau=0.9), "sem_out"
+    )
+    got = {
+        r.id: (r.cell_id, r.keep, r.cell_overflow)
+        for r in spark.sql("SELECT * FROM sem_out").collect()
+    }
+    want = {
+        r.id: (r.cell_id, r.keep, r.cell_overflow)
+        for r in semantic_dedup(df, tau=0.9, centroids=cents).collect()
+    }
+    assert got == want
+    assert len(got) == 60
+    kept = sum(1 for _, k, _ in got.values() if k)
+    assert 0 < kept < 60  # both branches exercised
+
+
+def test_streaming_semantic_dedup_cell_cap(spark, tmp_path):
+    """Members beyond max_cell are emitted kept-but-flagged and are NOT
+    admitted as dedup evidence (the batch kernel's countable-drop
+    rule) — with max_cell=2 and 6 identical vectors, the 3rd..6th are
+    overflow rows even though they'd be duplicates of the first."""
+    import os
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    cents = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+    )
+    d = str(tmp_path / "capvecs")
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(d + "/f1")
+    schema = spark.read.parquet(d + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    S.run_to_memory_sink(
+        S.streaming_semantic_dedup(stream, cents, tau=0.9, max_cell=2),
+        "sem_cap_out",
+    )
+    got = {
+        r.id: (r.keep, r.cell_overflow)
+        for r in spark.sql("SELECT * FROM sem_cap_out").collect()
+    }
+    assert got[0] == (True, False)
+    assert got[1] == (False, False)  # dup of 0, inside the cap
+    for i in (2, 3, 4, 5):
+        assert got[i] == (True, True)  # kept un-deduped, flagged
