@@ -419,3 +419,79 @@ def test_bpe_sql_oracle_differential():
     for i, t in enumerate(texts):
         kern = sum(len(encode_word(w, ranks)) for w in t.split(" "))
         assert oracle[i] == kern, (t, oracle[i], kern)
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing
+# ---------------------------------------------------------------------------
+
+
+def _mix_reference(rows_by_source, weights, target, seed="mix"):
+    """Exact Python replication of mix_corpora's md5 rule."""
+    import hashlib
+    import math
+
+    wsum = sum(weights[s] for s in rows_by_source)
+    expect = {}
+    for name, rows in rows_by_source.items():
+        total = sum(n for _, n in rows)
+        if total == 0:
+            continue
+        rate = (target * weights[name] / wsum) / total
+        whole = int(math.floor(rate))
+        frac = rate - whole
+        for rid, ntok in rows:
+            h = hashlib.md5(f"{seed}:{name}:{rid}".encode()).hexdigest()
+            u = int(h[:15], 16) / float(1 << 60)
+            n_rep = whole + (1 if u < frac else 0)
+            if n_rep >= 1:
+                expect[(name, str(rid))] = (ntok, n_rep)
+    return expect
+
+
+def test_mix_corpora_matches_reference_and_upsamples(spark):
+    from cli_spark.ops.curation import mix_corpora
+
+    big = [(i, "w " * 20) for i in range(200)]      # 200 docs x 20 tokens
+    small = [(i, "x " * 10) for i in range(20)]     # 20 docs x 10 tokens
+    dfs = {
+        "web": spark.createDataFrame(big, "doc_id long, text string"),
+        "code": spark.createDataFrame(small, "doc_id long, text string"),
+    }
+    weights = {"web": 0.5, "code": 0.5}
+    target = 800  # code's share (400) = 2x its 200 tokens -> upsampled
+    got = {
+        (r.source, r.id): (r.n_tokens, r.n_repeats)
+        for r in mix_corpora(dfs, weights, target).collect()
+    }
+    rows_by_source = {
+        "web": [(i, 20) for i in range(200)],
+        "code": [(i, 10) for i in range(20)],
+    }
+    expect = _mix_reference(rows_by_source, weights, target)
+    assert got == expect
+    # upsampling really happened: every code doc at least twice
+    assert all(v[1] >= 2 for (s, _), v in got.items() if s == "code")
+    # web downsampled: far fewer than 200 docs, none repeated
+    web = {k: v for k, v in got.items() if k[0] == "web"}
+    assert 0 < len(web) < 120 and all(v[1] == 1 for v in web.values())
+    # sampled token mass lands near the target split (hash uniformity)
+    web_tok = sum(v[0] * v[1] for v in web.values())
+    code_tok = sum(v[0] * v[1] for (s, _), v in got.items() if s == "code")
+    assert abs(web_tok - 400) < 150 and abs(code_tok - 400) < 150
+
+
+def test_mix_corpora_deterministic_under_repartition(spark):
+    from cli_spark.ops.curation import mix_corpora
+
+    docs = [(i, ("tok " * (5 + i % 7))) for i in range(100)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(
+        (r.source, r.id, r.n_repeats)
+        for r in mix_corpora({"s": df}, {"s": 1.0}, 300).collect()
+    )
+    b = sorted(
+        (r.source, r.id, r.n_repeats)
+        for r in mix_corpora({"s": df.repartition(13)}, {"s": 1.0}, 300).collect()
+    )
+    assert a == b and len(a) > 0
