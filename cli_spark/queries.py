@@ -1825,6 +1825,11 @@ def q44_embedding_neardup(spark, sf_dir):
         ),
         "rv",
     ).withColumnRenamed("_norm", "rnorm")
+    # both legs consume the pair table; persist so the cell join + fold
+    # runs once, not once per leg (the candidate set is tiny — bounded
+    # by the ≥ 0.4 filter — while its parent join is the expensive part)
+    from cli_spark.session import release_on_gc
+
     pairs = (
         l.join(
             r,
@@ -1833,6 +1838,7 @@ def q44_embedding_neardup(spark, sf_dir):
         .withColumn("cosine", _dot(F.col("lv"), F.col("rv")) / (F.col("lnorm") * F.col("rnorm")))
         .filter(F.col("cosine") >= 0.4)
         .select("cell_id", "left_id", "right_id", "cosine")
+        .persist()
     )
     # SemDeDup keep-rule on the pair table: left < right, so "an earlier
     # member reaches tau" ≡ the id appears as right_id of a ≥ tau pair;
@@ -1848,9 +1854,12 @@ def q44_embedding_neardup(spark, sf_dir):
             "cosine",
         )
     )
-    return pairs.withColumn("leg", F.lit("pair")).unionByName(
-        dups.withColumn("leg", F.lit("dup"))
-    ).select("leg", "cell_id", "left_id", "right_id", "cosine")
+    return release_on_gc(
+        pairs.withColumn("leg", F.lit("pair"))
+        .unionByName(dups.withColumn("leg", F.lit("dup")))
+        .select("leg", "cell_id", "left_id", "right_id", "cosine"),
+        pairs,
+    )
 
 
 _IVF_SQL = f"""

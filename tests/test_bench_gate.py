@@ -91,3 +91,32 @@ def test_gate_controls_not_pooled_on_layout_mismatch(monkeypatch):
     assert record["passed"] is True
     assert secs == []
     assert record["attempts"][0]["seconds"] == 1.0
+
+
+def test_gate_fallback_quality_and_headline_passthrough():
+    """When the battery layout has no quiet reference (e.g. cpus=16 with
+    a data-sized 32-partition pipeline), the headline must still carry a
+    window quality — the best LAYOUT-PINNED gate control — or the
+    explicit degraded flag, never null (VERDICT r4 #1)."""
+    import bench
+
+    gate = {"attempts": [{"quality": 0.41}, {"quality": 0.55}], "passed": False}
+    assert bench._gate_fallback_quality(gate) == 0.55
+    assert bench._gate_fallback_quality({"attempts": []}) is None
+    assert bench._gate_fallback_quality({}) is None
+
+    res = {
+        "metric": "m", "value": 1.0, "unit": "u", "queries": {}, "sf": "0.1",
+        "cpus": "16",
+        "pipeline": {"seconds": 1, "n_triples": 1, "trials": 1},
+        "total_seconds": 1.0,
+        "window_quality_vs_quiet_ref": 0.55,
+        "window_quality_source": "best layout-pinned gate control",
+        "window_all_attempts_degraded": True,
+        "window_gate": gate,
+    }
+    h = bench._headline(res)
+    assert h["window_quality_vs_quiet_ref"] == 0.55
+    assert h["window_quality_source"] == "best layout-pinned gate control"
+    assert h["window_all_attempts_degraded"] is True
+    assert h["window_gate_attempts"] == 2
