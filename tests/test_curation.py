@@ -495,3 +495,30 @@ def test_mix_corpora_deterministic_under_repartition(spark):
         for r in mix_corpora({"s": df.repartition(13)}, {"s": 1.0}, 300).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_mix_corpora_token_col_and_zero_token_source(spark):
+    import pytest as _pytest
+
+    from cli_spark.ops.curation import mix_corpora
+
+    df = spark.createDataFrame(
+        [(i, "ignored", 50) for i in range(40)],
+        "doc_id long, text string, bpe_tokens long",
+    )
+    got = {
+        r.id: r.n_tokens
+        for r in mix_corpora(
+            {"s": df}, {"s": 1.0}, 1000, token_col="bpe_tokens"
+        ).collect()
+    }
+    assert got and all(v == 50 for v in got.values())  # counts from the column
+
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    # a zero-token source contributes nothing; all-zero raises
+    both = mix_corpora({"s": df, "e": empty}, {"s": 1.0, "e": 1.0},
+                       1000, token_col=None)
+    # "s" uses whitespace counts here ("ignored" = 1 token each)
+    assert {r.source for r in both.collect()} == {"s"}
+    with _pytest.raises(ValueError):
+        mix_corpora({"e": empty}, {"e": 1.0}, 1000)
