@@ -873,7 +873,8 @@ def _dispatch(spark, args) -> int:
             raise ValueError(
                 "--detail is count-statistic only; drop --size"
             )
-        rows = J.decode_frames(J.read_jelly_file(spark, args.input))
+        frames_df = J.read_jelly_file(spark, args.input)
+        rows = J.decode_frames(frames_df)
         if args.detail:
             rows = rows.persist()
         if args.per_frame:
@@ -883,6 +884,19 @@ def _dispatch(spark, args) -> int:
             frames = [
                 {k: int(v) for k, v in r.asDict().items()} for r in pf.collect()
             ]
+            # frame metadata map, hex-valued, only when present — the
+            # reference prints it per-frame and omits it in aggregate
+            # mode (MetricsPrinter.scala:329-338; RdfInspectSpec
+            # "print frame metadata in --per-frame")
+            meta: dict = {}
+            for r in J.frame_metadata(frames_df).collect():
+                meta.setdefault((r["seg"], r["frame_index"]), {})[
+                    r["key"]
+                ] = r["value_hex"]
+            for f in frames:
+                m = meta.get((f["seg"], f["frame_index"]))
+                if m:
+                    f["metadata"] = m
             if args.detail:
                 per = {}
                 for r in wire_term_detail(rows, per_frame=True).collect():

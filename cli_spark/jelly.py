@@ -1610,6 +1610,33 @@ def read_jelly_file(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(split, FRAME_SCHEMA)
 
 
+def frame_metadata(frames: DataFrame) -> DataFrame:
+    """(seg, frame_index, key, value_hex) — one row per frame-metadata
+    entry (Jelly v1.1 frame field 15). Rows are not decoded: the kernel
+    runs jellywire.decode_frame_metadata's tag-walk only, so the scan is
+    O(frame bytes) with zero dictionary state — the same cheap-companion
+    shape as the P4 tag peek. Hex rendering matches the reference's
+    inspect output (MetricsPrinter.scala:340-351)."""
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for seg, fi, blob in zip(
+                pdf["seg"], pdf["frame_index"], pdf["frame_bytes"]
+            ):
+                for k, v in JW.decode_frame_metadata(bytes(blob)):
+                    out.append((int(seg), int(fi), k, v.hex()))
+            yield pd.DataFrame(
+                out, columns=["seg", "frame_index", "key", "value_hex"]
+            )
+
+    return frames.mapInPandas(
+        scan, "seg long, frame_index long, key string, value_hex string"
+    )
+
+
 def options_from_file(path: str) -> StreamOptions:
     """Options-from-file (S11, RdfToJelly.scala:82-89): read the first
     frame of an existing stream and copy its options row. Pure
@@ -2383,9 +2410,15 @@ def transcode_frames(
         n_off, p_off, d_off, f_off = offs[key]
         rows = []
         bounds = []
+        metas = []
         for blob in pdf["frame_bytes"]:
-            parsed = JW.decode_frame(bytes(blob))
+            data = bytes(blob)
+            parsed = JW.decode_frame(data)
             bounds.append(len(parsed))
+            # frame metadata rides the 1:1 frame mapping through the
+            # id-remap untouched (it is opaque frame-level payload,
+            # not dictionary state)
+            metas.append(JW.decode_frame_metadata(data))
             rows.extend(parsed)
         fixed, _ = _explicitize_rows(rows)
         shifted = _shift_ids(fixed, n_off, p_off, d_off)  # drops options rows
@@ -2414,7 +2447,12 @@ def transcode_frames(
             if f_off + i == 0:
                 chunk = [opts_row] + chunk
             out.append(
-                (0, f_off + i, len(chunk), bytearray(JW.encode_frame(chunk)))
+                (
+                    0,
+                    f_off + i,
+                    len(chunk),
+                    bytearray(JW.encode_frame(chunk, metadata=metas[i])),
+                )
             )
         return pd.DataFrame(
             out, columns=["seg", "frame_index", "n_rows", "frame_bytes"]

@@ -492,13 +492,46 @@ def decode_row(data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def encode_frame(rows: Iterable[dict]) -> bytes:
+def encode_frame(
+    rows: Iterable[dict],
+    metadata: "Iterable[tuple[str, bytes]] | dict[str, bytes] | None" = None,
+) -> bytes:
     buf = io.BytesIO()
     for row in rows:
         # frame field 1 wraps each RdfStreamRow message (which itself
         # starts with its oneof kind tag)
         _put_bytes_field(buf, 1, encode_row(row))
+    if metadata:
+        # RdfStreamFrame.metadata: map<string, bytes> = field 15 (Jelly
+        # v1.1 public proto); a protobuf map serializes as repeated
+        # MetadataEntry { string key = 1; bytes value = 2; }
+        items = metadata.items() if isinstance(metadata, dict) else metadata
+        for k, v in items:
+            entry = io.BytesIO()
+            _put_bytes_field(entry, 1, k.encode("utf-8"))
+            _put_bytes_field(entry, 2, bytes(v))
+            _put_bytes_field(buf, 15, entry.getvalue())
     return buf.getvalue()
+
+
+def decode_frame_metadata(data: bytes) -> list[tuple[str, bytes]]:
+    """Frame-level metadata entries (field 15, Jelly v1.1), in wire
+    order. Rows are NOT decoded — this is the cheap companion scan the
+    inspect --per-frame metadata column uses (MetricsPrinter.scala:329
+    prints the map hex-encoded; RdfInspectSpec 'print frame metadata in
+    --per-frame')."""
+    out: list[tuple[str, bytes]] = []
+    for field, wire, v in _fields(data):
+        if field != 15 or wire != 2:
+            continue
+        key, val = "", b""
+        for ef, _ew, ev in _fields(v):
+            if ef == 1:
+                key = ev.decode("utf-8")
+            elif ef == 2:
+                val = bytes(ev)
+        out.append((key, val))
+    return out
 
 
 def decode_frame(data: bytes) -> list[dict]:

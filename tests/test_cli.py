@@ -783,3 +783,36 @@ def test_cli_warnings(spark, tmp_path, capsys):
     assert main(["rdf", "from-jelly", out2, "--to", rt, "--single-file"]) == 0
     part = next(p for p in os.listdir(rt) if p.startswith("part-"))
     assert open(os.path.join(rt, part)).read().strip() == '<kg:s> <kg:p> "v" .'
+
+
+def test_cli_inspect_frame_metadata(spark, tmp_path, capsys):
+    """Frame metadata map (Jelly v1.1 frame field 15) prints per-frame,
+    hex-valued, and is omitted when absent — mirrors RdfInspectSpec
+    "print frame metadata in --per-frame" (key -> "1337ff") and
+    MetricsPrinter.scala:329-338 (aggregate mode never prints it)."""
+    from cli_spark import jellywire as JW
+
+    opts_row = {
+        "kind": JW.K_OPTIONS, "physical": 1, "logical": 1, "version": 1,
+        "max_name": 8, "max_prefix": 8, "max_dt": 8,
+    }
+    frame = JW.encode_frame([opts_row], metadata=[("key", bytes.fromhex("1337ff"))])
+    jelly = str(tmp_path / "meta.jelly")
+    with open(jelly, "wb") as fh:
+        fh.write(JW.write_delimited([frame]))
+
+    assert main(["rdf", "inspect", jelly, "--per-frame"]) == 0
+    out = capsys.readouterr().out
+    assert "metadata:" in out
+    assert "key: 1337ff" in out
+    assert "frame_index: 0" in out
+    # aggregate mode omits metadata (unbounded frames -> unbounded map)
+    assert main(["rdf", "inspect", jelly]) == 0
+    out = capsys.readouterr().out
+    assert "metadata:" not in out
+    # a stream with no metadata never grows the key
+    nometa = str(tmp_path / "nometa.jelly")
+    with open(nometa, "wb") as fh:
+        fh.write(JW.write_delimited([JW.encode_frame([opts_row])]))
+    assert main(["rdf", "inspect", nometa, "--per-frame"]) == 0
+    assert "metadata:" not in capsys.readouterr().out

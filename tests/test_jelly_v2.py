@@ -607,3 +607,48 @@ def test_jelly_text_hand_wrapped_layouts():
 
     with _pytest.raises(ValueError, match="truncated or unbalanced"):
         parse_frame_text("rows { triple { s_iri { name_id: 5 ")
+
+
+def test_frame_metadata_wire_roundtrip_and_transcode(spark, iri_triples):
+    """Frame metadata (field 15): encode→decode round-trips keys and
+    bytes in order; rows-only decode skips it leniently; transcode
+    carries each input frame's metadata onto its 1:1 output frame."""
+    from cli_spark import jellywire as JW
+
+    opts = {
+        "kind": JW.K_OPTIONS, "physical": 1, "logical": 1, "version": 1,
+        "max_name": 16, "max_prefix": 8, "max_dt": 16,
+    }
+    md = [("key", bytes.fromhex("1337ff")), ("k2", b"\x00\x01")]
+    frame = JW.encode_frame([opts], metadata=md)
+    assert JW.decode_frame_metadata(frame) == md
+    assert [r["kind"] for r in JW.decode_frame(frame)] == [JW.K_OPTIONS]
+    assert JW.decode_frame_metadata(JW.encode_frame([opts])) == []
+
+    # transcode preservation: tag the single input frame's bytes with
+    # metadata, remap, and expect the same entries on the output frame
+    fa = J.encode_triples(spark, iri_triples.limit(8))
+    rows = fa.orderBy("seg", "frame_index").collect()
+    tagged = [
+        (
+            r["seg"], r["frame_index"], r["n_rows"],
+            bytearray(
+                JW.encode_frame(JW.decode_frame(bytes(r["frame_bytes"])), metadata=md)
+                if i == 0
+                else bytes(r["frame_bytes"])
+            ),
+        )
+        for i, r in enumerate(rows)
+    ]
+    fa_md = spark.createDataFrame(tagged, J.FRAME_SCHEMA)
+    out = J.transcode_frames(spark, [fa_md], rows_per_frame=64)
+    got = {
+        int(r["frame_index"]): JW.decode_frame_metadata(bytes(r["frame_bytes"]))
+        for r in out.collect()
+    }
+    assert got[0] == md
+    assert all(v == [] for fi, v in got.items() if fi != 0)
+    meta_df = J.frame_metadata(fa_md)
+    assert {(r["key"], r["value_hex"]) for r in meta_df.collect()} == {
+        ("key", "1337ff"), ("k2", "0001")
+    }
