@@ -711,8 +711,21 @@ def _dispatch(spark, args) -> int:
             quads = stmts if "graph" in stmts.columns else stmts.withColumn(
                 "graph", F.lit(None).cast("string")
             )
+            # keep the optional term-model columns (subj_kind etc.):
+            # dropping them silently re-infers kinds from the bare
+            # value, which turns a parsed blank-node subject label
+            # ("b1", not "_:b1") into an IRI — RdfToJellySpec
+            # "preserve the original blank node IDs"
+            gcols = [
+                c for c in (
+                    "subj", "pred", "obj", "obj_kind", "obj_datatype",
+                    "obj_lang", "graph", "subj_kind", "pred_kind",
+                    "graph_kind", "subj_dt", "subj_lang", "pred_dt",
+                    "pred_lang", "graph_dt", "graph_lang",
+                ) if c in quads.columns
+            ]
             frames = J.encode_quads_graphs(
-                spark, quads.select("subj", "pred", "obj", "obj_kind", "graph"),
+                spark, quads.select(*gcols),
                 rows_per_frame=args.rows_per_frame, options=opts,
                 namespaces=ns,
             )
@@ -722,11 +735,16 @@ def _dispatch(spark, args) -> int:
                     "input has named graphs but physical type TRIPLES was "
                     "requested (P4); use --physical-type quads"
                 )
+            tcols = [
+                c for c in (
+                    "subj", "pred", "obj", "obj_kind", "obj_datatype",
+                    "obj_lang", "subj_kind", "pred_kind", "subj_dt",
+                    "subj_lang", "pred_dt", "pred_lang",
+                ) if c in stmts.columns
+            ]
             frames = J.encode_triples(
                 spark,
-                stmts.select(
-                    "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"
-                ),
+                stmts.select(*tcols),
                 rows_per_frame=args.rows_per_frame, options=opts,
                 prefix_table=prefix_table, namespaces=ns,
             )

@@ -816,3 +816,46 @@ def test_cli_inspect_frame_metadata(spark, tmp_path, capsys):
         fh.write(JW.write_delimited([JW.encode_frame([opts_row])]))
     assert main(["rdf", "inspect", nometa, "--per-frame"]) == 0
     assert "metadata:" not in capsys.readouterr().out
+
+
+def test_cli_to_jelly_preserves_blank_node_ids(spark, tmp_path):
+    """RdfToJellySpec "preserve the original blank node IDs": a parsed
+    blank-node SUBJECT stores the bare label ("b1"), so the encode path
+    must carry subj_kind through instead of re-inferring the kind from
+    the value — the round 5 regression turned _:b1 into <b1>. Covers
+    the TRIPLES select and the GRAPHS select (bnode graph label)."""
+    nq = str(tmp_path / "bn.nq")
+    with open(nq, "w") as fh:
+        fh.write(
+            "_:b1 <http://a.com/p> _:b2 .\n"
+            "_:b1 <http://a.com/p> _:b3 .\n"
+        )
+    jelly = str(tmp_path / "bn.jelly")
+    out = str(tmp_path / "bn_out")
+    assert main(["rdf", "to-jelly", nq, "--to", jelly]) == 0
+    assert main(["rdf", "from-jelly", jelly, "--to", out]) == 0
+    lines = set()
+    for root, _, files in os.walk(out):
+        for f in files:
+            if f.endswith(".txt"):
+                lines |= set(open(os.path.join(root, f)).read().splitlines())
+    assert lines == {
+        "_:b1 <http://a.com/p> _:b2 .",
+        "_:b1 <http://a.com/p> _:b3 .",
+    }
+
+    nq2 = str(tmp_path / "bng.nq")
+    with open(nq2, "w") as fh:
+        fh.write("_:b1 <http://a.com/p> _:b2 _:g1 .\n")
+    jelly2 = str(tmp_path / "bng.jelly")
+    out2 = str(tmp_path / "bng_out")
+    assert main([
+        "rdf", "to-jelly", nq2, "--to", jelly2, "--physical-type", "graphs",
+    ]) == 0
+    assert main(["rdf", "from-jelly", jelly2, "--to", out2]) == 0
+    lines2 = set()
+    for root, _, files in os.walk(out2):
+        for f in files:
+            if f.endswith(".txt"):
+                lines2 |= set(open(os.path.join(root, f)).read().splitlines())
+    assert lines2 == {"_:b1 <http://a.com/p> _:b2 _:g1 ."}
