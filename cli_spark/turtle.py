@@ -640,14 +640,29 @@ def write_turtle(
     prefixes: dict[str, str] | None = None,
     single_file: bool = False,
 ) -> None:
-    """Turtle sink: parallel text parts (or coalesce(1)); the @prefix
-    header rides in part-00000 via an orderBy on a header sort key."""
+    """Turtle sink: parallel text parts (or coalesce(1)). EVERY
+    non-empty part gets the @prefix header, so each part file is a
+    valid standalone Turtle document — the property a distributed text
+    sink needs (the old single-header union left the header and the
+    statements in different parts, an unreadable directory; caught by
+    reading our own multi-part output back). Repeating the block is
+    legal Turtle (re-declaration) and O(prefixes) bytes per part."""
     header, body = render_turtle(triples, prefixes)
-    spark = triples.sparkSession
-    hdr = spark.createDataFrame([(0, line) for line in header], "k int, line string")
-    out = hdr.unionByName(body.select(F.lit(1).alias("k"), "line"))
+    out = body.select("line")
     if single_file:
-        out = out.coalesce(1).sortWithinPartitions("k")
-    else:
-        out = out.sortWithinPartitions("k")
-    out.select("line").write.mode("overwrite").text(path)
+        out = out.coalesce(1)
+    if header:
+        hdr_lines = list(header)
+
+        def prepend(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            import pandas as pd
+
+            emitted = False
+            for pdf in batches:
+                if not emitted and len(pdf):
+                    yield pd.DataFrame({"line": hdr_lines})
+                    emitted = True
+                yield pdf
+
+        out = out.mapInPandas(prepend, "line string")
+    out.write.mode("overwrite").text(path)
