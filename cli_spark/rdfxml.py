@@ -530,13 +530,28 @@ def write_rdfxml(
         )
         return
     header, body, footer = render_rdfxml(triples)
-    spark = triples.sparkSession
-    hdr = spark.createDataFrame([(0, header)], "k int, line string")
-    ftr = spark.createDataFrame([(2, footer)], "k int, line string")
-    # union order IS the part-file order (hdr parts, body parts, ftr
-    # parts), so concatenated parts form one well-formed document in
-    # distributed mode, like the reference's combining batch sink.
-    out = hdr.unionByName(body.select(F.lit(1).alias("k"), "line")).unionByName(ftr)
+    out = body.select("line")
     if single_file:
-        out = out.coalesce(1).sortWithinPartitions("k")
-    out.select("line").write.mode("overwrite").text(path)
+        out = out.coalesce(1)
+
+    # every non-empty part gets the full envelope, so each part file is
+    # a well-formed standalone RDF/XML document (same fix as the Turtle
+    # @prefix header: the old header/footer-as-union-rows design left
+    # the rdf:RDF wrapper and the Descriptions in different parts — a
+    # directory neither this reader nor any XML parser could consume);
+    # a directory of N documents unions to the same graph
+    def envelope(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        emitted = False
+        for pdf in batches:
+            if not emitted and len(pdf):
+                yield pd.DataFrame({"line": [header]})
+                emitted = True
+            yield pdf
+        if emitted:
+            yield pd.DataFrame({"line": [footer]})
+
+    out.mapInPandas(envelope, "line string").select("line").write.mode(
+        "overwrite"
+    ).text(path)

@@ -255,3 +255,41 @@ def test_doctype_dangerous_forms_rejected():
     )
     with pytest.raises(RdfXmlUnsupportedError, match="safety bound"):
         parse_rdfxml_document(lol)
+
+
+def test_write_rdfxml_multipart_parts_are_standalone(spark, tmp_path):
+    """Every non-empty part of a multi-part RDF/XML sink is a complete
+    well-formed document (envelope included) — the old union-row
+    header/footer landed in different parts than the Descriptions,
+    producing an unparseable directory (found by reading our own
+    multi-part output back)."""
+    import os
+
+    from cli_spark.rdfxml import read_rdfxml, write_rdfxml
+
+    df = spark.createDataFrame(
+        [(f"http://e/s{i}", "http://e/p", f"lit {i}", 2) for i in range(40)],
+        "subj string, pred string, obj string, obj_kind int",
+    )
+    d = str(tmp_path / "multi_xml")
+    # the subject-assembly groupBy inside the renderer gives AQE a
+    # shuffle to coalesce, and 40 rows always fit one partition — turn
+    # coalescing off so the sink really writes the multi-part layout a
+    # large corpus would produce
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        write_rdfxml(df, d)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    nonempty = 0
+    for f in os.listdir(d):
+        if not (f.startswith("part-") and f.endswith(".txt")):
+            continue
+        text = open(os.path.join(d, f)).read()
+        if not text.strip():
+            continue
+        nonempty += 1
+        assert text.lstrip().startswith("<?xml"), f
+        assert text.rstrip().endswith("</rdf:RDF>"), f
+    assert nonempty >= 2
+    assert read_rdfxml(spark, d).count() == 40
