@@ -90,6 +90,31 @@ def _logical_code(lt: str):
     )
 
 
+def _inspect_options(path: str) -> dict:
+    """The declared stream options as the reference's inspect YAML block
+    (MetricsPrinter.formatOptions, printed FIRST in both aggregate and
+    per-frame mode — RdfInspectSpec asserts `stream_options` in nearly
+    every case): proto-named enums rendered `NAME (value)`, absent
+    fields at their proto defaults."""
+    from . import jelly as J
+    from .jellywire import LOGICAL_ENUM, PHYSICAL_ENUM
+
+    so = J.options_from_file(path)
+    phys = so.physical_type or 0
+    logi = so.logical_type or 0
+    return {
+        "stream_name": so.stream_name or "",
+        "physical_type": f"{PHYSICAL_ENUM.get(phys, phys)} ({phys})",
+        "generalized_statements": bool(so.generalized),
+        "rdf_star": bool(so.rdf_star),
+        "max_name_table_size": so.max_name_table or 0,
+        "max_prefix_table_size": so.max_prefix_table or 0,
+        "max_datatype_table_size": so.max_dt_table or 0,
+        "logical_type": f"{LOGICAL_ENUM.get(logi, logi)} ({logi})",
+        "version": so.version or 0,
+    }
+
+
 def _stage_stdin(suffix: str, staged: list[str]) -> str:
     """Reference parity: 'If no input file is specified, the input is
     read from stdin' (RdfToJelly.scala @HelpMessage; the same contract
@@ -923,14 +948,17 @@ def _dispatch(spark, args) -> int:
                     f.update(format_detail(
                         per.get((f["seg"], f["frame_index"]), []), args.detail
                     ))
-            out = {"frames": frames}
+            out = {"stream_options": _inspect_options(args.input), "frames": frames}
         else:
             stream = aggregate_metrics(rows, use_size=args.size)
             if args.detail:
                 stream.update(format_detail(
                     wire_term_detail(rows).collect(), args.detail
                 ))
-            out = {"stream": stream}
+            # the reference's aggregate report also keys its counts under
+            # `frames` (MetricsPrinter.printAggregate) and ALWAYS leads
+            # with the declared stream_options block
+            out = {"stream_options": _inspect_options(args.input), "frames": stream}
         if args.detail:
             rows.unpersist()
         text = render_yaml(out)

@@ -168,7 +168,9 @@ def render_yaml(metrics: dict) -> str:
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, str):
-            return esc(v)
+            # empty string must render as "" (a bare empty value is
+            # YAML null) — the reference's YamlString always quotes
+            return '""' if v == "" else esc(v)
         return str(v)
 
     def walk(v, indent: int) -> str:

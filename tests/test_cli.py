@@ -859,3 +859,32 @@ def test_cli_to_jelly_preserves_blank_node_ids(spark, tmp_path):
             if f.endswith(".txt"):
                 lines2 |= set(open(os.path.join(root, f)).read().splitlines())
     assert lines2 == {"_:b1 <http://a.com/p> _:b2 _:g1 ."}
+
+
+def test_cli_inspect_stream_options_block(spark, nq_file, tmp_path, capsys):
+    """inspect always leads with the declared stream_options and keys
+    its counts under `frames` in BOTH modes (MetricsPrinter.scala:
+    printAggregate/printPerFrame; RdfInspectSpec asserts stream_options
+    in nearly every case) — proto-named enums render `NAME (value)`,
+    the empty stream name renders as "" (valid YAML), and the whole
+    report parses with a standard YAML loader."""
+    import yaml
+
+    jelly = str(tmp_path / "s.jelly")
+    assert main([
+        "rdf", "to-jelly", nq_file, "--to", jelly, "--max-name-table", "64",
+    ]) == 0
+    assert main(["rdf", "inspect", jelly]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    so = doc["stream_options"]
+    assert so["stream_name"] == ""
+    assert so["physical_type"] == "PHYSICAL_STREAM_TYPE_TRIPLES (1)"
+    assert so["max_name_table_size"] == 64
+    assert so["generalized_statements"] is False and so["rdf_star"] is False
+    assert so["version"] >= 1
+    assert isinstance(doc["frames"], dict) and doc["frames"]["frame_count"] >= 1
+    assert main(["rdf", "inspect", jelly, "--per-frame"]) == 0
+    doc2 = yaml.safe_load(capsys.readouterr().out)
+    assert doc2["stream_options"] == so
+    assert isinstance(doc2["frames"], list)
+    assert doc2["frames"][0]["frame_index"] == 0
