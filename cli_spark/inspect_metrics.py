@@ -114,8 +114,11 @@ def format_detail(counts: list, mode: str) -> dict:
         tot = {name: 0 for name in _NODE_KIND_NAMES.values()}
         for r in counts:
             tot[_NODE_KIND_NAMES[int(r["node_kind"])]] += int(r["n"])
+        # zero counts are omitted (NodeDetailInfo.format's `.filter(_._2
+        # > 0)`; RdfInspectSpec asserts bnode_count is absent) — only
+        # the term_details totals above always print all four positions
         return {
-            "node_details": {f"{k}_count": v for k, v in tot.items()}
+            "node_details": {f"{k}_count": v for k, v in tot.items() if v > 0}
         }
     out = {
         pos: {f"{k}_count": 0 for k in _NODE_KIND_NAMES.values()}
@@ -125,7 +128,11 @@ def format_detail(counts: list, mode: str) -> dict:
         out[r["term_pos"]][
             f"{_NODE_KIND_NAMES[int(r['node_kind'])]}_count"
         ] += int(r["n"])
-    return out
+    return {
+        pos: {k: v for k, v in m.items() if v > 0}
+        for pos, m in out.items()
+        if any(v > 0 for v in m.values())
+    }
 
 
 def term_detail(triples: DataFrame) -> DataFrame:

@@ -888,3 +888,28 @@ def test_cli_inspect_stream_options_block(spark, nq_file, tmp_path, capsys):
     assert doc2["stream_options"] == so
     assert isinstance(doc2["frames"], list)
     assert doc2["frames"][0]["frame_index"] == 0
+
+
+def test_cli_inspect_detail_omits_zero_counts(spark, tmp_path, capsys):
+    """--detail all/node omit zero counts and empty positions
+    (NodeDetailInfo.format filters > 0; RdfInspectSpec asserts
+    bnode_count is ABSENT on an iri/literal-only stream); term mode
+    keeps all four totals."""
+    import yaml
+
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        fh.write('<http://e/s> <http://e/p> "lit" .\n')
+    jelly = str(tmp_path / "z.jelly")
+    assert main(["rdf", "to-jelly", nq, "--to", jelly]) == 0
+    assert main(["rdf", "inspect", jelly, "--detail", "all"]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert doc["frames"]["subject"] == {"iri_count": 1}
+    assert "bnode_count" not in doc["frames"]["subject"]
+    assert "graph" not in doc["frames"]  # empty position omitted entirely
+    assert main(["rdf", "inspect", jelly, "--detail", "node"]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert doc["frames"]["node_details"] == {"iri_count": 2, "literal_count": 1}
+    assert main(["rdf", "inspect", jelly, "--detail", "term"]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert doc["frames"]["term_details"]["graph_count"] == 0  # term mode keeps zeros
