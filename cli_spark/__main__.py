@@ -902,9 +902,9 @@ def _dispatch(spark, args) -> int:
 
     if args.rdf_cmd == "inspect":
         from .inspect_metrics import (
-            aggregate_metrics,
+            aggregate_metrics_full,
             format_detail,
-            per_frame_metrics,
+            per_frame_metrics_full,
             render_yaml,
             wire_term_detail,
         )
@@ -921,25 +921,28 @@ def _dispatch(spark, args) -> int:
         if args.detail:
             rows = rows.persist()
         if args.per_frame:
-            pf = per_frame_metrics(rows, use_size=args.size).orderBy(
+            pf = per_frame_metrics_full(rows, use_size=args.size).orderBy(
                 "seg", "frame_index"
             )
-            frames = [
-                {k: int(v) for k, v in r.asDict().items()} for r in pf.collect()
-            ]
             # frame metadata map, hex-valued, only when present — the
-            # reference prints it per-frame and omits it in aggregate
-            # mode (MetricsPrinter.scala:329-338; RdfInspectSpec
-            # "print frame metadata in --per-frame")
+            # reference prints it per-frame right after frame_index and
+            # omits it in aggregate mode (MetricsPrinter.scala:329-338;
+            # RdfInspectSpec "print frame metadata in --per-frame")
             meta: dict = {}
             for r in J.frame_metadata(frames_df).collect():
                 meta.setdefault((r["seg"], r["frame_index"]), {})[
                     r["key"]
                 ] = r["value_hex"]
-            for f in frames:
+            frames = []
+            for r in pf.collect():
+                d = r.asDict()
+                f = {"seg": int(d.pop("seg")),
+                     "frame_index": int(d.pop("frame_index"))}
                 m = meta.get((f["seg"], f["frame_index"]))
                 if m:
                     f["metadata"] = m
+                f.update({k: int(v) for k, v in d.items()})
+                frames.append(f)
             if args.detail:
                 per = {}
                 for r in wire_term_detail(rows, per_frame=True).collect():
@@ -950,7 +953,7 @@ def _dispatch(spark, args) -> int:
                     ))
             out = {"stream_options": _inspect_options(args.input), "frames": frames}
         else:
-            stream = aggregate_metrics(rows, use_size=args.size)
+            stream = aggregate_metrics_full(rows, use_size=args.size)
             if args.detail:
                 stream.update(format_detail(
                     wire_term_detail(rows).collect(), args.detail

@@ -8,7 +8,96 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .jelly import KIND_NAME, KIND_OPTIONS, KIND_QUAD, KIND_TRIPLE
+from .jelly import (
+    KIND_DATATYPE,
+    KIND_GRAPH_END,
+    KIND_GRAPH_START,
+    KIND_NAME,
+    KIND_NAMESPACE,
+    KIND_OPTIONS,
+    KIND_PREFIX,
+    KIND_QUAD,
+    KIND_TRIPLE,
+)
+
+# the reference's full counter battery, in FrameInfo.format() order
+# (MetricsPrinter.scala:99-112); frame_ and row_ are handled separately
+_FULL_COUNTERS = (
+    ("option", KIND_OPTIONS),
+    ("triple", KIND_TRIPLE),
+    ("quad", KIND_QUAD),
+    ("graph_start", KIND_GRAPH_START),
+    ("graph_end", KIND_GRAPH_END),
+    ("namespace", KIND_NAMESPACE),
+    ("name", KIND_NAME),
+    ("prefix", KIND_PREFIX),
+    ("datatype", KIND_DATATYPE),
+)
+_REF_COUNTER_ORDER = (
+    "frame", "row", "option", "triple", "quad", "graph_start",
+    "graph_end", "namespace", "name", "prefix", "datatype",
+)
+
+
+def per_frame_metrics_full(rows: DataFrame, use_size: bool = False) -> DataFrame:
+    """(seg, frame_index, frame_{sfx}, row_{sfx}, option_{sfx}, ...,
+    datatype_{sfx}) — the reference's FULL 11-counter battery in its
+    printer order (FrameInfo.format, MetricsPrinter.scala:35-112), with
+    the `_size` key suffix under the SizeStatistic strategy like the
+    reference's `statCollector.name()`. The CLI report path; the
+    4-counter :func:`per_frame_metrics` stays the battery/oracle
+    surface (its schema is pinned by q13/q16/q17/q51)."""
+    sfx = "size" if use_size else "count"
+    weight = _row_weight(use_size)
+    aggs = [
+        F.sum(
+            F.when(F.col("row_kind") == kind, F.col("_w")).otherwise(0)
+        ).alias(f"{name}_{sfx}")
+        for name, kind in _FULL_COUNTERS
+    ]
+    # frame_ statistic: 1 per frame in count mode (measure(frame) = 1),
+    # the summed row bytes in size mode (serialized-size approximation,
+    # same weights as row_)
+    frame_stat = (
+        F.sum("_w") if use_size else F.lit(1).cast("long")
+    ).alias(f"frame_{sfx}")
+    return (
+        rows.withColumn("_w", weight)
+        .groupBy("seg", "frame_index")
+        .agg(frame_stat, F.sum("_w").alias(f"row_{sfx}"), *aggs)
+    )
+
+
+def aggregate_metrics_full(rows: DataFrame, use_size: bool = False) -> dict:
+    """Driver-side dict of the full counter battery summed across
+    frames, `frame_count` leading (printAggregate's merged FrameInfo)."""
+    sfx = "size" if use_size else "count"
+    pf = per_frame_metrics_full(rows, use_size)
+    sum_cols = [c for c in pf.columns if c not in ("seg", "frame_index")]
+    r = pf.agg(
+        F.count(F.lit(1)).alias("frame_count"),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    ).collect()[0]
+    d = r.asDict()
+    out = {"frame_count": int(d["frame_count"])}
+    for name in _REF_COUNTER_ORDER:
+        key = f"{name}_{sfx}"
+        if key in d and key not in out:
+            out[key] = int(d[key])
+    return out
+
+
+def _row_weight(use_size: bool):
+    if not use_size:
+        return F.lit(1)
+    return (
+        F.when(F.col("row_kind") == KIND_NAME, F.length(F.coalesce("name", F.lit(""))) + 4)
+        .when(
+            F.col("row_kind") == KIND_TRIPLE,
+            F.lit(16) + F.length(F.coalesce("obj_lang", F.lit(""))) + 2,
+        )
+        .otherwise(F.lit(8))
+    )
 
 
 def per_frame_metrics(rows: DataFrame, use_size: bool = False) -> DataFrame:

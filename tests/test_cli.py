@@ -913,3 +913,32 @@ def test_cli_inspect_detail_omits_zero_counts(spark, tmp_path, capsys):
     assert main(["rdf", "inspect", jelly, "--detail", "term"]) == 0
     doc = yaml.safe_load(capsys.readouterr().out)
     assert doc["frames"]["term_details"]["graph_count"] == 0  # term mode keeps zeros
+
+
+def test_cli_inspect_full_counter_battery(spark, tmp_path, capsys):
+    """inspect emits the reference's FULL 11-counter battery in
+    FrameInfo.format order (frame/row/option/triple/quad/graph_start/
+    graph_end/namespace/name/prefix/datatype), with the `_size` suffix
+    under --size like the reference's SizeStatistic naming."""
+    import yaml
+
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        fh.write('<http://x/s> <http://x/p> "v" <http://g/1> .\n')
+    jelly = str(tmp_path / "f.jelly")
+    assert main(["rdf", "to-jelly", nq, "--to", jelly]) == 0
+    assert main(["rdf", "inspect", jelly, "--per-frame"]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    f0 = doc["frames"][0]
+    for key in ("frame_count", "row_count", "option_count", "triple_count",
+                "quad_count", "graph_start_count", "graph_end_count",
+                "namespace_count", "name_count", "prefix_count",
+                "datatype_count"):
+        assert key in f0, key
+    assert f0["frame_count"] == 1 and f0["quad_count"] == 1
+    assert f0["triple_count"] == 0
+    assert main(["rdf", "inspect", jelly, "--size"]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    agg = doc["frames"]
+    assert agg["frame_count"] >= 1 and agg["quad_size"] > 0
+    assert agg["row_size"] >= agg["quad_size"]
