@@ -902,28 +902,35 @@ def _dispatch(spark, args) -> int:
 
     if args.rdf_cmd == "inspect":
         from .inspect_metrics import (
-            aggregate_metrics_full,
             format_detail,
             per_frame_metrics_full,
             render_yaml,
             wire_term_detail,
         )
 
-        if args.detail and args.size:
-            # the size statistic measures serialized row bytes; per-term
-            # wire sizes are not carried through the resolver (the
-            # reference computes them from the raw protobuf messages)
-            raise ValueError(
-                "--detail is count-statistic only; drop --size"
-            )
         frames_df = J.read_jelly_file(spark, args.input)
-        rows = J.decode_frames(frames_df)
-        if args.detail:
-            rows = rows.persist()
+        sfx = "size" if args.size else "count"
+        rows = None
+        # --size is the reference's SizeStatistic, computed EXACTLY from
+        # the wire bytes by a rows-free tag-walk — no statement decode
+        # at all (per-term sizes come from the same walk under --detail)
+        if args.size:
+            pf = J.frame_wire_size_stats(frames_df)
+        else:
+            rows = J.decode_frames(frames_df)
+            if args.detail:
+                rows = rows.persist()
+            pf = per_frame_metrics_full(rows)
+
+        def detail_counts(per_frame: bool):
+            if args.size:
+                df = J.frame_wire_term_sizes(frames_df)
+                return df if per_frame else df.groupBy(
+                    "term_pos", "node_kind"
+                ).agg(F.sum("n").alias("n"))
+            return wire_term_detail(rows, per_frame=per_frame)
+
         if args.per_frame:
-            pf = per_frame_metrics_full(rows, use_size=args.size).orderBy(
-                "seg", "frame_index"
-            )
             # frame metadata map, hex-valued, only when present — the
             # reference prints it per-frame right after frame_index and
             # omits it in aggregate mode (MetricsPrinter.scala:329-338;
@@ -934,7 +941,7 @@ def _dispatch(spark, args) -> int:
                     r["key"]
                 ] = r["value_hex"]
             frames = []
-            for r in pf.collect():
+            for r in pf.orderBy("seg", "frame_index").collect():
                 d = r.asDict()
                 f = {"seg": int(d.pop("seg")),
                      "frame_index": int(d.pop("frame_index"))}
@@ -945,24 +952,33 @@ def _dispatch(spark, args) -> int:
                 frames.append(f)
             if args.detail:
                 per = {}
-                for r in wire_term_detail(rows, per_frame=True).collect():
+                for r in detail_counts(per_frame=True).collect():
                     per.setdefault((r["seg"], r["frame_index"]), []).append(r)
                 for f in frames:
                     f.update(format_detail(
-                        per.get((f["seg"], f["frame_index"]), []), args.detail
+                        per.get((f["seg"], f["frame_index"]), []),
+                        args.detail, sfx,
                     ))
             out = {"stream_options": _inspect_options(args.input), "frames": frames}
         else:
-            stream = aggregate_metrics_full(rows, use_size=args.size)
+            agg = pf.agg(
+                F.count(F.lit(1)).alias("frame_count"),
+                *[
+                    F.sum(c).alias(c)
+                    for c in pf.columns
+                    if c not in ("seg", "frame_index")
+                ],
+            ).collect()[0]
+            stream = {k: int(v) for k, v in agg.asDict().items()}
             if args.detail:
                 stream.update(format_detail(
-                    wire_term_detail(rows).collect(), args.detail
+                    detail_counts(per_frame=False).collect(), args.detail, sfx
                 ))
             # the reference's aggregate report also keys its counts under
             # `frames` (MetricsPrinter.printAggregate) and ALWAYS leads
             # with the declared stream_options block
             out = {"stream_options": _inspect_options(args.input), "frames": stream}
-        if args.detail:
+        if rows is not None and args.detail:
             rows.unpersist()
         text = render_yaml(out)
         if args.to:

@@ -33,70 +33,25 @@ _FULL_COUNTERS = (
     ("prefix", KIND_PREFIX),
     ("datatype", KIND_DATATYPE),
 )
-_REF_COUNTER_ORDER = (
-    "frame", "row", "option", "triple", "quad", "graph_start",
-    "graph_end", "namespace", "name", "prefix", "datatype",
-)
-
-
-def per_frame_metrics_full(rows: DataFrame, use_size: bool = False) -> DataFrame:
-    """(seg, frame_index, frame_{sfx}, row_{sfx}, option_{sfx}, ...,
-    datatype_{sfx}) — the reference's FULL 11-counter battery in its
-    printer order (FrameInfo.format, MetricsPrinter.scala:35-112), with
-    the `_size` key suffix under the SizeStatistic strategy like the
-    reference's `statCollector.name()`. The CLI report path; the
-    4-counter :func:`per_frame_metrics` stays the battery/oracle
-    surface (its schema is pinned by q13/q16/q17/q51)."""
-    sfx = "size" if use_size else "count"
-    weight = _row_weight(use_size)
+def per_frame_metrics_full(rows: DataFrame) -> DataFrame:
+    """(seg, frame_index, frame_count, row_count, option_count, ...,
+    datatype_count) — the reference's FULL 11-counter battery in its
+    printer order (FrameInfo.format, MetricsPrinter.scala:35-112),
+    CountStatistic strategy. The CLI count-report path; the 4-counter
+    :func:`per_frame_metrics` stays the battery/oracle surface (its
+    schema is pinned by q13/q16/q17/q51), and the SizeStatistic path is
+    the exact wire tag-walk `jelly.frame_wire_size_stats`."""
     aggs = [
         F.sum(
-            F.when(F.col("row_kind") == kind, F.col("_w")).otherwise(0)
-        ).alias(f"{name}_{sfx}")
+            F.when(F.col("row_kind") == kind, 1).otherwise(0)
+        ).alias(f"{name}_count")
         for name, kind in _FULL_COUNTERS
     ]
-    # frame_ statistic: 1 per frame in count mode (measure(frame) = 1),
-    # the summed row bytes in size mode (serialized-size approximation,
-    # same weights as row_)
-    frame_stat = (
-        F.sum("_w") if use_size else F.lit(1).cast("long")
-    ).alias(f"frame_{sfx}")
+    # frame_ statistic: measure(frame) = 1 per frame in count mode
+    frame_stat = F.lit(1).cast("long").alias("frame_count")
     return (
-        rows.withColumn("_w", weight)
-        .groupBy("seg", "frame_index")
-        .agg(frame_stat, F.sum("_w").alias(f"row_{sfx}"), *aggs)
-    )
-
-
-def aggregate_metrics_full(rows: DataFrame, use_size: bool = False) -> dict:
-    """Driver-side dict of the full counter battery summed across
-    frames, `frame_count` leading (printAggregate's merged FrameInfo)."""
-    sfx = "size" if use_size else "count"
-    pf = per_frame_metrics_full(rows, use_size)
-    sum_cols = [c for c in pf.columns if c not in ("seg", "frame_index")]
-    r = pf.agg(
-        F.count(F.lit(1)).alias("frame_count"),
-        *[F.sum(c).alias(c) for c in sum_cols],
-    ).collect()[0]
-    d = r.asDict()
-    out = {"frame_count": int(d["frame_count"])}
-    for name in _REF_COUNTER_ORDER:
-        key = f"{name}_{sfx}"
-        if key in d and key not in out:
-            out[key] = int(d[key])
-    return out
-
-
-def _row_weight(use_size: bool):
-    if not use_size:
-        return F.lit(1)
-    return (
-        F.when(F.col("row_kind") == KIND_NAME, F.length(F.coalesce("name", F.lit(""))) + 4)
-        .when(
-            F.col("row_kind") == KIND_TRIPLE,
-            F.lit(16) + F.length(F.coalesce("obj_lang", F.lit(""))) + 2,
-        )
-        .otherwise(F.lit(8))
+        rows.groupBy("seg", "frame_index")
+        .agg(frame_stat, F.count(F.lit(1)).alias("row_count"), *aggs)
     )
 
 
@@ -186,36 +141,43 @@ def wire_term_detail(rows: DataFrame, per_frame: bool = False) -> DataFrame:
     )
 
 
-def format_detail(counts: list, mode: str) -> dict:
+def _kind_name(v) -> str:
+    """node_kind → label; accepts the int taxonomy (resolver counts)
+    or the wire-size rows' string labels."""
+    return v if isinstance(v, str) else _NODE_KIND_NAMES[int(v)]
+
+
+def format_detail(counts: list, mode: str, sfx: str = "count") -> dict:
     """Rows of (term_pos, node_kind, n) → the reference's three report
     shapes: 'all' = per-position node maps (subject/predicate/object/
-    graph, each with all five *_count keys), 'node' = node_details
-    summed across positions, 'term' = term_details totals per position
-    (MetricsPrinter.scala:237-255). Driver-side on the tiny counts."""
+    graph), 'node' = node_details summed across positions, 'term' =
+    term_details totals per position (MetricsPrinter.scala:237-255).
+    ``sfx`` follows statCollector.name(): 'count' or 'size'.
+    Driver-side on the tiny counts."""
     if mode == "term":
         tot = {pos: 0 for pos, _, _ in _TERM_POSITIONS}
         for r in counts:
             tot[r["term_pos"]] += int(r["n"])
         return {
-            "term_details": {f"{p}_count": tot[p] for p, _, _ in _TERM_POSITIONS}
+            "term_details": {f"{p}_{sfx}": tot[p] for p, _, _ in _TERM_POSITIONS}
         }
     if mode == "node":
         tot = {name: 0 for name in _NODE_KIND_NAMES.values()}
         for r in counts:
-            tot[_NODE_KIND_NAMES[int(r["node_kind"])]] += int(r["n"])
+            tot[_kind_name(r["node_kind"])] += int(r["n"])
         # zero counts are omitted (NodeDetailInfo.format's `.filter(_._2
         # > 0)`; RdfInspectSpec asserts bnode_count is absent) — only
         # the term_details totals above always print all four positions
         return {
-            "node_details": {f"{k}_count": v for k, v in tot.items() if v > 0}
+            "node_details": {f"{k}_{sfx}": v for k, v in tot.items() if v > 0}
         }
     out = {
-        pos: {f"{k}_count": 0 for k in _NODE_KIND_NAMES.values()}
+        pos: {f"{k}_{sfx}": 0 for k in _NODE_KIND_NAMES.values()}
         for pos, _, _ in _TERM_POSITIONS
     }
     for r in counts:
         out[r["term_pos"]][
-            f"{_NODE_KIND_NAMES[int(r['node_kind'])]}_count"
+            f"{_kind_name(r['node_kind'])}_{sfx}"
         ] += int(r["n"])
     return {
         pos: {k: v for k, v in m.items() if v > 0}

@@ -1637,6 +1637,71 @@ def frame_metadata(frames: DataFrame) -> DataFrame:
     )
 
 
+def frame_wire_size_stats(frames: DataFrame) -> DataFrame:
+    """(seg, frame_index, frame_size, row_size, option_size, ...,
+    datatype_size) — the reference's EXACT SizeStatistic per frame
+    (message → getSerializedSize), computed by jellywire's rows-free
+    tag-walk over the frame bytes. One zero-shuffle pass; no resolver,
+    no dictionary state."""
+    names = JW.SIZE_STAT_NAMES
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for seg, fi, blob in zip(
+                pdf["seg"], pdf["frame_index"], pdf["frame_bytes"]
+            ):
+                st = JW.frame_size_stats(bytes(blob))
+                out.append(
+                    (int(seg), int(fi)) + tuple(st[n] for n in names)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["seg", "frame_index"] + [f"{n}_size" for n in names],
+            )
+
+    schema = "seg long, frame_index long, " + ", ".join(
+        f"{n}_size long" for n in names
+    )
+    return frames.mapInPandas(scan, schema)
+
+
+def frame_wire_term_sizes(frames: DataFrame) -> DataFrame:
+    """(seg, frame_index, term_pos, node_kind, n) — per-term wire sizes
+    for inspect --size --detail (NodeDetailInfo with SizeStatistic):
+    message terms measure their embedded serialized size, bnode strings
+    measure computeStringSizeNoTag, quoted-triple terms count once at
+    the embedded message size (no recursion). Zero-shuffle scan +
+    one map-side-combinable groupBy."""
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for seg, fi, blob in zip(
+                pdf["seg"], pdf["frame_index"], pdf["frame_bytes"]
+            ):
+                for pos_label, kind_label, size in JW.frame_term_sizes(
+                    bytes(blob)
+                ):
+                    out.append((int(seg), int(fi), pos_label, kind_label, size))
+            yield pd.DataFrame(
+                out,
+                columns=["seg", "frame_index", "term_pos", "node_kind", "sz"],
+            )
+
+    melted = frames.mapInPandas(
+        scan,
+        "seg long, frame_index long, term_pos string, node_kind string, sz long",
+    )
+    return melted.groupBy("seg", "frame_index", "term_pos", "node_kind").agg(
+        F.sum("sz").alias("n")
+    )
+
+
 def options_from_file(path: str) -> StreamOptions:
     """Options-from-file (S11, RdfToJelly.scala:82-89): read the first
     frame of an existing stream and copy its options row. Pure

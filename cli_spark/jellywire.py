@@ -1238,3 +1238,83 @@ def resolve_frames(
     for frame_index, blob in enumerate(frame_blobs):
         for row_pos, row in enumerate(decode_frame(bytes(blob))):
             yield frame_index, row_pos, state.resolve_row(row)
+
+
+# ---------------------------------------------------------------------------
+# size statistics (rows-free tag-walks for inspect --size)
+# ---------------------------------------------------------------------------
+
+_ROW_KIND_STAT = {
+    K_OPTIONS: "option", K_TRIPLE: "triple", K_QUAD: "quad",
+    K_GRAPH_START: "graph_start", K_GRAPH_END: "graph_end",
+    K_NAMESPACE: "namespace", K_NAME: "name", K_PREFIX: "prefix",
+    K_DATATYPE: "datatype",
+}
+SIZE_STAT_NAMES = ("frame", "row") + tuple(_ROW_KIND_STAT.values())
+
+
+def _varint_size(v: int) -> int:
+    n = 1
+    while v >= 0x80:
+        v >>= 7
+        n += 1
+    return n
+
+
+def frame_size_stats(data: bytes) -> dict:
+    """The reference's SizeStatistic per frame (MetricsPrinter
+    FrameInfo.SizeStatistic: message → getSerializedSize): frame =
+    the frame's own serialized bytes, row = each row message's bytes,
+    per-kind = each row BODY's bytes. A pure tag-walk — no terms
+    decoded, no dictionary state."""
+    out = dict.fromkeys(SIZE_STAT_NAMES, 0)
+    out["frame"] = len(data)
+    for field, wire, v in _fields(data):
+        if field != 1 or wire != 2 or not v:
+            continue
+        out["row"] += len(v)
+        tag, pos = read_varint(v, 0)
+        stat = _ROW_KIND_STAT.get(tag >> 3)
+        if stat is None or tag & 7 != 2:
+            continue
+        ln, _pos = read_varint(v, pos)
+        out[stat] += ln
+    return out
+
+
+_GRAPH_TERM_KIND = {13: "iri", 14: "bnode", 15: "default_graph", 16: "literal"}
+
+
+def frame_term_sizes(data: bytes) -> list:
+    """(term_pos, node_kind, size) per statement term in the frame —
+    the reference's detailed SizeStatistic (NodeDetailInfo.handle with
+    measure = getSerializedSize for messages, computeStringSizeNoTag
+    for bnode strings, i.e. varint(len)+len). Quoted-triple terms count
+    as one 'triple' node of the embedded message's size, not recursed —
+    exactly the reference's behavior. GraphStart terms are not detail
+    terms (only triple/quad rows feed NodeDetailInfo)."""
+    out: list = []
+    for field, wire, v in _fields(data):
+        if field != 1 or wire != 2 or not v:
+            continue
+        tag, pos = read_varint(v, 0)
+        kind = tag >> 3
+        if kind not in (K_TRIPLE, K_QUAD) or tag & 7 != 2:
+            continue
+        ln, pos = read_varint(v, pos)
+        for tf, tw, tv in _fields(v[pos : pos + ln]):
+            if tw != 2:
+                continue
+            if 1 <= tf <= 12:
+                pos_label = ("subject", "predicate", "object")[(tf - 1) // 4]
+                sel = (tf - 1) % 4
+                kind_label = ("iri", "bnode", "literal", "triple")[sel]
+                size = len(tv) + _varint_size(len(tv)) if sel == 1 else len(tv)
+                out.append((pos_label, kind_label, size))
+            elif 13 <= tf <= 16:
+                kind_label = _GRAPH_TERM_KIND[tf]
+                size = (
+                    len(tv) + _varint_size(len(tv)) if tf == 14 else len(tv)
+                )
+                out.append(("graph", kind_label, size))
+    return out

@@ -313,7 +313,10 @@ def test_cli_inspect_detail(spark, tmp_path, capsys):
     with open(rpt) as fh:
         text = fh.read()
     assert "subject:" in text and "iri_count: 3" in text
-    assert main(["rdf", "inspect", jelly, "--detail", "all", "--size"]) == 1
+    # --detail composes with --size since round 5 (exact per-term wire
+    # sizes via the jellywire tag-walk, like the reference's
+    # SizeStatistic) — see test_cli_inspect_detail_sizes
+    assert main(["rdf", "inspect", jelly, "--detail", "all", "--size"]) == 0
 
 
 def test_cli_namespace_declarations(spark, tmp_path):
@@ -942,3 +945,42 @@ def test_cli_inspect_full_counter_battery(spark, tmp_path, capsys):
     agg = doc["frames"]
     assert agg["frame_count"] >= 1 and agg["quad_size"] > 0
     assert agg["row_size"] >= agg["quad_size"]
+
+
+def test_cli_inspect_detail_sizes(spark, tmp_path, capsys):
+    """--size --detail: per-term sizes from the exact wire tag-walk
+    (RdfInspectSpec "print detailed size statistics": iri_size present,
+    bnode_size ABSENT on a bnode-free stream; message terms measure
+    getSerializedSize, bnodes computeStringSizeNoTag). Verified against
+    a hand-computed size on a one-triple stream."""
+    import yaml
+
+    from cli_spark import jellywire as JW
+
+    nq = str(tmp_path / "in.nq")
+    with open(nq, "w") as fh:
+        fh.write('<http://e/s> <http://e/p> "hello" .\n')
+    jelly = str(tmp_path / "sz.jelly")
+    assert main(["rdf", "to-jelly", nq, "--to", jelly]) == 0
+    assert main(["rdf", "inspect", jelly, "--size", "--detail", "all"]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    frames = doc["frames"]
+    assert "bnode_size" not in frames["subject"]
+    assert frames["subject"]["iri_size"] > 0
+    # the object literal 'hello': RdfLiteral{lex="hello"} = tag(1) +
+    # varint(5) + 5 bytes = 7 — exact wire size, not an approximation
+    assert frames["object"]["literal_size"] == 7
+    # cross-check one term against the raw wire walk
+    with open(jelly, "rb") as fh:
+        _, blobs = JW.split_delimited(fh.read())
+    want = sum(
+        s for p, k, s in JW.frame_term_sizes(blobs[0])
+        if p == "object" and k == "literal"
+    )
+    assert frames["object"]["literal_size"] == want
+    # per-frame variant carries the same maps
+    assert main([
+        "rdf", "inspect", jelly, "--size", "--detail", "term", "--per-frame",
+    ]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert doc["frames"][0]["term_details"]["object_size"] >= 7
