@@ -524,11 +524,27 @@ def main(argv: list[str] | None = None) -> int:
             _emit_stdout(stdout_target)
         return rc
     except (ValueError, AssertionError, AnalysisException) as exc:
+        # known (typed) errors: message only; --debug adds the stack
+        # (ErrorHandler.scala:10-13 + printStackTraceIfDebug)
         if args.debug:
             import traceback
 
             traceback.print_exc(file=sys.stderr)
         print(f"error: {exc}", file=sys.stderr)
+        if not args.debug:
+            print(
+                "Run with --debug to see the complete stack trace.",
+                file=sys.stderr,
+            )
+        return 1
+    except Exception:
+        # unknown errors ALWAYS print the stack — "otherwise the user
+        # has no clue what happened" (ErrorHandler.scala:14-17) — but
+        # still exit 1 through the cleanup path, not a raw crash
+        import traceback
+
+        print("Unknown error", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
         return 1
     finally:
         if existing is None:

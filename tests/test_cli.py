@@ -984,3 +984,34 @@ def test_cli_inspect_detail_sizes(spark, tmp_path, capsys):
     ]) == 0
     doc = yaml.safe_load(capsys.readouterr().out)
     assert doc["frames"][0]["term_details"]["object_size"] >= 7
+
+
+def test_cli_error_handler_contract(spark, tmp_path, capsys):
+    """ErrorHandlerSpec: known (typed) errors print the message plus a
+    'Run with --debug' hint and no stack; --debug adds the stack;
+    unknown errors ALWAYS print the stack ('otherwise the user has no
+    clue what happened') and still exit 1 through cleanup."""
+    missing = str(tmp_path / "nope.nq")
+    assert main(["rdf", "to-jelly", missing, "--to", str(tmp_path / "o.jelly")]) == 1
+    err = capsys.readouterr().err
+    assert "error:" in err
+    assert "Run with --debug to see the complete stack trace." in err
+    assert "Traceback" not in err
+    assert main([
+        "--debug", "rdf", "to-jelly", missing, "--to", str(tmp_path / "o.jelly"),
+    ]) == 1
+    err = capsys.readouterr().err
+    assert "Traceback" in err
+    assert "Run with --debug" not in err
+
+    import cli_spark.__main__ as M
+
+    orig = M._dispatch
+    M._dispatch = lambda spark, args: (_ for _ in ()).throw(RuntimeError("boom"))
+    try:
+        assert main(["rdf", "inspect", missing]) == 1
+    finally:
+        M._dispatch = orig
+    err = capsys.readouterr().err
+    assert "Unknown error" in err
+    assert "Traceback" in err and "boom" in err
