@@ -1134,6 +1134,54 @@ def _dispatch(spark, args) -> int:
             if not res.equal:
                 print(f"error: {res.detail}", file=sys.stderr)
                 return 1
+            if args.compare_ordered == "true":
+                # ordered compare also matches NAMESPACE DECLARATIONS
+                # as stream elements (OrderedRdfCompare; RdfCompareSpec
+                # "different/missing namespace declarations"): the
+                # stream's namespace rows vs the Turtle-family file's
+                # directive sequence (an N-Quads family target emits no
+                # prefix events, so any stream declaration mismatches).
+                # Statement↔namespace interleaving order is not
+                # compared — a documented simplification of the
+                # reference's global element positions.
+                from .turtle import scan_namespaces_ordered
+
+                exp_ns = (
+                    scan_namespaces_ordered(args.compare_to_rdf_file)
+                    if cmp_fmt.key in ("ttl", "trig")
+                    else []
+                )
+                act_ns = [
+                    (r["name"], r["iri"])
+                    for r in rows.filter(
+                        F.col("row_kind") == J.KIND_NAMESPACE
+                    )
+                    .select(
+                        "seg", "frame_index", "row_pos", "name",
+                        F.col("aux").alias("iri"),
+                    )
+                    .orderBy("seg", "frame_index", "row_pos")
+                    .collect()
+                ]
+                if exp_ns != act_ns:
+                    if len(exp_ns) != len(act_ns):
+                        print(
+                            f"error: Expected {len(exp_ns)} namespace "
+                            f"declarations, but got {len(act_ns)}",
+                            file=sys.stderr,
+                        )
+                    else:
+                        i = next(
+                            i for i, (x, y) in enumerate(zip(exp_ns, act_ns))
+                            if x != y
+                        )
+                        print(
+                            f"error: namespace declaration {i} is "
+                            f"different: expected {exp_ns[i]}, got "
+                            f"{act_ns[i]}",
+                            file=sys.stderr,
+                        )
+                    return 1
         print("valid")
         return 0
 

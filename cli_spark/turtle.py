@@ -504,6 +504,31 @@ def scan_namespaces(spark: SparkSession, path: str) -> DataFrame:
     return decls.groupBy("name").agg(F.min("iri").alias("iri"))
 
 
+def scan_namespaces_ordered(path: str) -> list:
+    """Ordered (name, iri) declaration sequence of ONE Turtle/TriG
+    document, duplicates kept in document order — the event sequence
+    Jena's StreamRDF prefix callbacks would deliver, which the
+    reference's OrderedRdfCompare matches positionally
+    (RdfCompareSpec "different/missing namespace declarations").
+    Driver-side: the comparison target of `rdf validate` is a single
+    bounded file; in-file @base resolves relative prefix IRIs like the
+    distributed scan."""
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    rx = re.compile(_DIRECTIVE_RX)
+    base = None
+    out: list = []
+    for m in rx.finditer(text):
+        if m.group(3) is not None:
+            base = _urljoin_keep_empty(base, m.group(3)) if base else m.group(3)
+        else:
+            iri = m.group(2)
+            if base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+                iri = _urljoin_keep_empty(base, iri)
+            out.append((m.group(1), iri))
+    return out
+
+
 def parse_turtle_lines(
     lines: DataFrame, prefixes: dict[str, str], text_col: str = "line"
 ) -> DataFrame:

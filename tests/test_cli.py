@@ -1015,3 +1015,45 @@ def test_cli_error_handler_contract(spark, tmp_path, capsys):
     err = capsys.readouterr().err
     assert "Unknown error" in err
     assert "Traceback" in err and "boom" in err
+
+
+def test_cli_validate_ordered_compares_namespaces(spark, tmp_path, capsys):
+    """Ordered validate matches NAMESPACE DECLARATIONS as elements
+    (OrderedRdfCompare; RdfCompareSpec "different/missing namespace
+    declarations"): same ttl passes, a renamed prefix mismatches, and
+    an N-Quads target (no prefix events) mismatches a declaration-
+    carrying stream. Unordered mode ignores declarations, like the
+    reference's dataset-level UnorderedRdfCompare."""
+    ttl = str(tmp_path / "ns.ttl")
+    with open(ttl, "w") as fh:
+        fh.write("@prefix ex: <http://ex.org/> .\nex:s ex:p ex:o .\n")
+    jelly = str(tmp_path / "ns.jelly")
+    assert main([
+        "rdf", "to-jelly", ttl, "--to", jelly,
+        "--enable-namespace-declarations",
+    ]) == 0
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", ttl,
+        "--compare-ordered",
+    ]) == 0
+    capsys.readouterr()
+    ttl2 = str(tmp_path / "ns2.ttl")
+    with open(ttl2, "w") as fh:
+        fh.write("@prefix ex2: <http://ex.org/> .\nex2:s ex2:p ex2:o .\n")
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", ttl2,
+        "--compare-ordered",
+    ]) == 1
+    assert "namespace declaration 0 is different" in capsys.readouterr().err
+    nq = str(tmp_path / "flat.nq")
+    with open(nq, "w") as fh:
+        fh.write(
+            "<http://ex.org/s> <http://ex.org/p> <http://ex.org/o> .\n"
+        )
+    assert main([
+        "rdf", "validate", jelly, "--compare-to-rdf-file", nq,
+        "--compare-ordered",
+    ]) == 1
+    assert "Expected 0 namespace declarations, but got 1" in capsys.readouterr().err
+    # unordered mode: statements only (dataset compare)
+    assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", nq]) == 0
