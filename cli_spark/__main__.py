@@ -1073,11 +1073,29 @@ def _dispatch(spark, args) -> int:
                     # unknown extension → generalized N-Quads, same
                     # fallback as the to-jelly input path
                     cmp_fmt = _FMT["nq"]
-            if cmp_fmt.read is None:
-                raise ValueError(
-                    f"{cmp_fmt.full_name} is not a readable comparison format"
+            exp_rows = None
+            if cmp_fmt.key == "jelly":
+                # jelly-vs-jelly comparison: the reference reads the
+                # comparison file through Jena RIOT, which speaks Jelly
+                # — decode by ITS declared physical type, graph kept
+                exp_rows = J.decode_frames(
+                    J.read_jelly_file(spark, args.compare_to_rdf_file)
                 )
-            expected = cmp_fmt.read(spark, args.compare_to_rdf_file)
+                phys_e = J.stream_physical_types(exp_rows) - {None}
+                if phys_e & {J.PHYSICAL_QUADS, J.PHYSICAL_GRAPHS}:
+                    expected = (
+                        J.decode_quads(exp_rows)
+                        if J.PHYSICAL_QUADS in phys_e
+                        else J.decode_quads_graphs(exp_rows)
+                    )
+                else:
+                    expected = J.decode_triples(exp_rows, strict=False)
+            else:
+                if cmp_fmt.read is None:
+                    raise ValueError(
+                        f"{cmp_fmt.full_name} is not a readable comparison format"
+                    )
+                expected = cmp_fmt.read(spark, args.compare_to_rdf_file)
             if "graph" not in expected.columns:
                 expected = expected.withColumn("graph", F.lit(None).cast("string"))
             # --compare-frame-indices: the full stream is still decoded
@@ -1146,23 +1164,30 @@ def _dispatch(spark, args) -> int:
                 # reference's global element positions.
                 from .turtle import scan_namespaces_ordered
 
-                exp_ns = (
-                    scan_namespaces_ordered(args.compare_to_rdf_file)
-                    if cmp_fmt.key in ("ttl", "trig")
-                    else []
-                )
-                act_ns = [
-                    (r["name"], r["iri"])
-                    for r in rows.filter(
-                        F.col("row_kind") == J.KIND_NAMESPACE
-                    )
-                    .select(
-                        "seg", "frame_index", "row_pos", "name",
-                        F.col("aux").alias("iri"),
-                    )
-                    .orderBy("seg", "frame_index", "row_pos")
-                    .collect()
-                ]
+                def _ordered_ns(df):
+                    return [
+                        (r["name"], r["iri"])
+                        for r in df.filter(
+                            F.col("row_kind") == J.KIND_NAMESPACE
+                        )
+                        .select(
+                            "seg", "frame_index", "row_pos", "name",
+                            F.col("aux").alias("iri"),
+                        )
+                        .orderBy("seg", "frame_index", "row_pos")
+                        .collect()
+                    ]
+
+                if cmp_fmt.key in ("ttl", "trig"):
+                    exp_ns = scan_namespaces_ordered(args.compare_to_rdf_file)
+                elif exp_rows is not None:
+                    # a jelly comparison target carries namespace ROWS —
+                    # the reference's jelly parser surfaces them as
+                    # prefix events just like Turtle directives
+                    exp_ns = _ordered_ns(exp_rows)
+                else:
+                    exp_ns = []
+                act_ns = _ordered_ns(rows)
                 if exp_ns != act_ns:
                     if len(exp_ns) != len(act_ns):
                         print(

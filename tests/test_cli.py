@@ -1057,3 +1057,34 @@ def test_cli_validate_ordered_compares_namespaces(spark, tmp_path, capsys):
     assert "Expected 0 namespace declarations, but got 1" in capsys.readouterr().err
     # unordered mode: statements only (dataset compare)
     assert main(["rdf", "validate", jelly, "--compare-to-rdf-file", nq]) == 0
+
+
+def test_cli_validate_jelly_vs_jelly(spark, tmp_path, capsys):
+    """The comparison file may itself be Jelly (the reference reads it
+    through Jena RIOT, which speaks the protocol): self-comparison
+    passes in both modes, statements compare by the target's own
+    declared physical type, and ordered mode matches namespace rows on
+    both sides."""
+    ttl = str(tmp_path / "n.ttl")
+    with open(ttl, "w") as fh:
+        fh.write("@prefix ex: <http://ex.org/> .\nex:s ex:p ex:o .\n")
+    with_ns = str(tmp_path / "with_ns.jelly")
+    without_ns = str(tmp_path / "without_ns.jelly")
+    assert main([
+        "rdf", "to-jelly", ttl, "--to", with_ns,
+        "--enable-namespace-declarations",
+    ]) == 0
+    assert main(["rdf", "to-jelly", ttl, "--to", without_ns]) == 0
+    assert main([
+        "rdf", "validate", with_ns, "--compare-to-rdf-file", with_ns,
+        "--compare-ordered",
+    ]) == 0
+    assert main([
+        "rdf", "validate", with_ns, "--compare-to-rdf-file", without_ns,
+    ]) == 0  # unordered: statements only
+    capsys.readouterr()
+    assert main([
+        "rdf", "validate", with_ns, "--compare-to-rdf-file", without_ns,
+        "--compare-ordered",
+    ]) == 1  # ordered: the target carries no namespace rows
+    assert "Expected 0 namespace declarations, but got 1" in capsys.readouterr().err
