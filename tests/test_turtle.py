@@ -387,3 +387,24 @@ def test_write_turtle_multipart_parts_are_standalone(spark, tmp_path):
     # and the directory reads back whole
     back = read_turtle(spark, d)
     assert back.count() == 40
+
+
+def test_scan_namespaces_ordered(tmp_path):
+    """Ordered directive scan: duplicates kept in document order (the
+    prefix-event sequence), relative prefix IRIs resolve against an
+    in-file @base, and SPARQL-style PREFIX spelling is accepted."""
+    from cli_spark.turtle import scan_namespaces_ordered
+
+    p = tmp_path / "doc.ttl"
+    p.write_text(
+        "@prefix a: <http://a.org/> .\n"
+        "@base <http://base.org/dir/> .\n"
+        "@prefix b: <sub/> .\n"
+        "PREFIX a: <http://a2.org/>\n"
+        "a:s a:p b:o .\n"
+    )
+    assert scan_namespaces_ordered(str(p)) == [
+        ("a", "http://a.org/"),
+        ("b", "http://base.org/dir/sub/"),
+        ("a", "http://a2.org/"),
+    ]
